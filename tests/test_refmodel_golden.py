@@ -1,0 +1,171 @@
+"""Golden-vector tests pinning sparkolumnar.refmodel to the reference's own
+published test outputs (unit vectors in columnar/src/strategy/rle.rs:711-805
+and insta snapshots under columnar/tests/integration/snapshots/).
+
+These byte literals are copied from the reference's *test expectations*
+(public repo loro-dev/columnar); the implementation is written from scratch.
+"""
+
+import struct
+
+import pytest
+
+from sparkolumnar import refmodel as rm
+
+
+# --- unit vectors (columnar/src/strategy/rle.rs test module) ---------------
+
+def test_bool_rle_golden():
+    # rle.rs:732-747: [T,T,F,F,F] -> [0,2,3]
+    assert rm.bool_rle_encode([True, True, False, False, False]) == bytes([0, 2, 3])
+    assert rm.bool_rle_decode(bytes([0, 2, 3])) == [True, True, False, False, False]
+
+
+def test_bool_rle_edges():
+    assert rm.bool_rle_encode([]) == b""
+    assert rm.bool_rle_decode(b"") == []
+    assert rm.bool_rle_encode([False]) == bytes([1])
+    assert rm.bool_rle_encode([True]) == bytes([0, 1])
+    for vals in ([False] * 7, [True] * 3, [True, False, True], [False, True, True, False]):
+        assert rm.bool_rle_decode(rm.bool_rle_encode(vals)) == vals
+
+
+def test_any_rle_golden_u64():
+    # rle.rs:717-729: [1000,1000,2,2,2] — run(2,1000) run(3,2)
+    buf = rm.any_rle_encode([1000, 1000, 2, 2, 2], ser=rm.ser_u64)
+    assert buf == bytes([4, 232, 7, 6, 2])
+    assert rm.any_rle_decode(buf, de=rm.de_u64) == [1000, 1000, 2, 2, 2]
+
+
+def test_any_rle_literal_then_run():
+    # [1,2,2]: literal [1] then run(2,2): [-1 zz=1, 1, 4, 2]
+    buf = rm.any_rle_encode([1, 2, 2], ser=rm.ser_u64)
+    assert buf == bytes([1, 1, 4, 2])
+    assert rm.any_rle_decode(buf, de=rm.de_u64) == [1, 2, 2]
+
+
+def test_any_rle_all_distinct():
+    buf = rm.any_rle_encode([5, 6, 7], ser=rm.ser_u64)
+    # one literal group of 3: zigzag(-3)=5
+    assert buf == bytes([5, 5, 6, 7])
+    assert rm.any_rle_decode(buf, de=rm.de_u64) == [5, 6, 7]
+
+
+def test_delta_rle_golden():
+    # rle.rs:750-764: [1..6] -> deltas all 1 -> run(6, zz(1)=2) => [12, 2]
+    buf = rm.delta_rle_encode([1, 2, 3, 4, 5, 6])
+    assert buf == bytes([12, 2])
+    assert rm.delta_rle_decode(buf) == [1, 2, 3, 4, 5, 6]
+
+
+def test_dod_roundtrip_simple():
+    buf = rm.dod_encode([1, 2, 3, 4, 5, 6])
+    assert rm.dod_decode(buf) == [1, 2, 3, 4, 5, 6]
+
+
+# --- snapshot vectors (whole-table encodes) ---------------------------------
+
+def test_row_vec_ser_snapshot():
+    # snapshots/tests__integration__attribute__row_vec_ser.snap: [1,1,3,2,1,2]
+    # B{data: Vec<A{a:u64}>} rows a=1,2; no strategy -> GenericColumn
+    col = rm.generic_encode([1, 2], ser=rm.ser_u64)
+    assert rm.table([rm.vec_container([col])]) == bytes([1, 1, 3, 2, 1, 2])
+
+
+def test_delta_of_delta_snapshot():
+    # snapshots/...delta_of_delta.snap: [1,1,5,1,2,2,160,0]
+    # Table{data: Vec<A{a:i64 DeltaOfDelta}>} with a=1,2,3
+    col = rm.dod_encode([1, 2, 3])
+    assert col == bytes([1, 2, 2, 160, 0])
+    assert rm.table([rm.vec_container([col])]) == bytes([1, 1, 5, 1, 2, 2, 160, 0])
+
+
+def test_row_optional_snapshot():
+    # snapshots/...row_optional.snap (47 bytes), attribute.rs:441-518
+    # A{a:u64 DeltaRle, b:bool BoolRle optional idx0, c:f32 optional idx1}
+    # B{vec: Vec<A> = [(1,T,0.1),(2,F,0.2)], map: {1:(1,T,0.1), 2:(2,F,0.2)}}
+    a_col = rm.delta_rle_encode([1, 2])
+    b_col = rm.bool_rle_encode([True, False])
+    c_col = rm.generic_encode([0.1, 0.2], ser=rm.ser_f32)
+    vec = rm.vec_container([a_col], optional=[(0, b_col), (1, c_col)])
+    key_col = rm.generic_encode([1, 2], ser=rm.ser_u8)
+    mp = rm.map_container(key_col, [a_col], optional=[(0, b_col), (1, c_col)])
+    got = rm.table([vec, mp])
+    expected = bytes(
+        [2, 3, 2, 4, 2, 0, 4, 3, 0, 1, 1, 1, 10, 9, 2, 205, 204, 204, 61,
+         205, 204, 76, 62, 4, 2, 1, 2, 2, 4, 2, 0, 4, 3, 0, 1, 1, 1, 10, 9,
+         2, 205, 204, 204, 61, 205, 204, 76, 62]
+    )
+    assert got == expected
+
+
+def test_size_fixture_89699():
+    # BASELINE.md: VecStore{data: Vec<Data{id:u64=i/50 DeltaRle,
+    # name:String="name{i}" Rle}>, id:u32=0} -> 89,699 bytes total.
+    ids = [i // 50 for i in range(10000)]
+    names = [f"name{i}" for i in range(10000)]
+    id_col = rm.delta_rle_encode(ids)
+    name_col = rm.any_rle_encode(names, ser=rm.ser_str)
+    blob = rm.table([rm.vec_container([id_col, name_col]), rm.uvarint(0)])
+    assert len(blob) == 89699
+    # and the model round-trips its own bytes
+    assert rm.delta_rle_decode(id_col) == ids
+    assert rm.any_rle_decode(name_col, de=rm.de_str) == names
+
+
+# --- DoD bucket boundaries (rle.rs:455-468) ---------------------------------
+
+@pytest.mark.parametrize("dod", [0, 1, -1, 63, -63, 64, -64, 65, 255, -255,
+                                 256, -256, 257, 2047, -2047, 2048, -2048,
+                                 2049, (1 << 20) - 1, -((1 << 20) - 1),
+                                 1 << 20, -(1 << 20), (1 << 20) + 1,
+                                 1 << 40, -(1 << 40)])
+def test_dod_bucket_boundaries(dod):
+    vals = [100, 100, 100 + dod]  # first delta 0, second delta dod => dod
+    buf = rm.dod_encode(vals)
+    assert rm.dod_decode(buf) == vals
+
+
+def test_dod_empty_and_single():
+    assert rm.dod_encode([]) == bytes([0, 0])
+    assert rm.dod_decode(rm.dod_encode([])) == []
+    buf = rm.dod_encode([42])
+    assert buf == bytes([1, 84, 0])  # Some(42): zz(42)=84; last_used_bit=0
+    assert rm.dod_decode(buf) == [42]
+
+
+def test_dod_fuzz_regression_values():
+    # fuzz/tests/test.rs:6-129 edge values
+    vals = [-1] * 9
+    assert rm.dod_decode(rm.dod_encode(vals)) == vals
+    big = [0, 2**61, 17, -(2**60), 2**61]
+    assert rm.dod_decode(rm.dod_encode(big)) == big
+    # the reference *errors* (checked_sub) when dod overflows i64
+    with pytest.raises(rm.RefModelError):
+        rm.dod_encode([0, 2**62, -(2**62), 17])
+
+
+def test_delta_rle_u64_extreme():
+    # fuzz/tests/test.rs:74 — u64::MAX-adjacent values survive via i128 math
+    vals = [18446744073709551615, 0, 18446640719616540672]
+    buf = rm.delta_rle_encode(vals)
+    assert rm.delta_rle_decode(buf) == vals
+
+
+def test_varint_zigzag():
+    assert rm.uvarint(0) == b"\x00"
+    assert rm.uvarint(127) == b"\x7f"
+    assert rm.uvarint(128) == b"\x80\x01"
+    assert rm.uvarint(1000) == bytes([232, 7])
+    assert rm.svarint_bytes(0) == b"\x00"
+    assert rm.svarint_bytes(-1) == b"\x01"
+    assert rm.svarint_bytes(1) == b"\x02"
+    assert rm.svarint_bytes(2) == b"\x04"
+    assert rm.svarint_bytes(-2) == b"\x03"
+    r = rm.Reader(rm.svarint_bytes(-123456789))
+    assert r.read_svarint() == -123456789
+
+
+def test_f32_layout():
+    assert rm.ser_f32(0.1) == bytes([205, 204, 204, 61])
+    assert struct.pack("<f", 0.2) == bytes([205, 204, 76, 62])
