@@ -1,0 +1,8 @@
+"""Codec registry. Importing this package registers all codecs."""
+
+from .core import (Codec, codecs_for_domain, domain_of, get_codec,  # noqa: F401
+                   register)
+from .nputil import CodecError  # noqa: F401
+
+from . import plain  # noqa: F401  (registers plain, split)
+from . import rle_family  # noqa: F401  (registers rle, bool_rle, delta_rle, dod)

@@ -1,0 +1,132 @@
+"""Codec interface, type domains and the codec registry.
+
+A codec encodes one null-free Arrow column chunk into one opaque byte
+payload and back. Null handling, type canonicalization (timestamp ->
+int64 µs etc.) and codec *selection* live above this layer (engine);
+codecs only see canonical arrays:
+
+* INT domain    -> numpy int64
+* BOOL domain   -> numpy bool_
+* STR/BIN domain-> (data: uint8 array, offsets: int64 array, n+1 entries)
+* FLOAT domain  -> numpy float64 / float32
+
+Payloads are self-describing only together with the block-row metadata
+(codec name, n_rows, logical type) that the engine stores next to them —
+mirroring how the reference stores the strategy in the schema
+(columnar_derive/src/args.rs:53-76) except ours is chosen at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .nputil import CodecError
+
+# logical domains
+INT = "int"
+BOOL = "bool"
+STR = "str"     # utf8 string
+BIN = "bin"     # raw binary
+F64 = "f64"
+F32 = "f32"
+
+_INT_TYPES = {
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(),
+    pa.date32(),
+}
+
+
+def domain_of(typ: pa.DataType) -> str:
+    if typ == pa.bool_():
+        return BOOL
+    if typ in _INT_TYPES or pa.types.is_timestamp(typ) or typ == pa.date64():
+        return INT
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return STR
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return BIN
+    if typ == pa.float64():
+        return F64
+    if typ == pa.float32():
+        return F32
+    raise CodecError(f"unsupported arrow type {typ}")
+
+
+def to_int64(arr: pa.Array) -> np.ndarray:
+    """Canonical int64 view of an integer-like null-free arrow array."""
+    typ = arr.type
+    if pa.types.is_timestamp(typ) or typ == pa.date64():
+        arr = arr.cast(pa.int64())
+    elif typ != pa.int64():
+        arr = arr.cast(pa.int64())
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def from_int64(vals: np.ndarray, typ: pa.DataType) -> pa.Array:
+    out = pa.array(vals.astype(np.int64, copy=False), type=pa.int64())
+    if typ != pa.int64():
+        out = out.cast(typ)
+    return out
+
+
+def str_buffers(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """(data uint8, offsets int64 with n+1 entries) of a null-free
+    string/binary arrow array (handles the array's buffer offset)."""
+    typ = arr.type
+    if pa.types.is_string(typ) or pa.types.is_binary(typ):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(typ):
+        arr = arr.cast(pa.large_binary())
+    buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                count=arr.offset + len(arr) + 1)[arr.offset:]
+    data_buf = arr.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    # normalize: data spans exactly [offsets[0], offsets[-1]) rebased to 0
+    base, end = int(buf_offsets[0]), int(buf_offsets[-1])
+    return data[base:end], (buf_offsets - base).astype(np.int64, copy=True)
+
+
+def from_str_buffers(data: np.ndarray, offsets: np.ndarray, typ: pa.DataType) -> pa.Array:
+    n = len(offsets) - 1
+    big = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int64, copy=False).tobytes()),
+         pa.py_buffer(np.ascontiguousarray(data, np.uint8).tobytes())],
+    )
+    return big.cast(typ)
+
+
+class Codec:
+    """Base codec. Subclasses set `name` and `domains`."""
+
+    name: str = "?"
+    domains: Tuple[str, ...] = ()
+
+    def encode(self, arr: pa.Array) -> bytes:
+        raise NotImplementedError
+
+    def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
+        raise NotImplementedError
+
+
+_REGISTRY: Dict[str, Codec] = {}
+
+
+def register(codec: Codec) -> Codec:
+    _REGISTRY[codec.name] = codec
+    return codec
+
+
+def get_codec(name: str) -> Codec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise CodecError(f"unknown codec id {name!r}") from None
+
+
+def codecs_for_domain(domain: str):
+    return [c for c in _REGISTRY.values() if domain in c.domains]

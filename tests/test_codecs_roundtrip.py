@@ -1,0 +1,171 @@
+"""Property tests: vectorized codecs vs the scalar refmodel.
+
+Two invariants per reference-format codec:
+  1. byte-identity: vectorized encode == refmodel encode (hence == the
+     reference wire format, which refmodel pins via golden vectors);
+  2. round-trip: decode(encode(x)) == x, via both the vectorized and the
+     scalar decoder.
+Extension codecs (split) are checked for round-trip + exact size parity
+with the reference generic format.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sparkolumnar import refmodel as rm
+from sparkolumnar.codecs import get_codec
+from sparkolumnar.codecs import rle_family as rf
+from sparkolumnar.codecs import plain as pl
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+SMALL = st.integers(min_value=-5, max_value=5)
+
+
+def int_arrays():
+    # mixes: runs, sorted, random, extremes, empty, len 1
+    return st.one_of(
+        st.lists(I64, max_size=200),
+        st.lists(SMALL, max_size=200),
+        st.lists(st.sampled_from([0, 1, -1, 2**63 - 1, -(2**63), 42]), max_size=50),
+        st.builds(lambda xs: sorted(xs), st.lists(I64, max_size=100)),
+        st.builds(lambda v, n: [v] * n, I64, st.integers(0, 100)),
+    )
+
+
+@given(int_arrays())
+@settings(max_examples=300, deadline=None)
+def test_rle_int_matches_refmodel(xs):
+    vec = rf.rle_encode_int64(np.array(xs, dtype=np.int64))
+    ref = rm.any_rle_encode(xs, ser=rm.ser_i128)
+    assert vec == ref
+    out = rf.rle_decode_int64(vec, len(xs))
+    assert out.tolist() == xs
+
+
+@given(int_arrays())
+@settings(max_examples=300, deadline=None)
+def test_delta_rle_matches_refmodel(xs):
+    vec = rf.delta_rle_encode_int64(np.array(xs, dtype=np.int64))
+    ref = rm.delta_rle_encode(xs)
+    assert vec == ref
+    out = rf.delta_rle_decode_int64(vec, len(xs))
+    assert out.tolist() == xs
+    assert rm.delta_rle_decode(vec) == xs
+
+
+@given(st.lists(st.booleans(), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_bool_rle_matches_refmodel(xs):
+    vec = rf.bool_rle_encode(np.array(xs, dtype=bool))
+    assert vec == rm.bool_rle_encode(xs)
+    assert rf.bool_rle_decode(vec, len(xs)).tolist() == xs
+
+
+def dod_friendly():
+    # values whose deltas & dods stay within i64 (reference errors otherwise)
+    base = st.integers(min_value=-(2**50), max_value=2**50)
+    return st.one_of(
+        st.lists(base, max_size=200),
+        st.builds(lambda s, steps: list(np.cumsum([s] + steps)),
+                  st.integers(-1000, 1000), st.lists(SMALL, max_size=100)),
+        st.lists(st.sampled_from(
+            [0, 1, -1, 63, 64, -63, 255, 256, -255, 2047, 2048, -2047,
+             2**20 - 1, 2**20, -(2**20) + 1, 2**40, -(2**40)]), max_size=60),
+    )
+
+
+@given(dod_friendly())
+@settings(max_examples=300, deadline=None)
+def test_dod_matches_refmodel(xs):
+    vec = rf.dod_encode_int64(np.array(xs, dtype=np.int64))
+    ref = rm.dod_encode(xs)
+    assert vec == ref
+    assert rf.dod_decode_int64(vec, len(xs)).tolist() == xs
+    assert rm.dod_decode(vec) == xs
+
+
+@given(st.lists(st.text(max_size=20), max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_rle_str_matches_refmodel(xs):
+    arr = pa.array(xs, type=pa.string())
+    vec = rf.rle_encode_binary(arr)
+    assert vec == rm.any_rle_encode(xs, ser=rm.ser_str)
+    data, offsets = rf.rle_decode_binary(vec, len(xs))
+    got = [bytes(data[offsets[i]:offsets[i + 1]]).decode() for i in range(len(xs))]
+    assert got == xs
+
+
+@given(st.lists(st.binary(max_size=30), max_size=100))
+@settings(max_examples=150, deadline=None)
+def test_rle_binary_roundtrip(xs):
+    arr = pa.array(xs, type=pa.binary())
+    vec = rf.rle_encode_binary(arr)
+    assert vec == rm.any_rle_encode(xs, ser=rm.ser_bytes)
+    data, offsets = rf.rle_decode_binary(vec, len(xs))
+    got = [bytes(data[offsets[i]:offsets[i + 1]]) for i in range(len(xs))]
+    assert got == xs
+
+
+@given(int_arrays())
+@settings(max_examples=200, deadline=None)
+def test_plain_int_matches_refmodel(xs):
+    vec = pl.plain_encode_int64(np.array(xs, dtype=np.int64))
+    assert vec == rm.generic_encode(xs, ser=rm.ser_i128)
+    assert pl.plain_decode_int64(vec, len(xs)).tolist() == xs
+
+
+@given(st.lists(st.binary(max_size=40), max_size=80))
+@settings(max_examples=150, deadline=None)
+def test_plain_and_split_binary(xs):
+    arr = pa.array(xs, type=pa.binary())
+    plain = get_codec("plain")
+    split = get_codec("split")
+    p = plain.encode(arr)
+    assert p == rm.generic_encode(xs, ser=rm.ser_bytes)
+    assert plain.decode(p, len(xs), pa.binary()).to_pylist() == xs
+    s = split.encode(arr)
+    assert len(s) == len(p)  # same size, reordered
+    assert split.decode(s, len(xs), pa.binary()).to_pylist() == xs
+
+
+@given(st.lists(st.floats(allow_nan=False), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_plain_float_roundtrip(xs):
+    vec = pl.plain_encode_fixed(np.array(xs, dtype=np.float64))
+    assert vec == rm.generic_encode(xs, ser=rm.ser_f64)
+    assert pl.plain_decode_fixed(vec, len(xs), np.float64).tolist() == xs
+
+
+def test_codec_classes_arrow_types():
+    # timestamps ride the INT domain as int64 µs
+    ts = pa.array([1_000_000, 1_000_001, 1_000_002], type=pa.timestamp("us"))
+    for name in ("delta_rle", "dod", "rle", "plain"):
+        c = get_codec(name)
+        payload = c.encode(ts)
+        out = c.decode(payload, 3, pa.timestamp("us"))
+        assert out == ts
+    b = pa.array([True, True, False])
+    vec = get_codec("bool_rle").encode(b)
+    assert vec == rm.bool_rle_encode([True, True, False])
+    assert get_codec("bool_rle").decode(vec, 3, pa.bool_()) == b
+
+
+def test_rle_int_large_runs_fast():
+    # 1M values in long runs: must be fast and identical to model on sample
+    rng = np.random.default_rng(42)
+    vals = np.repeat(rng.integers(-100, 100, 5000), rng.integers(1, 500, 5000))
+    enc = rf.rle_encode_int64(vals.astype(np.int64))
+    out = rf.rle_decode_int64(enc, len(vals))
+    assert np.array_equal(out, vals)
+
+
+def test_dod_timestampish():
+    base = np.int64(1_757_635_200_000_000)
+    rng = np.random.default_rng(7)
+    ts = base + np.cumsum(rng.choice([1_000_000, 1_000_000, 1_000_000, 1_700_000], 20000))
+    enc = rf.dod_encode_int64(ts)
+    assert np.array_equal(rf.dod_decode_int64(enc, len(ts)), ts)
+    # ~1.3 B/value on jittery timestamps vs 8 B raw
+    assert len(enc) < 2 * len(ts)
