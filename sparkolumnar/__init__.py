@@ -14,3 +14,26 @@ Spark / Arrow / numpy APIs.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large numpy buffers on the heap instead of per-allocation mmap.
+
+    glibc services allocations above M_MMAP_THRESHOLD (default 128 KiB) with
+    fresh mmap/munmap pairs, so every codec batch pays full page-fault cost
+    for every intermediate array — measured ~40x slower than heap reuse in
+    this environment. Raising the threshold (and the trim threshold, so the
+    heap is not returned between batches) makes batch N>1 run at memory
+    speed. Harmless no-op on non-glibc platforms.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()

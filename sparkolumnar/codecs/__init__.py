@@ -6,3 +6,6 @@ from .nputil import CodecError  # noqa: F401
 
 from . import plain  # noqa: F401  (registers plain, split)
 from . import rle_family  # noqa: F401  (registers rle, bool_rle, delta_rle, dod)
+from . import bitpack  # noqa: F401  (registers for_bitpack, bitpack)
+from . import dict_codec  # noqa: F401  (registers dict)
+from . import fsst  # noqa: F401  (registers fsst)

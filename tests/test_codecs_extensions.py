@@ -1,0 +1,101 @@
+"""Round-trip + compression tests for the north-rule extension codecs
+(dict, bitpack, frame-of-reference, FSST)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sparkolumnar.codecs import get_codec
+from sparkolumnar.codecs.bitpack import pack_uint, unpack_uint
+from sparkolumnar.codecs import fsst as fs
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=150),
+       st.integers(-1, 64))
+@settings(max_examples=150, deadline=None)
+def test_pack_uint_roundtrip(xs, width):
+    vals = np.array(xs, dtype=np.uint64)
+    need = int(vals.max()).bit_length() if len(xs) else 0
+    w = width if width >= need else -1
+    payload = pack_uint(vals, w)
+    out = unpack_uint(payload, len(xs))
+    assert out.tolist() == xs
+
+
+@given(st.lists(I64, max_size=150))
+@settings(max_examples=150, deadline=None)
+def test_for_bitpack_roundtrip(xs):
+    arr = pa.array(xs, type=pa.int64())
+    c = get_codec("for_bitpack")
+    out = c.decode(c.encode(arr), len(xs), pa.int64())
+    assert out.to_pylist() == xs
+
+
+def test_for_bitpack_compresses_narrow_range():
+    vals = pa.array((1_000_000 + np.arange(10000) % 7).tolist(), type=pa.int64())
+    c = get_codec("for_bitpack")
+    payload = c.encode(vals)
+    assert len(payload) < 10000 * 3 / 8 + 16  # 3 bits/value
+    assert c.decode(payload, 10000, pa.int64()) == vals
+
+
+@given(st.lists(st.sampled_from(["en", "de", "fr", "zh", "pt-BR", ""]), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_dict_roundtrip(xs):
+    arr = pa.array(xs, type=pa.string())
+    c = get_codec("dict")
+    out = c.decode(c.encode(arr), len(xs), pa.string())
+    assert out.to_pylist() == xs
+
+
+def test_dict_compresses_low_cardinality():
+    rng = np.random.default_rng(3)
+    vals = [["en", "de", "fr"][i] for i in rng.integers(0, 3, 50000)]
+    arr = pa.array(vals, type=pa.string())
+    c = get_codec("dict")
+    payload = c.encode(arr)
+    assert len(payload) < 50000 * 2 / 8 + 64  # 2-bit codes
+    assert c.decode(payload, 50000, pa.string()).to_pylist() == vals
+
+
+@given(st.lists(st.binary(max_size=40), max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_fsst_roundtrip_binary(xs):
+    arr = pa.array(xs, type=pa.binary())
+    c = get_codec("fsst")
+    out = c.decode(c.encode(arr), len(xs), pa.binary())
+    assert out.to_pylist() == xs
+
+
+@given(st.lists(st.text(max_size=60), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_fsst_roundtrip_text(xs):
+    arr = pa.array(xs, type=pa.string())
+    c = get_codec("fsst")
+    out = c.decode(c.encode(arr), len(xs), pa.string())
+    assert out.to_pylist() == xs
+
+
+def test_fsst_escape_heavy():
+    # strings full of 0xFF bytes (escape marker collisions)
+    xs = [b"\xff" * k for k in range(10)] + [b"a\xff" * 5, b"\xff\xffa" * 3]
+    arr = pa.array(xs, type=pa.binary())
+    c = get_codec("fsst")
+    assert c.decode(c.encode(arr), len(xs), pa.binary()).to_pylist() == xs
+
+
+def test_fsst_compresses_web_text():
+    rng = np.random.default_rng(11)
+    vocab = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+             "https://", "example.com", "content", "page", "search"]
+    docs = [" ".join(vocab[i] for i in rng.zipf(1.5, 40) % len(vocab))
+            for _ in range(2000)]
+    arr = pa.array(docs, type=pa.string())
+    raw = sum(len(d.encode()) for d in docs)
+    c = get_codec("fsst")
+    payload = c.encode(arr)
+    assert c.decode(payload, len(docs), pa.string()).to_pylist() == docs
+    assert len(payload) < 0.6 * raw  # must beat plain by a wide margin on text
