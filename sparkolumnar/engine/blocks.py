@@ -1,0 +1,132 @@
+"""Blocks-table schema and helpers.
+
+A *block* is the unit of encoding: one Arrow batch of the input table
+(ordering matters for RLE/delta codecs, so it is pinned per block). Each
+block is ONE ROW of the blocks table — all column payloads travel together,
+so decode is a narrow mapInArrow with no shuffle (at 10^12-document scale a
+row-per-column layout would force a giant groupBy to reassemble blocks).
+Per-column metadata lives in a parallel array-of-struct column whose leaves
+are separate parquet column chunks, so lineage/metrics reads prune away the
+payload bytes entirely.
+
+block_id is content-addressed (sha256 over the per-column input checksums
+plus the snapshot id), which makes re-encoding a partition idempotent —
+the cornerstone of exactly-once resume (engine/lineage.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# Spark-side schema of the blocks table (one row per block)
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("block_id", T.StringType(), False),
+    T.StructField("snapshot_id", T.StringType(), False),
+    T.StructField("part_id", T.IntegerType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("columns", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("arrow_type", T.StringType(), False),
+        T.StructField("n_nulls", T.LongType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("bytes_out", T.LongType(), False),
+        T.StructField("checksum_in", T.StringType(), False),
+    ])), False),
+    T.StructField("validities", T.ArrayType(T.BinaryType()), False),
+    T.StructField("payloads", T.ArrayType(T.BinaryType()), False),
+])
+
+ARROW_BLOCKS_SCHEMA = pa.schema([
+    pa.field("block_id", pa.string()),
+    pa.field("snapshot_id", pa.string()),
+    pa.field("part_id", pa.int32()),
+    pa.field("seq", pa.int32()),
+    pa.field("n_rows", pa.int64()),
+    pa.field("columns", pa.list_(pa.struct([
+        pa.field("name", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("arrow_type", pa.string()),
+        pa.field("n_nulls", pa.int64()),
+        pa.field("bytes_in", pa.int64()),
+        pa.field("bytes_out", pa.int64()),
+        pa.field("checksum_in", pa.string()),
+    ]))),
+    pa.field("validities", pa.list_(pa.binary())),
+    pa.field("payloads", pa.list_(pa.binary())),
+])
+
+
+# --- arrow type (de)serialization -------------------------------------------
+
+_SIMPLE_TYPES = {
+    "bool": pa.bool_(), "int8": pa.int8(), "int16": pa.int16(),
+    "int32": pa.int32(), "int64": pa.int64(), "uint8": pa.uint8(),
+    "uint16": pa.uint16(), "uint32": pa.uint32(),
+    "float": pa.float32(), "double": pa.float64(),
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "date32[day]": pa.date32(), "date64[ms]": pa.date64(),
+}
+
+
+def arrow_type_to_str(typ: pa.DataType) -> str:
+    return str(typ)
+
+
+def arrow_type_from_str(s: str) -> pa.DataType:
+    if s in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[s]
+    if s.startswith("timestamp[") and s.endswith("]"):
+        inner = s[len("timestamp["):-1]
+        parts = [p.strip() for p in inner.split(",")]
+        unit = parts[0]
+        tz = None
+        for p in parts[1:]:
+            if p.startswith("tz="):
+                tz = p[3:]
+        return pa.timestamp(unit, tz=tz)
+    raise ValueError(f"cannot parse arrow type {s!r}")
+
+
+# --- canonical input checksums ----------------------------------------------
+
+def canonical_checksum(arr: pa.Array) -> str:
+    """sha256 over a canonical byte image of a column chunk (values +
+    validity), so decode can prove bit-identity without a join."""
+    from ..codecs.core import BIN, BOOL, F32, F64, INT, STR, domain_of, str_buffers, to_int64
+
+    h = hashlib.sha256()
+    if arr.null_count:
+        h.update(bytes(np.packbits(arr.is_valid().to_numpy(zero_copy_only=False))))
+        vals = arr.drop_null()
+    else:
+        vals = arr
+    dom = domain_of(arr.type)
+    if dom == INT:
+        h.update(to_int64(vals).astype("<i8", copy=False).tobytes())
+    elif dom in (STR, BIN):
+        data, offsets = str_buffers(vals)
+        h.update(offsets.astype("<i8", copy=False).tobytes())
+        h.update(data.tobytes())
+    elif dom == BOOL:
+        h.update(bytes(np.packbits(vals.to_numpy(zero_copy_only=False))))
+    else:
+        dt = "<f8" if dom == F64 else "<f4"
+        h.update(vals.to_numpy(zero_copy_only=False).astype(dt, copy=False).tobytes())
+    return h.hexdigest()
+
+
+def block_id_of(snapshot_id: str, checksums: List[str], n_rows: int) -> str:
+    h = hashlib.sha256()
+    h.update(snapshot_id.encode())
+    h.update(str(n_rows).encode())
+    for c in checksums:
+        h.update(c.encode())
+    return h.hexdigest()

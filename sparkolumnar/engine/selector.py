@@ -1,0 +1,143 @@
+"""Statistics-driven per-column codec auto-selection.
+
+The reference picks a strategy per field at compile time
+(columnar_derive/src/args.rs:101-129); our engine decides at runtime per
+(column, partition-batch) from data statistics, recording the choice in the
+block metadata so decode is self-describing (SURVEY.md §4.3).
+
+Selection contract (the "never lose" rule): for every domain the candidate
+set includes byte-identical implementations of every strategy the reference
+could have chosen for that type, so min(candidates) <= reference size on
+the same batch by construction. Extensions (dict/FSST/FOR/bit-pack) only
+win on top.
+
+Candidates are actually *encoded* and the smallest payload wins — for the
+cheap codecs this costs one vectorized pass each and doubles as an exact
+size oracle; only FSST is gated by a sampled gain estimate because its
+encode pass is the most expensive.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs import get_codec
+from ..codecs.core import BIN, BOOL, F32, F64, INT, STR, domain_of, str_buffers
+from ..codecs.nputil import CodecError, run_segments
+
+# selector modes
+SIZE = "size"          # try everything, smallest wins
+BALANCED = "balanced"  # gate expensive codecs behind sampled-gain estimates
+FAST = "fast"          # cheap codecs only
+
+_FSST_SAMPLE = 1 << 16
+_FSST_MIN_GAIN = 0.75  # sampled fsst size must be < 75% of best cheap size
+
+
+@dataclass
+class Choice:
+    codec: str
+    payload: bytes
+    tried: Dict[str, int]  # codec -> encoded size (for lineage/analyze)
+
+
+def _int_stats(vals: np.ndarray) -> Tuple[int, bool]:
+    """(run_count, sorted-ish) for int arrays."""
+    if len(vals) <= 1:
+        return len(vals), True
+    neq = vals[1:] != vals[:-1]
+    runs = int(neq.sum()) + 1
+    nondec = bool(np.all(vals[1:] >= vals[:-1]))
+    return runs, nondec
+
+
+def select_encode(arr: pa.Array, mode: str = BALANCED) -> Choice:
+    """Encode a null-free arrow column chunk with the best codec."""
+    dom = domain_of(arr.type)
+    n = len(arr)
+    tried: Dict[str, int] = {}
+
+    def run(name: str) -> Optional[bytes]:
+        try:
+            payload = get_codec(name).encode(arr)
+        except (CodecError, OverflowError):
+            return None
+        tried[name] = len(payload)
+        return payload
+
+    payloads: Dict[str, bytes] = {}
+
+    if dom == BOOL:
+        for name in ("bool_rle", "plain"):
+            p = run(name)
+            if p is not None:
+                payloads[name] = p
+    elif dom == INT:
+        names = ["delta_rle", "rle", "dod", "for_bitpack", "plain"]
+        if mode == FAST:
+            names = ["delta_rle", "for_bitpack", "plain"]
+        for name in names:
+            p = run(name)
+            if p is not None:
+                payloads[name] = p
+    elif dom in (STR, BIN):
+        payloads["split"] = run("split")
+        data, offsets = str_buffers(arr)
+        raw = len(data)
+        # rle can only beat split when runs exist
+        if n > 1:
+            lens = np.diff(offsets)
+            # cheap run proxy: equal adjacent lengths are a necessary
+            # condition for equal adjacent values
+            len_runs = int((lens[1:] != lens[:-1]).sum()) + 1
+            if len_runs < n:
+                p = run("rle")
+                if p is not None:
+                    payloads["rle"] = p
+        if n > 0 and mode != FAST:
+            # gate dict on a sampled distinct ratio (unique-ish columns
+            # cannot win: dict stores every value once plus codes)
+            k = min(n, 512)
+            sample_distinct = pc.count_distinct(arr.slice(0, k)).as_py()
+            if sample_distinct < 0.7 * k or n <= 2:
+                p = run("dict")
+                if p is not None:
+                    payloads["dict"] = p
+        if mode == SIZE or (mode == BALANCED and raw >= 4 * n and raw > 4096):
+            if mode == BALANCED:
+                # sampled gain estimate before paying for the full pass
+                cut = int(np.searchsorted(offsets, _FSST_SAMPLE))
+                cut = max(1, min(cut, n))
+                sample = arr.slice(0, cut)
+                try:
+                    s_payload = get_codec("fsst").encode(sample)
+                    s_raw = int(offsets[cut])
+                    gain_ok = len(s_payload) < _FSST_MIN_GAIN * s_raw
+                except (CodecError, OverflowError):
+                    gain_ok = False
+            else:
+                gain_ok = True
+            if gain_ok:
+                p = run("fsst")
+                if p is not None:
+                    payloads["fsst"] = p
+    else:  # floats
+        payloads["plain"] = run("plain")
+        vals = arr.to_numpy(zero_copy_only=False)
+        bits = vals.view(np.uint64 if dom == F64 else np.uint32)
+        _, lens = run_segments(bits)
+        if len(lens) < n:  # runs exist
+            p = run("rle")
+            if p is not None:
+                payloads["rle"] = p
+
+    payloads = {k: v for k, v in payloads.items() if v is not None}
+    if not payloads:
+        raise CodecError(f"no codec could encode column of type {arr.type}")
+    best = min(payloads.items(), key=lambda kv: (len(kv[1]), kv[0]))
+    return Choice(codec=best[0], payload=best[1], tried=tried)
