@@ -1,0 +1,81 @@
+"""Table IO seam: Iceberg when available, plain parquet otherwise.
+
+The production design targets Iceberg tables (snapshot ids, atomic
+overwrite-by-partition, metadata-only reads). This sandbox has no Iceberg
+jars, so the same semantics are provided over parquet directories:
+
+* blocks are written partitionBy(part_id) with DYNAMIC partition overwrite
+  — re-running a partition replaces exactly its own files (idempotent,
+  because block contents are deterministic functions of the input
+  partition), which is the parquet equivalent of an Iceberg
+  overwrite-partitions commit;
+* the input "snapshot id" is synthesized from the input file listing, the
+  parquet stand-in for an Iceberg snapshot id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Optional, Set
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def snapshot_of_input(df: DataFrame) -> str:
+    """Deterministic snapshot id for a parquet-backed DataFrame (Iceberg
+    would hand us a real snapshot id here)."""
+    files = sorted(df.inputFiles())
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+    return h.hexdigest()[:16]
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        self.blocks_path = os.path.join(base, "blocks")
+        self.checkpoint_path = os.path.join(base, "checkpoint")
+
+    # -- blocks ---------------------------------------------------------
+
+    def write_blocks(self, blocks: DataFrame) -> None:
+        (blocks.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("part_id")
+         .parquet(self.blocks_path))
+
+    def read_blocks(self) -> DataFrame:
+        return self.spark.read.parquet(self.blocks_path)
+
+    def has_blocks(self) -> bool:
+        return _has_parquet(self.blocks_path)
+
+    # -- checkpoint -----------------------------------------------------
+
+    def append_checkpoint(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.checkpoint_path)
+
+    def read_checkpoint(self) -> Optional[DataFrame]:
+        if not _has_parquet(self.checkpoint_path):
+            return None
+        return self.spark.read.parquet(self.checkpoint_path)
+
+    def committed_parts(self, snapshot_id: str) -> Set[int]:
+        cp = self.read_checkpoint()
+        if cp is None:
+            return set()
+        rows = (cp.filter(cp.snapshot_id == snapshot_id)
+                .select("part_id").distinct().collect())
+        return {r["part_id"] for r in rows}
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
