@@ -1,0 +1,42 @@
+"""spark-submit entry point: decode a blocks table back to parquet.
+
+Usage:
+  spark-submit --py-files sparkolumnar.zip -m sparkolumnar.jobs.decode_job \
+      --blocks /path/to/engine_dir/blocks --output /path/to/decoded \
+      [--columns url,text] [--verify]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--columns", default=None)
+    ap.add_argument("--verify", action="store_true",
+                    help="recompute canonical checksums while decoding")
+    args = ap.parse_args(argv)
+
+    spark = (SparkSession.builder.appName("sparkolumnar-decode")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+             .getOrCreate())
+
+    from sparkolumnar.engine.decode import decode_blocks
+
+    blocks = spark.read.parquet(args.blocks)
+    cols = args.columns.split(",") if args.columns else None
+    out = decode_blocks(blocks, verify=args.verify, columns=cols)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+
+
+if __name__ == "__main__":
+    main()

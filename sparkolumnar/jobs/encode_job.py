@@ -1,0 +1,60 @@
+"""spark-submit entry point: encode a pages table into a blocks table.
+
+Usage:
+  spark-submit --py-files sparkolumnar.zip -m sparkolumnar.jobs.encode_job \
+      --input /path/to/pages_parquet --output /path/to/engine_dir \
+      [--key url] [--mode balanced] [--partitions N] [--no-sort]
+
+Resumable: re-running with the same input snapshot skips partitions that
+are already checkpointed (exactly-once output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--key", default="url")
+    ap.add_argument("--mode", default="balanced",
+                    choices=["size", "balanced", "fast"])
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--run-id", default="cli")
+    args = ap.parse_args(argv)
+
+    spark = (SparkSession.builder.appName("sparkolumnar-encode")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+             .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+             .getOrCreate())
+
+    from sparkolumnar.engine.lineage import encode_job
+    from sparkolumnar.engine.tableio import TableIO
+
+    df = spark.read.parquet(args.input)
+    io = TableIO(spark, args.output)
+    res = encode_job(spark, df, io, key=args.key, mode=args.mode,
+                     partitions=args.partitions,
+                     sort_within=not args.no_sort, run_id=args.run_id)
+    print(json.dumps({
+        "snapshot_id": res.snapshot_id,
+        "parts_done_before": res.parts_done_before,
+        "parts_encoded": res.parts_encoded,
+        "n_blocks": res.n_blocks,
+        "n_rows": res.n_rows,
+        "bytes_in": res.bytes_in,
+        "bytes_out": res.bytes_out,
+        "ratio": (res.bytes_out / res.bytes_in) if res.bytes_in else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
