@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract): runs the headline encode/decode
+pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "encode_gbps": ..., "bytes_per_doc": ..., "ratio": ...}
+
+Headline numbers:
+  * pages_encode / pages_decode — the north-rule job on the deterministic
+    Common-Crawl-style pages fixture (text+html GB/s, bytes/doc);
+  * documents_encode, events_encode — driver-provided tables.
+
+Run `python scaling_bench.py` for the N-vs-4N parallelism scaling
+evidence (results recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkolumnar-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
+
+
+def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.lineage import lineage_of
+
+    timings = {}
+    extras = {}
+
+    def clock(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- pages fixture (generated once, cached parquet) ----
+    pages = pages_df(spark, pages_rows)
+    raw = pages.select(
+        (F.sum(F.length("text")) + F.sum(F.length("html"))).alias("b")
+    ).collect()[0]["b"]
+    pages = spark.read.parquet(*sorted(set(pages.inputFiles())))  # fresh scan
+
+    blocks = None
+
+    def do_encode():
+        nonlocal blocks
+        b = encode_table(pages, key="url", snapshot_id="bench",
+                         sort_within=True)
+        b.write.mode("overwrite").parquet("/tmp/sparkolumnar_bench_blocks")
+        blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
+
+    clock("pages_encode", do_encode)
+    lin = (lineage_of(blocks).groupBy()
+           .agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"))
+           .collect()[0])
+    extras["encode_gbps"] = round(raw / 1e9 / timings["pages_encode"], 4)
+    extras["bytes_per_doc"] = round(lin["bo"] / pages_rows, 1)
+    extras["ratio"] = round(lin["bo"] / lin["bi"], 4)
+    extras["raw_gb"] = round(raw / 1e9, 3)
+
+    clock("pages_decode_verify",
+          lambda: decode_blocks(blocks, verify=True)
+          .select(F.count("*")).collect())
+
+    # ---- driver tables at the requested scale factor ----
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clock("documents_encode",
+          lambda: encode_table(docs, key="doc_id", snapshot_id="bench_docs",
+                               sort_within=True)
+          .select(F.sum(F.col("n_rows"))).collect())
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clock("events_encode",
+          lambda: encode_table(events, snapshot_id="bench_ev")
+          .select(F.sum(F.col("n_rows"))).collect())
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    clock("lineitem_encode",
+          lambda: encode_table(lineitem.select(
+              "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_returnflag", "l_linestatus", "l_shipdate"),
+              snapshot_id="bench_li")
+          .select(F.sum(F.col("n_rows"))).collect())
+
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_spark(cpus)
+    try:
+        # warm-up pass on a small slice so JIT/Python-worker startup is not
+        # billed to the measured run
+        from sparkolumnar.datagen import pages_df
+        from sparkolumnar.engine import encode_table
+        warm = pages_df(spark, 8192)
+        encode_table(warm, key="url", snapshot_id="warm").count()
+
+        timings, extras = run_bench(spark, sf_dir)
+        sf = sf_dir.rstrip("/").split("sf")[-1]
+        out = {
+            "metric": "pages encode+decode wall (text+html GB/s in extras)",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            **extras,
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,8 +14,9 @@ This implementation is written for whole-batch numpy execution:
   hash tables for L=4/8 — each shorter pass running only on the positions
   still unmatched;
 * the inherently sequential "next token starts after this one ends" chain
-  is resolved with the pointer-doubling orbit from nputil (O(log n)
-  vectorized passes);
+  exploits string independence: one frontier pointer per string advances in
+  lock-step (nputil.chain_segments), one vectorized gather per round, total
+  work ~ token count;
 * decode classifies escape markers via parity inside 0xFF-runs (split at
   string boundaries) and assembles output with one vectorized gather.
 
@@ -31,13 +32,13 @@ string boundaries is safe.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 
 from .core import BIN, STR, Codec, from_str_buffers, register, str_buffers
-from .nputil import (CodecError, gather_chunks, orbit, uvarint_decode,
+from .nputil import (CodecError, chain_segments, gather_chunks, orbit, uvarint_decode,
                      uvarint_encode)
 
 ESCAPE = 255
@@ -126,42 +127,34 @@ def _match_all(data: np.ndarray, max_allowed: np.ndarray, tables: _SymTables):
         k4 = ((k2[:-2].astype(np.uint32) << 16) | k2[2:]) if n >= 4 else np.empty(0, np.uint32)
     if tables.has[8]:
         k8 = ((k4[:-4].astype(np.uint64) << np.uint64(32)) | k4[4:]) if n >= 8 else np.empty(0, np.uint64)
-    todo = None  # None means "all positions"; else compressed index array
+    unmatched = None  # bool mask over all n positions; None = all unmatched
     for L in LENGTHS:
         if not tables.has[L]:
             continue
         m = n - L + 1
         if m <= 0:
             continue
-        if todo is None:
-            cand = np.flatnonzero(max_allowed[:m] >= L)
-        else:
-            cand = todo[(todo < m)]
-            cand = cand[max_allowed[cand] >= L]
-        if len(cand) == 0:
-            continue
         if L == 1:
-            code = tables.tab1[data[cand]]
-            hit = code >= 0
+            code = tables.tab1[data[:m]]
+            ok = code >= 0
         elif L == 2:
-            code = tables.tab2[k2[cand]]
-            hit = code >= 0
+            code = tables.tab2[k2[:m]]
+            ok = code >= 0
         else:
             keys, codes, mult = tables.hash4 if L == 4 else tables.hash8
-            key = (k4[cand].astype(np.uint64) if L == 4 else k8[cand])
-            slot = ((key * mult) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
+            key = k4[:m].astype(np.uint64) if L == 4 else k8[:m]
+            with np.errstate(over="ignore"):
+                slot = ((key * mult) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
             code = codes[slot]
-            hit = (code >= 0) & (keys[slot] == key)
-        hidx = cand[hit]
-        match_len[hidx] = L
-        match_code[hidx] = code[hit]
-        # only still-unmatched positions proceed to shorter lengths
-        if todo is None:
-            miss = np.ones(n, dtype=bool)
-            miss[hidx] = False
-            todo = np.flatnonzero(miss)
-        else:
-            todo = np.setdiff1d(todo, hidx, assume_unique=True)
+            ok = (code >= 0) & (keys[slot] == key)
+        ok &= max_allowed[:m] >= L
+        sel = ok if unmatched is None else (ok & unmatched[:m])
+        match_len[:m][sel] = L
+        match_code[:m][sel] = code[sel]
+        if L > 1:  # last pass needs no bookkeeping
+            if unmatched is None:
+                unmatched = np.ones(n, dtype=bool)
+            unmatched[:m] &= ~ok
     return match_len, match_code
 
 
@@ -175,7 +168,11 @@ def _tokenize(data: np.ndarray, offsets: np.ndarray,
     ends = np.repeat(offsets[1:], str_lens)
     max_allowed = ends - np.arange(n, dtype=np.int64)
     match_len, match_code = _match_all(data, max_allowed, tables)
-    starts = orbit(np.arange(n, dtype=np.int64) + match_len, 0, n)
+    # strings are independent chains (matches never cross a boundary), so
+    # walk one frontier pointer per string in lock-step instead of one
+    # global pointer-doubling orbit
+    starts = chain_segments(np.arange(n, dtype=np.int64) + match_len,
+                            offsets[:-1], offsets[1:])
     return starts, match_len[starts], match_code[starts]
 
 
@@ -221,9 +218,14 @@ def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3) -> List[
 # encode / decode
 # ---------------------------------------------------------------------------
 
-def fsst_encode(data: np.ndarray, offsets: np.ndarray) -> bytes:
+def fsst_encode(data: np.ndarray, offsets: np.ndarray,
+                symbols: Optional[List[bytes]] = None) -> bytes:
+    """Encode; `symbols` lets a job-level plan supply a pre-built table
+    (built once from a sample, broadcast to every batch) — the per-batch
+    table build is the expensive part of FSST."""
     n_strings = len(offsets) - 1
-    symbols = build_table(data, offsets)
+    if symbols is None:
+        symbols = build_table(data, offsets)
     tables = _SymTables(symbols)
     head = bytearray()
     head += uvarint_encode(np.array([len(symbols)], dtype=np.uint64))
@@ -340,9 +342,9 @@ class FsstCodec(Codec):
     name = "fsst"
     domains = (STR, BIN)
 
-    def encode(self, arr: pa.Array) -> bytes:
+    def encode(self, arr: pa.Array, symbols: Optional[List[bytes]] = None) -> bytes:
         data, offsets = str_buffers(arr)
-        return fsst_encode(data, offsets)
+        return fsst_encode(data, offsets, symbols=symbols)
 
     def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
         data, offsets = fsst_decode(payload, n)

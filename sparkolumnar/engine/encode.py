@@ -37,7 +37,7 @@ DEFAULT_SALT = 0x5CA1AB1E
 
 
 def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
-                 seq: int, mode: str = BALANCED) -> pa.RecordBatch:
+                 seq: int, mode: str = BALANCED, plan=None) -> pa.RecordBatch:
     """Encode one Arrow batch into a single blocks-table row."""
     from ..codecs import get_codec  # ensure registry loaded on executors
 
@@ -60,7 +60,8 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         else:
             validity = b""
             vals = arr
-        choice = select_encode(vals, mode=mode)
+        col_plan = plan.get(field.name) if plan is not None else None
+        choice = select_encode(vals, mode=mode, plan=col_plan)
         bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
         cols_meta.append({
             "name": field.name,
@@ -97,7 +98,8 @@ def _raw_size(arr: pa.Array) -> int:
     return total
 
 
-def make_encode_fn(snapshot_id: str, mode: str, skip_parts: Optional[Set[int]] = None):
+def make_encode_fn(snapshot_id: str, mode: str,
+                   skip_parts: Optional[Set[int]] = None, plan=None):
     skip = skip_parts or set()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -108,7 +110,7 @@ def make_encode_fn(snapshot_id: str, mode: str, skip_parts: Optional[Set[int]] =
         for seq, batch in enumerate(batches):
             if batch.num_rows == 0:
                 continue
-            yield encode_batch(batch, snapshot_id, pid, seq, mode)
+            yield encode_batch(batch, snapshot_id, pid, seq, mode, plan=plan)
 
     return fn
 
@@ -117,7 +119,7 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
                  partitions: Optional[int] = None, sort_within: bool = False,
                  snapshot_id: str = "", mode: str = BALANCED,
                  skip_parts: Optional[Set[int]] = None,
-                 salt: int = DEFAULT_SALT) -> DataFrame:
+                 salt: int = DEFAULT_SALT, plan=None) -> DataFrame:
     """Encode `df` into a blocks DataFrame (one row per block).
 
     key: column to shuffle/sort by (e.g. "url"); hashing the key with a
@@ -132,5 +134,5 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
             df = df.sortWithinPartitions(key)
     elif partitions:
         df = df.repartition(partitions)
-    return df.mapInArrow(make_encode_fn(snapshot_id, mode, skip_parts),
+    return df.mapInArrow(make_encode_fn(snapshot_id, mode, skip_parts, plan),
                          BLOCKS_SCHEMA)

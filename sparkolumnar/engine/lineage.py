@@ -62,13 +62,17 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
                snapshot_id: Optional[str] = None, mode: str = BALANCED,
                partitions: Optional[int] = None, sort_within: bool = True,
                run_id: str = "r0",
-               only_parts: Optional[set] = None) -> EncodeJobResult:
+               only_parts: Optional[set] = None,
+               plan="auto") -> EncodeJobResult:
     """Checkpointed encode of input_df into io's blocks table.
 
     only_parts restricts this run to a subset of partitions (used by tests
     to simulate a job killed partway through).
     """
     snap = snapshot_id or snapshot_of_input(input_df)
+    if plan == "auto":
+        from .plan import build_plan
+        plan = build_plan(input_df, mode=mode)
     done = io.committed_parts(snap)
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     skip = set(done)
@@ -76,7 +80,7 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
         skip |= {i for i in range(p) if i not in only_parts}
     blocks = encode_table(input_df, key=key, partitions=p,
                           sort_within=sort_within, snapshot_id=snap,
-                          mode=mode, skip_parts=skip)
+                          mode=mode, skip_parts=skip, plan=plan)
     io.write_blocks(blocks)
     # derive checkpoint rows from what actually landed (metadata-only read)
     landed = io.read_blocks()

@@ -56,15 +56,24 @@ def _int_stats(vals: np.ndarray) -> Tuple[int, bool]:
     return runs, nondec
 
 
-def select_encode(arr: pa.Array, mode: str = BALANCED) -> Choice:
-    """Encode a null-free arrow column chunk with the best codec."""
+def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None) -> Choice:
+    """Encode a null-free arrow column chunk with the best codec.
+
+    plan: optional ColumnPlan from a job-level sample pass (engine/plan.py);
+    it pre-decides the expensive candidates (dict/FSST, incl. a pre-built
+    FSST symbol table) while the cheap reference-format candidates always
+    stay in the race for the size-parity guarantee.
+    """
     dom = domain_of(arr.type)
     n = len(arr)
     tried: Dict[str, int] = {}
 
     def run(name: str) -> Optional[bytes]:
         try:
-            payload = get_codec(name).encode(arr)
+            if name == "fsst" and plan is not None and plan.fsst_symbols:
+                payload = get_codec(name).encode(arr, symbols=plan.fsst_symbols)
+            else:
+                payload = get_codec(name).encode(arr)
         except (CodecError, OverflowError):
             return None
         tried[name] = len(payload)
@@ -99,33 +108,44 @@ def select_encode(arr: pa.Array, mode: str = BALANCED) -> Choice:
                 p = run("rle")
                 if p is not None:
                     payloads["rle"] = p
-        if n > 0 and mode != FAST:
-            # gate dict on a sampled distinct ratio (unique-ish columns
-            # cannot win: dict stores every value once plus codes)
-            k = min(n, 512)
-            sample_distinct = pc.count_distinct(arr.slice(0, k)).as_py()
-            if sample_distinct < 0.7 * k or n <= 2:
+        if plan is not None:
+            # the job plan already decided the expensive candidates
+            if plan.codec == "dict":
                 p = run("dict")
                 if p is not None:
                     payloads["dict"] = p
-        if mode == SIZE or (mode == BALANCED and raw >= 4 * n and raw > 4096):
-            if mode == BALANCED:
-                # sampled gain estimate before paying for the full pass
-                cut = int(np.searchsorted(offsets, _FSST_SAMPLE))
-                cut = max(1, min(cut, n))
-                sample = arr.slice(0, cut)
-                try:
-                    s_payload = get_codec("fsst").encode(sample)
-                    s_raw = int(offsets[cut])
-                    gain_ok = len(s_payload) < _FSST_MIN_GAIN * s_raw
-                except (CodecError, OverflowError):
-                    gain_ok = False
-            else:
-                gain_ok = True
-            if gain_ok:
+            elif plan.codec == "fsst":
                 p = run("fsst")
                 if p is not None:
                     payloads["fsst"] = p
+        else:
+            if n > 0 and mode != FAST:
+                # gate dict on a sampled distinct ratio (unique-ish columns
+                # cannot win: dict stores every value once plus codes)
+                k = min(n, 512)
+                sample_distinct = pc.count_distinct(arr.slice(0, k)).as_py()
+                if sample_distinct < 0.7 * k or n <= 2:
+                    p = run("dict")
+                    if p is not None:
+                        payloads["dict"] = p
+            if mode == SIZE or (mode == BALANCED and raw >= 4 * n and raw > 4096):
+                if mode == BALANCED:
+                    # sampled gain estimate before paying for the full pass
+                    cut = int(np.searchsorted(offsets, _FSST_SAMPLE))
+                    cut = max(1, min(cut, n))
+                    sample = arr.slice(0, cut)
+                    try:
+                        s_payload = get_codec("fsst").encode(sample)
+                        s_raw = int(offsets[cut])
+                        gain_ok = len(s_payload) < _FSST_MIN_GAIN * s_raw
+                    except (CodecError, OverflowError):
+                        gain_ok = False
+                else:
+                    gain_ok = True
+                if gain_ok:
+                    p = run("fsst")
+                    if p is not None:
+                        payloads["fsst"] = p
     else:  # floats
         payloads["plain"] = run("plain")
         vals = arr.to_numpy(zero_copy_only=False)
