@@ -50,6 +50,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     from sparkolumnar.datagen import pages_df
     from sparkolumnar.engine import decode_blocks, encode_table
     from sparkolumnar.engine.lineage import lineage_of
+    from sparkolumnar.engine.plan import build_plan
 
     timings = {}
     extras = {}
@@ -67,12 +68,15 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     ).collect()[0]["b"]
     pages = spark.read.parquet(*sorted(set(pages.inputFiles())))  # fresh scan
 
+    # job-level plan (single sample pass), as encode_job does in production
+    plan = clock("plan_sample_pass", lambda: build_plan(pages))
+
     blocks = None
 
     def do_encode():
         nonlocal blocks
         b = encode_table(pages, key="url", snapshot_id="bench",
-                         sort_within=True)
+                         sort_within=True, plan=plan)
         b.write.mode("overwrite").parquet("/tmp/sparkolumnar_bench_blocks")
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
 

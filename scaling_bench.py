@@ -1,0 +1,81 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 throughput scaling
+efficiency from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the task directive the same
+encode job runs on the same input at local[8] and local[32] (N and 4N
+cores on the 32-core host); efficiency = throughput(32) / (4 *
+throughput(8)). Results are appended to BENCH/BASELINE.md.
+
+Caveat recorded with the numbers: this host is memory-bandwidth-bound for
+numpy workloads (32 independent processes sustain only ~6.6x one core's
+streaming throughput — measured in BENCH/BASELINE.md), so same-box core
+scaling underestimates multi-node scaling, where each executor brings its
+own memory channels. The job itself has no cross-partition state (one
+shuffle, then embarrassingly parallel Arrow batches), which is the property
+that actually governs N->4N executor scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_at(cpus: int, rows: int, mode: str) -> dict:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName(f"sparkolumnar-scale-{cpus}")
+             .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from sparkolumnar.datagen import pages_df
+        from sparkolumnar.engine import encode_table
+        from sparkolumnar.engine.plan import build_plan
+
+        pages = pages_df(spark, rows)
+        raw = pages.select((F.sum(F.length("text"))
+                            + F.sum(F.length("html"))).alias("b")).collect()[0]["b"]
+        plan = build_plan(pages, mode=mode) if mode != "fast" else None
+        # warm-up (worker spawn, JIT, allocator)
+        encode_table(pages.limit(4000), snapshot_id="warm",
+                     plan=plan, mode=mode).count()
+        best = None
+        for trial in range(2):
+            t0 = time.time()
+            (encode_table(pages, key="url", snapshot_id=f"s{cpus}_{trial}",
+                          sort_within=True, plan=plan, mode=mode)
+             .select(F.sum("n_rows")).collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return {"cpus": cpus, "sec": round(best, 2),
+                "gbps": round(raw / 1e9 / best, 4),
+                "raw_gb": round(raw / 1e9, 3)}
+    finally:
+        spark.stop()
+
+
+def main():
+    rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
+    mode = os.environ.get("SPARK_GRAFT_MODE", "balanced")
+    r8 = run_at(8, rows, mode)
+    r32 = run_at(32, rows, mode)
+    eff = r32["gbps"] / (4 * r8["gbps"])
+    out = {"mode": mode, "rows": rows, "local8": r8, "local32": r32,
+           "scaling_efficiency_8_to_32": round(eff, 3)}
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -165,6 +165,23 @@ def rle_encode_binary(arr: pa.Array) -> bytes:
     return _encode_groups(headers, first_run, vbytes, voff)
 
 
+def rle_size_binary(arr: pa.Array) -> int:
+    """Exact encoded size of rle_encode_binary(arr) WITHOUT encoding —
+    same run/group arithmetic, just summed. Lets the selector prove
+    rle-vs-split ordering (the reference's strategy set) in one cheap
+    comparison pass instead of a worst-case all-literal encode."""
+    n = len(arr)
+    if n == 0:
+        return 0
+    starts, lens = run_starts_from_neq(_binary_neq(arr), n)
+    first_run, _, headers, _ = _rle_groups(lens)
+    _, offsets = str_buffers(arr)
+    rep_lens = (offsets[starts + 1] - offsets[starts]).astype(np.uint64)
+    vbytes = int(rep_lens.sum()) + int(uvarint_size(rep_lens).sum())
+    hbytes = int(uvarint_size(zigzag_encode(headers)).sum())
+    return vbytes + hbytes
+
+
 def rle_decode_binary(payload: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Decode AnyRle string payload -> (data uint8, offsets int64).
 

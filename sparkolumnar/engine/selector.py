@@ -100,11 +100,14 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None) -> Choice:
         raw = len(data)
         # rle can only beat split when runs exist
         if n > 1:
-            lens = np.diff(offsets)
-            # cheap run proxy: equal adjacent lengths are a necessary
-            # condition for equal adjacent values
-            len_runs = int((lens[1:] != lens[:-1]).sum()) + 1
-            if len_runs < n:
+            # exact rle size in one comparison pass (no encode); only pay
+            # for the actual encode when rle provably beats split — this
+            # keeps the reference strategy set {rle, generic} fully priced
+            # (size parity) without worst-case all-literal rle passes
+            from ..codecs.rle_family import rle_size_binary
+            rle_size = rle_size_binary(arr)
+            tried["rle"] = rle_size
+            if rle_size < len(payloads["split"]):
                 p = run("rle")
                 if p is not None:
                     payloads["rle"] = p
