@@ -119,12 +119,12 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_spark(cpus)
     try:
-        # warm-up pass on a small slice so JIT/Python-worker startup is not
-        # billed to the measured run
+        # warm-up pass touching EVERY python worker (imports, allocator)
+        # so startup is not billed to the measured run
         from sparkolumnar.datagen import pages_df
         from sparkolumnar.engine import encode_table
-        warm = pages_df(spark, 8192)
-        encode_table(warm, key="url", snapshot_id="warm").count()
+        warm = pages_df(spark, 8192).repartition(int(cpus) * 2)
+        encode_table(warm, snapshot_id="warm").count()
 
         timings, extras = run_bench(spark, sf_dir)
         sf = sf_dir.rstrip("/").split("sf")[-1]

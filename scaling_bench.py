@@ -44,9 +44,11 @@ def run_at(cpus: int, rows: int, mode: str) -> dict:
         raw = pages.select((F.sum(F.length("text"))
                             + F.sum(F.length("html"))).alias("b")).collect()[0]["b"]
         plan = build_plan(pages, mode=mode) if mode != "fast" else None
-        # warm-up (worker spawn, JIT, allocator)
-        encode_table(pages.limit(4000), snapshot_id="warm",
-                     plan=plan, mode=mode).count()
+        # warm-up EVERY python worker (imports, allocator, JIT): limit()
+        # alone collapses to one partition and would leave the other
+        # workers cold, billing their startup to the measured run
+        warm = pages.limit(8192).repartition(cpus * 2)
+        encode_table(warm, snapshot_id="warm", plan=plan, mode=mode).count()
         best = None
         for trial in range(2):
             t0 = time.time()
@@ -65,11 +67,21 @@ def run_at(cpus: int, rows: int, mode: str) -> dict:
 def main():
     rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
     mode = os.environ.get("SPARK_GRAFT_MODE", "balanced")
-    r8 = run_at(8, rows, mode)
-    r32 = run_at(32, rows, mode)
-    eff = r32["gbps"] / (4 * r8["gbps"])
-    out = {"mode": mode, "rows": rows, "local8": r8, "local32": r32,
-           "scaling_efficiency_8_to_32": round(eff, 3)}
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    # interleave cpu levels across rounds (ABAB) so slow drift in shared-box
+    # load hits every level equally; keep the best round per level
+    results = {}
+    for _ in range(rounds):
+        for n in (2, 8, 32):
+            r = run_at(n, rows, mode)
+            if n not in results or r["gbps"] > results[n]["gbps"]:
+                results[n] = r
+    out = {"mode": mode, "rows": rows,
+           **{f"local{n}": r for n, r in results.items()},
+           "scaling_efficiency_2_to_8":
+               round(results[8]["gbps"] / (4 * results[2]["gbps"]), 3),
+           "scaling_efficiency_8_to_32":
+               round(results[32]["gbps"] / (4 * results[8]["gbps"]), 3)}
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_latest.json", "w") as f:

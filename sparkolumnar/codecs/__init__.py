@@ -9,3 +9,4 @@ from . import rle_family  # noqa: F401  (registers rle, bool_rle, delta_rle, dod
 from . import bitpack  # noqa: F401  (registers for_bitpack, bitpack)
 from . import dict_codec  # noqa: F401  (registers dict)
 from . import fsst  # noqa: F401  (registers fsst)
+from . import nested  # noqa: F401  (registers nested)

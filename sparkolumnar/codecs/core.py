@@ -32,6 +32,7 @@ STR = "str"     # utf8 string
 BIN = "bin"     # raw binary
 F64 = "f64"
 F32 = "f32"
+LIST = "list"   # nested containers (list<...>), handled by codecs.nested
 
 _INT_TYPES = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
@@ -53,6 +54,8 @@ def domain_of(typ: pa.DataType) -> str:
         return F64
     if typ == pa.float32():
         return F32
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return LIST
     raise CodecError(f"unsupported arrow type {typ}")
 
 

@@ -1,0 +1,62 @@
+"""analyze(): per-column encoded-size attribution.
+
+Parity feature with the reference's `analyze` feature flag
+(columnar/src/analyze.rs:1-30, columnar_derive/src/analyze.rs:13-92),
+which re-encodes a table with each field defaulted to attribute encoded
+bytes per field. Our engine gets this for free from lineage metadata —
+and first-class (always on), not behind a debug feature: every block row
+already carries per-column bytes_in/bytes_out/codec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lineage import lineage_of
+
+
+def analyze(blocks: DataFrame) -> DataFrame:
+    """Per-column size attribution across a blocks table.
+
+    Returns (column, codec, n_blocks, n_rows, bytes_in, bytes_out, ratio,
+    share_of_output) — `share_of_output` is the field's fraction of total
+    encoded bytes, the number the reference's AnalyzeResults reports.
+    """
+    lin = lineage_of(blocks)
+    per = (lin.groupBy("column", "codec")
+           .agg(F.count("*").alias("n_blocks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("bytes_out").alias("bytes_out")))
+    total = per.agg(F.sum("bytes_out")).collect()[0][0] or 1
+    return (per
+            .withColumn("ratio", F.col("bytes_out") / F.col("bytes_in"))
+            .withColumn("share_of_output", F.col("bytes_out") / F.lit(total))
+            .orderBy(F.desc("bytes_out")))
+
+
+def analyze_sample(df: DataFrame, rows: int = 20_000) -> DataFrame:
+    """Encode a sample of `df` (driver-side) and report what the selector
+    would choose per column, with sizes — the interactive counterpart of
+    the reference's FieldAnalyze."""
+    from .plan import plan_from_sample
+    from .selector import SIZE, select_encode
+
+    sample = df.limit(rows).toArrow()
+    out = []
+    for i, fld in enumerate(sample.schema):
+        arr = sample.column(i).combine_chunks()
+        nn = arr.null_count
+        if nn:
+            arr = arr.drop_null()
+        if len(arr) == 0:
+            continue
+        choice = select_encode(arr, mode=SIZE)
+        raw = sum(b.size for b in arr.buffers() if b is not None)
+        out.append((fld.name, choice.codec, len(arr), nn, raw,
+                    len(choice.payload),
+                    {k: int(v) for k, v in sorted(choice.tried.items())}))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "column string, codec string, n_rows long, n_nulls long, "
+             "bytes_in long, bytes_out long, tried map<string,long>")

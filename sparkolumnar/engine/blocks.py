@@ -92,6 +92,10 @@ def arrow_type_from_str(s: str) -> pa.DataType:
             if p.startswith("tz="):
                 tz = p[3:]
         return pa.timestamp(unit, tz=tz)
+    for prefix, ctor in (("list<element: ", pa.list_),
+                         ("large_list<element: ", pa.large_list)):
+        if s.startswith(prefix) and s.endswith(">"):
+            return ctor(arrow_type_from_str(s[len(prefix):-1]))
     raise ValueError(f"cannot parse arrow type {s!r}")
 
 
@@ -100,7 +104,8 @@ def arrow_type_from_str(s: str) -> pa.DataType:
 def canonical_checksum(arr: pa.Array) -> str:
     """sha256 over a canonical byte image of a column chunk (values +
     validity), so decode can prove bit-identity without a join."""
-    from ..codecs.core import BIN, BOOL, F32, F64, INT, STR, domain_of, str_buffers, to_int64
+    from ..codecs.core import (BIN, BOOL, F32, F64, INT, LIST, STR, domain_of,
+                               str_buffers, to_int64)
 
     h = hashlib.sha256()
     if arr.null_count:
@@ -117,6 +122,12 @@ def canonical_checksum(arr: pa.Array) -> str:
         h.update(data.tobytes())
     elif dom == BOOL:
         h.update(bytes(np.packbits(vals.to_numpy(zero_copy_only=False))))
+    elif dom == LIST:
+        from ..codecs.nested import _list_parts
+
+        offsets, child = _list_parts(vals)
+        h.update(offsets.astype("<i8", copy=False).tobytes())
+        h.update(canonical_checksum(child).encode())
     else:
         dt = "<f8" if dom == F64 else "<f4"
         h.update(vals.to_numpy(zero_copy_only=False).astype(dt, copy=False).tobytes())

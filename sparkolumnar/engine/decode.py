@@ -22,16 +22,30 @@ from .blocks import arrow_type_from_str, canonical_checksum
 
 
 def decode_block_row(row: dict, verify: bool = False,
-                     columns: Optional[List[str]] = None) -> pa.RecordBatch:
+                     columns: Optional[List[str]] = None,
+                     target: Optional[pa.Schema] = None) -> pa.RecordBatch:
+    """Decode one block row.
+
+    target: optional reader schema for forward/backward compatibility,
+    mirroring the reference's indexed-optional-column semantics
+    (columnar_derive/src/serde/de.rs:215-243): block columns absent from
+    the target are ignored (forward compat); target columns absent from the
+    block are null-filled (backward compat).
+    """
     from ..codecs import get_codec
 
     n = row["n_rows"]
     arrays = []
     fields = []
+    if target is not None:
+        present = {m["name"] for m in row["columns"]}
+        want = [f.name for f in target]
     for meta, validity, payload in zip(row["columns"], row["validities"],
                                        row["payloads"]):
         if columns is not None and meta["name"] not in columns:
             continue
+        if target is not None and meta["name"] not in want:
+            continue  # unknown-to-reader column: ignore (forward compat)
         typ = arrow_type_from_str(meta["arrow_type"])
         n_nulls = meta["n_nulls"]
         n_valid = n - n_nulls
@@ -51,14 +65,23 @@ def decode_block_row(row: dict, verify: bool = False,
                 f"in block {row['block_id']}")
         arrays.append(arr)
         fields.append(pa.field(meta["name"], typ))
+    if target is not None:
+        # backward compat: null-fill target columns missing from the block,
+        # and emit in target order
+        by_name = dict(zip((f.name for f in fields), arrays))
+        arrays = [by_name[f.name].cast(f.type) if f.name in by_name
+                  else pa.nulls(n, f.type) for f in target]
+        fields = list(target)
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
-def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None):
+def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
+                   target: Optional[pa.Schema] = None):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             for row in b.to_pylist():
-                out = decode_block_row(row, verify=verify, columns=columns)
+                out = decode_block_row(row, verify=verify, columns=columns,
+                                       target=target)
                 if out.num_rows:
                     yield out
 
@@ -85,18 +108,27 @@ def schema_of_blocks(blocks_df: DataFrame,
 
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
-                  columns: Optional[List[str]] = None) -> DataFrame:
+                  columns: Optional[List[str]] = None,
+                  compat: bool = False) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns are decoded (payloads
     of other columns are skipped entirely; with parquet-backed blocks the
     pruning happens at the scan thanks to the array-of-struct layout).
+
+    compat=True enables schema evolution against the provided `schema`:
+    block columns unknown to the schema are ignored, schema columns missing
+    from a block are null-filled (the reference's indexed-optional-column
+    forward/backward compatibility, re-expressed).
     """
+    target = None
     if schema is None:
         schema = schema_of_blocks(blocks_df, columns)
+    elif compat:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        target = pa.schema([pa.field(f.name, to_arrow_type(f.dataType))
+                            for f in schema.fields])
     if columns is not None:
-        # keep only requested payloads in the plan (scan-level pruning would
-        # need per-column payload fields; payloads is one array, so we prune
-        # at decode time instead)
         columns = list(columns)
-    return blocks_df.mapInArrow(make_decode_fn(verify, columns), schema)
+    return blocks_df.mapInArrow(make_decode_fn(verify, columns, target), schema)

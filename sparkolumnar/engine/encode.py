@@ -37,7 +37,8 @@ DEFAULT_SALT = 0x5CA1AB1E
 
 
 def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
-                 seq: int, mode: str = BALANCED, plan=None) -> pa.RecordBatch:
+                 seq: int, mode: str = BALANCED, plan=None,
+                 overrides=None) -> pa.RecordBatch:
     """Encode one Arrow batch into a single blocks-table row."""
     from ..codecs import get_codec  # ensure registry loaded on executors
 
@@ -61,7 +62,9 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             validity = b""
             vals = arr
         col_plan = plan.get(field.name) if plan is not None else None
-        choice = select_encode(vals, mode=mode, plan=col_plan)
+        override = overrides.get(field.name) if overrides else None
+        choice = select_encode(vals, mode=mode, plan=col_plan,
+                               override=override)
         bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
         cols_meta.append({
             "name": field.name,
@@ -99,7 +102,8 @@ def _raw_size(arr: pa.Array) -> int:
 
 
 def make_encode_fn(snapshot_id: str, mode: str,
-                   skip_parts: Optional[Set[int]] = None, plan=None):
+                   skip_parts: Optional[Set[int]] = None, plan=None,
+                   overrides=None):
     skip = skip_parts or set()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -110,7 +114,8 @@ def make_encode_fn(snapshot_id: str, mode: str,
         for seq, batch in enumerate(batches):
             if batch.num_rows == 0:
                 continue
-            yield encode_batch(batch, snapshot_id, pid, seq, mode, plan=plan)
+            yield encode_batch(batch, snapshot_id, pid, seq, mode, plan=plan,
+                               overrides=overrides)
 
     return fn
 
@@ -119,13 +124,17 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
                  partitions: Optional[int] = None, sort_within: bool = False,
                  snapshot_id: str = "", mode: str = BALANCED,
                  skip_parts: Optional[Set[int]] = None,
-                 salt: int = DEFAULT_SALT, plan=None) -> DataFrame:
+                 salt: int = DEFAULT_SALT, plan=None,
+                 overrides=None) -> DataFrame:
     """Encode `df` into a blocks DataFrame (one row per block).
 
     key: column to shuffle/sort by (e.g. "url"); hashing the key with a
     salt defuses value skew (hot host domains) — the partition key is the
     *hash*, uniform by construction. sort_within=True additionally sorts
     rows inside each partition by the key to lengthen runs.
+
+    overrides: {column: codec} forces codecs per column (the reference's
+    per-field strategy attribute, applied at runtime).
     """
     if key is not None:
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -134,5 +143,6 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
             df = df.sortWithinPartitions(key)
     elif partitions:
         df = df.repartition(partitions)
-    return df.mapInArrow(make_encode_fn(snapshot_id, mode, skip_parts, plan),
-                         BLOCKS_SCHEMA)
+    return df.mapInArrow(
+        make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides),
+        BLOCKS_SCHEMA)

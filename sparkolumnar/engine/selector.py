@@ -27,7 +27,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs import get_codec
-from ..codecs.core import BIN, BOOL, F32, F64, INT, STR, domain_of, str_buffers
+from ..codecs.core import (BIN, BOOL, F32, F64, INT, LIST, STR, domain_of,
+                           str_buffers)
 from ..codecs.nputil import CodecError, run_segments
 
 # selector modes
@@ -56,17 +57,37 @@ def _int_stats(vals: np.ndarray) -> Tuple[int, bool]:
     return runs, nondec
 
 
-def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None) -> Choice:
+def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
+                  override: Optional[str] = None) -> Choice:
     """Encode a null-free arrow column chunk with the best codec.
 
     plan: optional ColumnPlan from a job-level sample pass (engine/plan.py);
     it pre-decides the expensive candidates (dict/FSST, incl. a pre-built
     FSST symbol table) while the cheap reference-format candidates always
     stay in the race for the size-parity guarantee.
+
+    override: force a specific codec for this column — the runtime
+    counterpart of the reference's per-field `strategy = "..."` attribute
+    (columnar_derive/src/args.rs:53-76). Falls back to `plain` if the
+    forced codec cannot encode this batch.
     """
     dom = domain_of(arr.type)
     n = len(arr)
     tried: Dict[str, int] = {}
+
+    if override is not None:
+        try:
+            codec = get_codec(override)
+            if dom not in codec.domains:
+                raise CodecError(f"{override} does not support {dom}")
+            payload = codec.encode(arr)
+            return Choice(codec=override, payload=payload,
+                          tried={override: len(payload)})
+        except (CodecError, OverflowError, pa.ArrowInvalid):
+            fallback = "nested" if dom == LIST else "plain"
+            payload = get_codec(fallback).encode(arr)
+            return Choice(codec=fallback, payload=payload,
+                          tried={fallback: len(payload)})
 
     def run(name: str) -> Optional[bytes]:
         try:
@@ -81,7 +102,11 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None) -> Choice:
 
     payloads: Dict[str, bytes] = {}
 
-    if dom == BOOL:
+    if dom == LIST:
+        p = run("nested")
+        if p is not None:
+            payloads["nested"] = p
+    elif dom == BOOL:
         for name in ("bool_rle", "plain"):
             p = run(name)
             if p is not None:

@@ -1,0 +1,9 @@
+"""Large-scale training-data pipeline operators built on the same engine
+substrate (vectorized Arrow UDFs + JVM-side expressions): deduplication
+(exact, MinHash-LSH, SimHash), similarity search over embeddings, text
+analysis (language-id heuristic, quality scoring, token stats,
+fingerprinting) and multimodal column plumbing."""
+
+from .dedup import exact_dedup, minhash_signatures, minhash_neardup_pairs, simhash_buckets  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .textstats import fingerprint, lang_id, quality_score, token_stats  # noqa: F401

@@ -1,0 +1,169 @@
+"""Deduplication operators.
+
+* exact_dedup — hash-groupBy exact dedup (pure JVM-side expressions;
+  Catalyst handles partial aggregation, AQE handles skew).
+* MinHash-LSH — shingle -> minhash signature (vectorized numpy inside
+  mapInPandas) -> band buckets -> self-join on (band, bucket) to get
+  candidate pairs. Scale shape: the only shuffle is on bucket keys, and
+  bucket cardinality ~ n_docs * bands, so it scales linearly; no
+  cross-join anywhere.
+* SimHash — 64-bit simhash over token hashes; near-dup candidates share a
+  16-bit band (hamming <= 3 within 4 bands guarantee).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+_M61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: List[str], keep_col: str) -> DataFrame:
+    """Keep one row (min keep_col) per distinct value tuple of `cols`."""
+    key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    w = df.withColumn("__key", key)
+    winners = w.groupBy("__key").agg(F.min(keep_col).alias(keep_col))
+    return (w.join(winners, ["__key", keep_col], "left_semi")
+            .drop("__key"))
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> List[np.ndarray]:
+    """k-byte shingle hashes per doc (vectorized rolling polynomial hash)."""
+    out = []
+    B = np.uint64(1099511628211)
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        n = len(b)
+        if n < k:
+            out.append(np.zeros(1, dtype=np.uint64))
+            continue
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * B + b[j: n - k + 1 + j]
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = 64, shingle: int = 5) -> DataFrame:
+    """id -> minhash signature array<long>, computed batch-vectorized."""
+    rng = np.random.default_rng(0xC0FFEE)
+    a = rng.integers(1, _M61, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _M61, n_hashes, dtype=np.uint64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for hs in _shingle_hashes(pdf[text_col], shingle):
+                with np.errstate(over="ignore"):
+                    # (n_hashes, n_shingles) universal-hash matrix -> row mins
+                    m = (hs[None, :] * a[:, None] + b[:, None]) % np.uint64(_M61)
+                sigs.append(m.min(axis=1).view(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "signature": [s.tolist() for s in sigs]})
+
+    schema = f"{id_col} long, signature array<long>"
+    return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          n_hashes: int = 64, bands: int = 16,
+                          shingle: int = 5,
+                          threshold: float = 0.7) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, with the estimated jaccard
+    (fraction of matching minhashes) filtered at `threshold`.
+
+    Returns (a, b, est_jaccard) with a < b, deduplicated across bands.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle).cache()
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (sigs.select(id_col, "signature", band_idx)
+              .withColumn("bucket", F.xxhash64(
+                  F.slice("signature",
+                          F.col("band") * rows_per_band + 1, rows_per_band),
+                  F.col("band"))))
+    left = banded.select(F.col(id_col).alias("a"),
+                         F.col("signature").alias("sig_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"),
+                          F.col("signature").alias("sig_b"), "band", "bucket")
+    pairs = (left.join(right, ["band", "bucket"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b")
+             .dropDuplicates(["a", "b"]))
+    est = (F.size(F.zip_with("sig_a", "sig_b",
+                             lambda x, y: F.when(x == y, 1)))
+           .cast("double"))
+    # zip_with + when leaves nulls for mismatches; count non-nulls
+    matches = F.size(F.filter(F.zip_with(
+        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    return (pairs.withColumn("est_jaccard", matches / F.lit(float(n_hashes)))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("a", "b", "est_jaccard"))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Deterministic 64-bit polynomial hash per whitespace token,
+    vectorized over the whole document (no per-token Python loop)."""
+    b = np.frombuffer(text.lower().encode("utf-8", "surrogatepass"),
+                      dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_ws = (b == 32) | (b == 10) | (b == 9) | (b == 13)
+    tok = ~is_ws
+    starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
+    ends = np.flatnonzero(tok & ~np.concatenate([tok[1:], [False]])) + 1
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    # h(token) = sum b[i] * B^(end-1-i): weights depend on distance from
+    # token end; add.reduceat sums per token (uint64 wraparound is the hash)
+    tok_id = np.searchsorted(starts, np.arange(len(b)), side="right") - 1
+    pos_from_end = ends[tok_id] - 1 - np.arange(len(b))
+    max_len = int((ends - starts).max())
+    W = np.ones(max_len, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len):
+            W[i] = W[i - 1] * B
+        contrib = np.where(tok, b.astype(np.uint64) * W[np.maximum(pos_from_end, 0)], 0)
+        sums = np.add.reduceat(contrib, starts)
+    return sums
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc + its 4 16-bit bands for candidate bucketing.
+
+    Two docs with hamming distance <= 3 share at least one band (pigeonhole
+    over 4 bands). Computed batch-vectorized in numpy inside mapInPandas:
+    token hashes -> 64-bit vote matrix -> sign -> packed hash.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, t in enumerate(pdf[text_col]):
+                hs = _token_hashes(t)
+                if len(hs) == 0:
+                    continue
+                bits = np.unpackbits(
+                    hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+                votes = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+                sim_bits = (votes > 0).astype(np.uint8)
+                out[i] = int.from_bytes(np.packbits(sim_bits).tobytes(), "big")
+            res = pd.DataFrame({id_col: pdf[id_col].values,
+                                "simhash": out.view(np.int64)})
+            for band in range(4):
+                res[f"band{band}"] = ((out >> np.uint64(band * 16))
+                                      & np.uint64(0xFFFF)).view(np.int64).astype(np.int64)
+            yield res
+
+    schema = (f"{id_col} long, simhash long, band0 long, band1 long, "
+              f"band2 long, band3 long")
+    return df.select(id_col, text_col).mapInPandas(fn, schema)

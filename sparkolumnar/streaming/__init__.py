@@ -1,0 +1,3 @@
+"""Structured Streaming surface."""
+
+from .encode_stream import encode_stream  # noqa: F401

@@ -1,0 +1,49 @@
+"""Streaming encode: readStream -> foreachBatch(encode_job) -> blocks.
+
+The reference is a batch library (SURVEY.md §2.2: streaming absent); our
+engine's encode UDFs are batch-shaped too, so the streaming surface reuses
+them unchanged under foreachBatch. Exactly-once composes from two layers:
+Structured Streaming's checkpoint guarantees each micro-batch id is
+processed once logically, and the engine's own per-partition checkpoint +
+idempotent overwrite (engine/lineage.py) makes re-processing a replayed
+micro-batch a no-op — the same protocol that makes batch resume safe.
+
+Each micro-batch becomes its own snapshot id ("stream-<epoch id>"), so
+lineage records stay queryable per micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from ..engine.lineage import encode_job
+from ..engine.selector import BALANCED
+from ..engine.tableio import TableIO
+
+
+def encode_stream(stream_df: DataFrame, io: TableIO,
+                  checkpoint_location: str, key: Optional[str] = None,
+                  mode: str = BALANCED, partitions: Optional[int] = None,
+                  trigger_available_now: bool = True):
+    """Start a streaming query encoding `stream_df` into io's blocks table.
+
+    Returns the StreamingQuery; callers manage await/stop.
+    """
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_job(spark, batch_df, io, key=key,
+                   snapshot_id=f"stream-{batch_id}", mode=mode,
+                   partitions=partitions, sort_within=key is not None,
+                   run_id=f"b{batch_id}", plan=None)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_location))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,73 @@
+"""Schema evolution (forward/backward compat) and per-column codec
+overrides — the reference's indexed-optional-column and strategy-attribute
+features re-expressed (compatible.rs:23-166, args.rs:53-76)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from sparkolumnar.engine import decode_blocks, encode_table
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    pdf = pd.DataFrame({
+        "k": list(range(200)),
+        "v": [i % 7 for i in range(200)],
+        "s": [f"s{i % 5}" for i in range(200)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_forward_compat_unknown_column_ignored(spark, small_df):
+    """Reader with an older schema (no 's') decodes blocks that carry it."""
+    blocks = encode_table(small_df, snapshot_id="c1")
+    old_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    out = decode_blocks(blocks, schema=old_schema, compat=True)
+    assert out.columns == ["k", "v"]
+    assert out.count() == 200
+    assert out.agg(F.sum("k")).collect()[0][0] == sum(range(200))
+
+
+def test_backward_compat_missing_column_null_filled(spark, small_df):
+    """Reader with a newer schema (extra 'extra') gets nulls for it."""
+    blocks = encode_table(small_df, snapshot_id="c2")
+    new_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("extra", T.DoubleType()),
+    ])
+    out = decode_blocks(blocks, schema=new_schema, compat=True)
+    rows = out.orderBy("k").collect()
+    assert len(rows) == 200
+    assert rows[3]["s"] == "s3"
+    assert all(r["extra"] is None for r in rows)
+
+
+def test_codec_override_forced(spark, small_df):
+    from sparkolumnar.engine.lineage import lineage_of
+
+    blocks = encode_table(small_df, snapshot_id="c3",
+                          overrides={"v": "for_bitpack", "s": "split"})
+    lin = {r["column"]: r["codec"]
+           for r in lineage_of(blocks).select("column", "codec").collect()}
+    assert lin["v"] == "for_bitpack"
+    assert lin["s"] == "split"
+    out = decode_blocks(blocks).orderBy("k").collect()
+    assert [r["v"] for r in out] == [i % 7 for i in range(200)]
+
+
+def test_codec_override_invalid_falls_back_to_plain(spark, small_df):
+    from sparkolumnar.engine.lineage import lineage_of
+
+    # bool_rle cannot encode strings -> plain fallback, data still correct
+    blocks = encode_table(small_df, snapshot_id="c4",
+                          overrides={"s": "bool_rle"})
+    lin = {r["column"]: r["codec"]
+           for r in lineage_of(blocks).select("column", "codec").collect()}
+    assert lin["s"] == "plain"
+    out = decode_blocks(blocks).orderBy("k").collect()
+    assert out[7]["s"] == "s2"

@@ -1,0 +1,50 @@
+"""Physical-plan shape assertions: the engine must keep Catalyst's
+pushdown/pruning working (scans must not read payload bytes for
+metadata-only queries, and encode must cost exactly one shuffle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkolumnar.datagen import pages_df
+from sparkolumnar.engine import encode_table
+from sparkolumnar.engine.lineage import lineage_of
+from sparkolumnar.engine.tableio import TableIO
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lineage_scan_prunes_payloads(spark, tmp_path):
+    pages = pages_df(spark, 2000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages, snapshot_id="p1", partitions=2))
+    blocks = io.read_blocks()
+    lin = lineage_of(blocks).groupBy("column").agg(F.sum("bytes_out"))
+    plan = _plan_of(lin)
+    # the parquet scan for lineage must NOT read the payload/validity bytes
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l or "ReadSchema" in l]
+    scan = " ".join(scan_lines)
+    assert "payloads" not in scan, scan
+    assert "validities" not in scan, scan
+    assert "columns" in scan  # metadata struct leaves are read
+
+
+def test_encode_plan_single_exchange(spark):
+    pages = pages_df(spark, 2000)
+    blocks = encode_table(pages, key="url", snapshot_id="p2", sort_within=True)
+    plan = _plan_of(blocks)
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+    assert "xxhash64" in plan  # salted key-hash partitioning
+    # within-partition sort, not a global Sort (no range exchange)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_decode_plan_no_exchange(spark, tmp_path):
+    pages = pages_df(spark, 2000)
+    io = TableIO(spark, str(tmp_path / "t2"))
+    io.write_blocks(encode_table(pages, snapshot_id="p3", partitions=2))
+    from sparkolumnar.engine import decode_blocks
+    out = decode_blocks(io.read_blocks())
+    plan = _plan_of(out)
+    assert "Exchange" not in plan  # decode is shuffle-free

@@ -1,0 +1,74 @@
+"""Structured Streaming encode (foreachBatch reuse of the exactly-once
+encode job) and nested list-column round-trips through the engine."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from sparkolumnar.engine import decode_blocks, encode_table
+from sparkolumnar.engine.tableio import TableIO
+
+
+def test_nested_list_columns_roundtrip(spark):
+    pdf = pd.DataFrame({
+        "k": list(range(300)),
+        "xs": [[i, i + 1, i + 2] for i in range(300)],
+        "tags": [["a", "b"] if i % 2 else ["c"] for i in range(300)],
+    })
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("xs", T.ArrayType(T.LongType())),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame(pdf, schema)
+    blocks = encode_table(df, snapshot_id="nested1")
+    from sparkolumnar.engine.lineage import lineage_of
+    lin = {r["column"]: r["codec"]
+           for r in lineage_of(blocks).select("column", "codec").collect()}
+    assert lin["xs"] == "nested"
+    assert lin["tags"] == "nested"
+    out = decode_blocks(blocks, verify=True).orderBy("k").collect()
+    assert [r["xs"] for r in out] == [[i, i + 1, i + 2] for i in range(300)]
+    assert out[5]["tags"] == ["a", "b"]
+
+
+def test_streaming_encode_available_now(spark, tmp_path):
+    from sparkolumnar.datagen import write_pages_parquet
+    from sparkolumnar.streaming import encode_stream
+
+    src = str(tmp_path / "pages_src")
+    write_pages_parquet(src, 2000, n_files=4)
+    static = spark.read.parquet(src)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(src))
+    io = TableIO(spark, str(tmp_path / "sink"))
+    q = encode_stream(stream, io, checkpoint_location=str(tmp_path / "ckpt"),
+                      key="url", partitions=4)
+    q.awaitTermination(180)
+    blocks = io.read_blocks()
+    assert blocks.agg(F.sum("n_rows")).collect()[0][0] == 2000
+    # micro-batches become distinct snapshots
+    snaps = {r["snapshot_id"] for r in blocks.select("snapshot_id").distinct().collect()}
+    assert len(snaps) >= 2 and all(s.startswith("stream-") for s in snaps)
+    decoded = decode_blocks(blocks, verify=True)
+    assert decoded.count() == 2000
+    assert decoded.select("url", "text").exceptAll(
+        static.select("url", "text")).count() == 0
+
+
+def test_analyze_api(spark):
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine.analyze import analyze, analyze_sample
+
+    pages = pages_df(spark, 3000)
+    blocks = encode_table(pages, snapshot_id="an1")
+    rows = analyze(blocks).collect()
+    cols = {r["column"] for r in rows}
+    assert cols == {"url", "warc_ts", "html", "text", "lang"}
+    assert abs(sum(r["share_of_output"] for r in rows) - 1.0) < 1e-6
+    sm = analyze_sample(pages, rows=2000).collect()
+    assert {r["column"] for r in sm} == cols
+    by = {r["column"]: r for r in sm}
+    assert by["lang"]["codec"] in ("dict", "rle")
+    assert by["lang"]["tried"]["dict"] > 0
