@@ -143,9 +143,103 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_text_feature_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature sums per lang (integer outputs so the
+    cross-engine hash compare is exact): punctuation chars, english
+    stopword hits, total chars."""
+    docs = _t(spark, sf_dir, "documents")
+    punct = (F.length("text")
+             - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", "")))
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_hits = None
+    for w in ("the", "and", "of", "to", "in"):
+        hit = (F.size(F.split(padded, f" {w} ")) - 1).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return (docs
+            .withColumn("punct", punct.cast("long"))
+            .withColumn("stop_hits", stop_hits)
+            .groupBy("lang")
+            .agg(F.sum("punct").alias("sum_punct"),
+                 F.sum("stop_hits").alias("sum_stop_hits"),
+                 F.sum(F.length("text").cast("long")).alias("sum_chars"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of whitespace-normalized lowercase
+    text) dedup profile."""
+    from sparkolumnar.pipeline import fingerprint
+
+    docs = fingerprint(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp_md5").alias("n_distinct_fp"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors of the first 5 vectors
+    (broadcast queries + per-partition GEMM + small merge)."""
+    from sparkolumnar.pipeline import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (the distributed engine itself; not SQL-expressible)
 # ---------------------------------------------------------------------------
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate profile over documents."""
+    from sparkolumnar.pipeline import minhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "text", "doc_id",
+                                  n_hashes=64, bands=16, threshold=0.5)
+    return pairs.select(
+        F.count("*").alias("n_candidate_pairs"),
+        F.coalesce(F.round(F.avg("est_jaccard"), 4), F.lit(0.0)).alias("avg_est_jaccard"))
+
+
+def _q_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkolumnar.pipeline import simhash_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = simhash_buckets(docs, "text", "doc_id")
+    return sh.select(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct_simhash"),
+        F.countDistinct("band0").alias("n_band0_buckets"))
+
+
+def _q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkolumnar.pipeline import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").alias("n")).orderBy("lang_pred"))
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-vs-exact recall@5 on the embeddings table (the ANN scale path
+    measured against its own brute-force baseline)."""
+    from sparkolumnar.pipeline import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).select(
+        "query_id", "neighbor_id")
+    hits = exact.intersect(approx).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total, hits, round(hits / max(total, 1), 4))],
+        "n_exact long, n_hit long, recall double")
 
 def _q_encode_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed encode -> decode(verify=True) of documents; the
@@ -194,9 +288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "for_stats_lineitem": _q_for_stats_lineitem,
         "dedup_exact_text": _q_dedup_exact_text,
         "token_stats": _q_token_stats,
+        "text_feature_sums": _q_text_feature_sums,
+        "fingerprint_dedup": _q_fingerprint_dedup,
+        "ann_topk": _q_ann_topk,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_profile": _q_simhash_profile,
+        "lang_id_distribution": _q_lang_id_distribution,
+        "ivf_recall": _q_ivf_recall,
     }
 
 
@@ -253,6 +354,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS n_distinct_texts,
                    COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
             FROM documents
+        """,
+        "text_feature_sums": """
+            SELECT lang,
+                   CAST(SUM(LENGTH(text) -
+                        LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) AS BIGINT)
+                       AS sum_punct,
+                   CAST(SUM(
+                        (LENGTH(STR_SPLIT(' ' || LOWER(text) || ' ', ' the ')) - 1) +
+                        (LENGTH(STR_SPLIT(' ' || LOWER(text) || ' ', ' and ')) - 1) +
+                        (LENGTH(STR_SPLIT(' ' || LOWER(text) || ' ', ' of ')) - 1) +
+                        (LENGTH(STR_SPLIT(' ' || LOWER(text) || ' ', ' to ')) - 1) +
+                        (LENGTH(STR_SPLIT(' ' || LOWER(text) || ' ', ' in ')) - 1)
+                   ) AS BIGINT) AS sum_stop_hits,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint_dedup": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(REGEXP_REPLACE(TRIM(LOWER(text)),
+                                                     '\\s+', ' ', 'g')))
+                       AS n_distinct_fp
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.embedding, e.embedding) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rank
+                FROM s)
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "token_stats": """
             SELECT lang,

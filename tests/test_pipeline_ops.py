@@ -1,0 +1,143 @@
+"""Training-data pipeline operators: dedup (exact/MinHash/SimHash),
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkolumnar.pipeline import (attach_media_meta, brute_force_topk,
+                                   decode_and_featurize, exact_dedup,
+                                   fingerprint, frame_sample, ivf_topk,
+                                   lang_id, minhash_neardup_pairs,
+                                   minhash_signatures, quality_score,
+                                   simhash_buckets, token_stats)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark and columnar storage",
+        "der schnelle braune fuchs springt und springt nicht mit",
+        "le renard brun rapide saute et saute pour la science",
+    ]
+    rows = []
+    i = 0
+    for rep in range(25):
+        for b in base:
+            rows.append((i, b))  # exact duplicates across reps
+            i += 1
+    # near-duplicates: one word changed
+    rows.append((i, base[0].replace("lazy", "sleepy"))); i += 1
+    rows.append((i, base[1].replace("spark", "flink"))); i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert out.count() == 6  # 4 bases + 2 near-dup variants
+    assert out.agg(F.min("doc_id")).collect()[0][0] == 0
+
+
+def _true_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a[i:i + k] for i in range(len(a) - k + 1)}
+    sb = {b[i:i + k] for i in range(len(b) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    pairs = minhash_neardup_pairs(docs, "text", "doc_id", n_hashes=128,
+                                  bands=32, threshold=0.5)
+    got = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs.collect()}
+    # exact duplicates estimate ~1.0
+    assert got[(0, 4)] > 0.95
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    near = (0, 100)  # base0 vs its 'sleepy' variant
+    assert near in got
+    true_j = _true_jaccard(texts[near[0]], texts[near[1]])
+    assert abs(got[near] - true_j) < 0.25
+    # unrelated docs never pair
+    assert (0, 1) not in got
+
+
+def test_simhash_duplicates_share_bands(spark, docs):
+    sh = simhash_buckets(docs, "text", "doc_id")
+    rows = {r["doc_id"]: r for r in sh.collect()}
+    assert rows[0]["simhash"] == rows[4]["simhash"]  # identical docs
+    near = rows[0], rows[100]
+    shared = sum(near[0][f"band{b}"] == near[1][f"band{b}"] for b in range(4))
+    assert shared >= 1  # near-dup shares at least one band
+    far = rows[0], rows[1]
+    assert rows[0]["simhash"] != rows[1]["simhash"]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(200, 16))
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [e.tolist() for e in emb]})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(df, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for q in range(5):
+        order = np.argsort(-sims[q])
+        expect = [i for i in order if i != q][:3]
+        assert [got[(q, r + 1)] for r in range(3)] == expect
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(4)
+    # clustered data so IVF has structure to exploit
+    centers = rng.normal(size=(8, 16)) * 5
+    emb = np.vstack([c + rng.normal(size=(50, 16)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(emb)),
+                        "embedding": [e.tolist() for e in emb]})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_clusters=8, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_text_stats_and_lang_id(spark, docs):
+    ts = token_stats(docs).collect()
+    assert all(r["ws_tokens"] > 0 for r in ts)
+    qs = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in qs)
+    li = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert li[0] == "en"
+    assert li[2] == "de"
+    assert li[3] == "fr"
+    fp = fingerprint(docs).collect()
+    by_text = {}
+    for r in fp:
+        by_text.setdefault(r["fp_md5"], set()).add(r["doc_id"])
+    assert len(by_text) == 6  # same normalization groups as exact dedup
+
+
+def test_multimodal_plumbing(spark):
+    pdf = pd.DataFrame({
+        "k": range(20),
+        "img": [bytes([i] * (100 + i)) for i in range(20)],
+    })
+    df = spark.createDataFrame(pdf)
+    meta = attach_media_meta(df, "img").collect()
+    assert all(r["n_bytes"] == 100 + r["k"] for r in meta)
+    feats = decode_and_featurize(df, "img", target=8, fake=True).collect()
+    assert all(len(r["feature"]) == 3 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+    # determinism of the stub
+    feats2 = decode_and_featurize(df, "img", target=8, fake=True).collect()
+    assert sorted(r["feature"] for r in feats) == sorted(r["feature"] for r in feats2)
+    with pytest.raises(Exception):
+        decode_and_featurize(df, "img", fake=False).collect()
+    frames = frame_sample(df, "img", every_n_bytes=32, max_frames=4)
+    got = frames.groupBy("k").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in got)
