@@ -27,7 +27,7 @@ from ..codecs import fsst as fsst_mod
 from ..codecs.core import str_buffers
 from .selector import BALANCED, SIZE, select_encode
 
-DEFAULT_SAMPLE_ROWS = 20_000
+DEFAULT_SAMPLE_ROWS = 8_192
 
 
 @dataclass
