@@ -96,7 +96,15 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
 
     clock("pages_decode_verify",
           lambda: decode_blocks(blocks, verify=True)
-          .select(F.count("*")).collect())
+          .select(F.count("*")).collect(), repeats=2)
+
+    # reference-equivalent codec set (no FSST/dict): the raw-throughput mode
+    clock("pages_encode_fast",
+          lambda: encode_table(pages, key="url", snapshot_id="bench_fast",
+                               sort_within=True, mode="fast")
+          .select(F.sum(F.col("n_rows"))).collect(), repeats=2)
+    extras["fast_encode_gbps"] = round(
+        raw / 1e9 / timings["pages_encode_fast"], 4)
 
     # ---- driver tables at the requested scale factor ----
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -304,11 +304,45 @@ def fsst_decode(payload: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
     if ne == 0:
         return np.empty(0, np.uint8), np.concatenate([[0], np.zeros(n, np.int64)]).astype(np.int64)
     enc_off = np.concatenate([[0], np.cumsum(enc_lens)]).astype(np.int64)
+    # decode in string-aligned ~CHUNK_BYTES chunks (cache-resident working
+    # set; same reason as the encoder's chunking)
+    data_parts = []
+    len_parts = []
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(enc_off, enc_off[s] + CHUNK_BYTES, "left"))
+        e = max(s + 1, min(e, n))
+        d, ls = _decode_chunk(buf, pos, enc_off[s:e + 1], n_sym,
+                              sym_lens, sym_starts)
+        data_parts.append(d)
+        len_parts.append(ls)
+        s = e
+    data = np.concatenate(data_parts) if data_parts else np.empty(0, np.uint8)
+    str_out_lens = (np.concatenate(len_parts) if len_parts
+                    else np.empty(0, np.int64))
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(str_out_lens, out=offsets[1:])
+    return data, offsets
+
+
+def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
+                  n_sym: int, sym_lens: np.ndarray, sym_starts: np.ndarray):
+    """Decode the strings whose encoded bytes span
+    buf[e_base+enc_off[0] : e_base+enc_off[-1]]; returns (out_bytes,
+    out_len_per_string)."""
+    lo = int(enc_off[0])
+    E = buf[e_base + lo: e_base + int(enc_off[-1])]
+    ne = len(E)
+    if ne == 0:
+        return np.empty(0, np.uint8), np.zeros(len(enc_off) - 1, np.int64)
+    rel_off = enc_off - lo
     # escape-marker classification: runs of 0xFF split at string starts;
     # within each run the 1st, 3rd, ... byte is a marker
     is_ff = E == ESCAPE
     is_start = np.zeros(ne, dtype=bool)
-    is_start[enc_off[:-1][enc_lens > 0]] = True
+    starts_in = rel_off[:-1][np.diff(enc_off) > 0]
+    is_start[starts_in] = True
     neq = (is_ff[1:] != is_ff[:-1]) | is_start[1:]
     run_starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
     run_id = np.cumsum(np.concatenate([[True], neq])) - 1
@@ -322,24 +356,18 @@ def fsst_decode(payload: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
     out_len = np.zeros(ne, dtype=np.int64)
     out_len[is_literal] = 1
     out_len[is_codebyte] = sym_lens[E[is_codebyte]]
-    # output per string
     cum = np.concatenate([[0], np.cumsum(out_len)])
-    str_out_lens = cum[enc_off[1:]] - cum[enc_off[:-1]]
+    str_out_lens = cum[rel_off[1:]] - cum[rel_off[:-1]]
     # assemble: pieces in byte order; sources: symbol area (within buf) for
     # codes, E itself for literals
-    piece_mask = out_len > 0
-    p_idx = np.flatnonzero(piece_mask)
+    p_idx = np.flatnonzero(out_len > 0)
     p_lens = out_len[p_idx]
     p_starts = np.empty(len(p_idx), dtype=np.int64)
     lit = is_literal[p_idx]
-    p_starts[lit] = pos + p_idx[lit]  # literal byte inside E (buf offset)
+    p_starts[lit] = e_base + lo + p_idx[lit]  # literal byte inside E
     cb = ~lit
     p_starts[cb] = sym_starts[E[p_idx[cb]]]
-    data = gather_chunks(buf, p_starts, p_lens)
-    offsets = np.empty(n + 1, dtype=np.int64)
-    offsets[0] = 0
-    np.cumsum(str_out_lens, out=offsets[1:])
-    return data, offsets
+    return gather_chunks(buf, p_starts, p_lens), str_out_lens
 
 
 class FsstCodec(Codec):
