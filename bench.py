@@ -85,7 +85,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
         b.write.mode("overwrite").parquet("/tmp/sparkolumnar_bench_blocks")
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
 
-    clock("pages_encode", do_encode, repeats=2)  # best-of-2: shared-box noise
+    clock("pages_encode", do_encode, repeats=3)  # best-of-3: shared-box noise
     lin = (lineage_of(blocks).groupBy()
            .agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"))
            .collect()[0])

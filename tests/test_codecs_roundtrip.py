@@ -169,3 +169,22 @@ def test_dod_timestampish():
     assert np.array_equal(rf.dod_decode_int64(enc, len(ts)), ts)
     # ~1.3 B/value on jittery timestamps vs 8 B raw
     assert len(enc) < 2 * len(ts)
+
+
+@given(int_arrays())
+@settings(max_examples=300, deadline=None)
+def test_int_candidate_sizes_exact(xs):
+    """Analytic candidate sizes must equal real encoded sizes byte-for-byte
+    (the selector's <=-reference guarantee rests on this)."""
+    from sparkolumnar.codecs.rle_family import int_candidate_sizes
+    from sparkolumnar.codecs import get_codec
+    import pyarrow as pa
+
+    vals = np.array(xs, dtype=np.int64)
+    arr = pa.array(xs, type=pa.int64())
+    sizes = int_candidate_sizes(vals)
+    for name, est in sizes.items():
+        real = len(get_codec(name).encode(arr))
+        assert est == real, (name, est, real, xs[:8])
+    # delta_rle/dod only ever missing on i64-overflowing deltas
+    assert "plain" in sizes and "rle" in sizes and "for_bitpack" in sizes
