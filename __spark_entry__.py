@@ -143,6 +143,54 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation (demonstrates the hash-agg category of
+    SURVEY.md §2.2 via Spark's partial+final aggregation; integer-exact
+    outputs so the cross-engine compare is exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_price_cents"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + window top-k (join/window categories of §2.2)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .groupBy("c_custkey", "c_name")
+           .agg(F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("sum_cents")))
+    w = W.orderBy(F.desc("n_orders"), F.desc("sum_cents"), F.asc("c_custkey"))
+    return (per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "c_custkey", "c_name", "n_orders", "sum_cents"))
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window lag (gap > 30 min starts a session) —
+    the window-function category of §2.2 over the events stream table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("prev_ts", F.lag("ts").over(w))
+          .withColumn("gap_us", F.expr(
+              "timestampdiff(MICROSECOND, prev_ts, ts)")))
+    new_session = (F.col("prev_ts").isNull()
+                   | (F.col("gap_us") > 30 * 60 * 1_000_000)).cast("long")
+    return (ev.withColumn("new_session", new_session)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
 def _q_text_feature_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring feature sums per lang (integer outputs so the
     cross-engine hash compare is exact): punctuation chars, english
@@ -288,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "for_stats_lineitem": _q_for_stats_lineitem,
         "dedup_exact_text": _q_dedup_exact_text,
         "token_stats": _q_token_stats,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "event_sessions": _q_event_sessions,
         "text_feature_sums": _q_text_feature_sums,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "ann_topk": _q_ann_topk,
@@ -354,6 +405,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS n_distinct_texts,
                    COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
             FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT ROW_NUMBER() OVER (ORDER BY n_orders DESC, sum_cents DESC,
+                                      c_custkey ASC) AS rank,
+                   c_custkey, c_name, n_orders, sum_cents
+            FROM (SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+                         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS sum_cents
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  GROUP BY c.c_custkey, c.c_name)
+            QUALIFY rank <= 10
+        """,
+        "event_sessions": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id, ts, event_id,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            GROUP BY user_id ORDER BY user_id
         """,
         "text_feature_sums": """
             SELECT lang,
