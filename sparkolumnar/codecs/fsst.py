@@ -132,11 +132,38 @@ def _match_all(data: np.ndarray, max_allowed: np.ndarray, tables: _SymTables):
     if tables.has[8]:
         k8 = ((k4[:-4].astype(np.uint64) << np.uint64(32)) | k4[4:]) if n >= 8 else np.empty(0, np.uint64)
     unmatched = None  # bool mask over all n positions; None = all unmatched
+    idx = None        # compressed unmatched indices once sparse enough
     for L in LENGTHS:
         if not tables.has[L]:
             continue
         m = n - L + 1
         if m <= 0:
+            continue
+        if idx is not None:
+            # sparse path: gather only at still-unmatched positions
+            sub = idx[idx < m]
+            if len(sub) == 0:
+                continue
+            if L == 1:
+                code = tables.tab1[data[sub]]
+                hit = code >= 0
+            elif L == 2:
+                code = tables.tab2[k2[sub]]
+                hit = code >= 0
+            else:
+                keys, codes, mult = tables.hash4 if L == 4 else tables.hash8
+                key = k4[sub].astype(np.uint64) if L == 4 else k8[sub]
+                with np.errstate(over="ignore"):
+                    slot = ((key * mult) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
+                code = codes[slot]
+                hit = (code >= 0) & (keys[slot] == key)
+            hit &= max_allowed[sub] >= L
+            hidx = sub[hit]
+            match_len[hidx] = L
+            match_code[hidx] = code[hit]
+            if L > 1:
+                idx = np.concatenate([sub[~hit], idx[idx >= m]])
+                idx.sort()
             continue
         if L == 1:
             code = tables.tab1[data[:m]]
@@ -159,6 +186,11 @@ def _match_all(data: np.ndarray, max_allowed: np.ndarray, tables: _SymTables):
             if unmatched is None:
                 unmatched = np.ones(n, dtype=bool)
             unmatched[:m] &= ~ok
+            # switch to the sparse path once most positions are matched
+            remaining = int(unmatched.sum())
+            if remaining < n // 3:
+                idx = np.flatnonzero(unmatched)
+                unmatched = None
     return match_len, match_code
 
 

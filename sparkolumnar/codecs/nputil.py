@@ -218,7 +218,7 @@ def chain_segments(jump: np.ndarray, seg_starts: np.ndarray,
     ends = seg_ends[nonempty].astype(np.int64, copy=False)
     chunks = []
     total = 0
-    while len(cur):
+    while len(cur) > 24:
         chunks.append(cur)
         total += len(cur)
         if total > len(jump) + 1:
@@ -228,6 +228,19 @@ def chain_segments(jump: np.ndarray, seg_starts: np.ndarray,
         if not alive.all():
             cur = cur[alive]
             ends = ends[alive]
+    # tail: a handful of long chains would otherwise burn one tiny numpy
+    # round per token — walk them in plain Python instead
+    if len(cur):
+        tail = []
+        jl = jump  # local
+        for p, e in zip(cur.tolist(), ends.tolist()):
+            while p < e:
+                tail.append(p)
+                p = jl[p]
+        total += len(tail)
+        if total > len(jump) + 1:
+            raise CodecError("jump chain does not advance")
+        chunks.append(np.array(tail, dtype=np.int64))
     if not chunks:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(chunks), kind="stable")
