@@ -46,6 +46,8 @@ def domain_of(typ: pa.DataType) -> str:
         return BOOL
     if typ in _INT_TYPES or pa.types.is_timestamp(typ) or typ == pa.date64():
         return INT
+    if pa.types.is_decimal(typ) and typ.precision <= 18:
+        return INT  # unscaled value rides the int64 path losslessly
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         return STR
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
@@ -60,17 +62,32 @@ def domain_of(typ: pa.DataType) -> str:
 
 
 def to_int64(arr: pa.Array) -> np.ndarray:
-    """Canonical int64 view of an integer-like null-free arrow array."""
+    """Canonical int64 view of an integer-like null-free arrow array.
+    Decimals (precision <= 18) contribute their *unscaled* value — a cast
+    would round away the fraction."""
     typ = arr.type
-    if pa.types.is_timestamp(typ) or typ == pa.date64():
-        arr = arr.cast(pa.int64())
-    elif typ != pa.int64():
+    if pa.types.is_decimal(typ):
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        pairs = raw[2 * arr.offset: 2 * (arr.offset + len(arr))]
+        lo = pairs[0::2]
+        hi = pairs[1::2]
+        if np.any(hi != (lo >> np.int64(63))):
+            raise CodecError("decimal unscaled value exceeds int64")
+        return lo.astype(np.int64, copy=True)
+    if typ != pa.int64():
         arr = arr.cast(pa.int64())
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def from_int64(vals: np.ndarray, typ: pa.DataType) -> pa.Array:
-    out = pa.array(vals.astype(np.int64, copy=False), type=pa.int64())
+    vals = vals.astype(np.int64, copy=False)
+    if pa.types.is_decimal(typ):
+        pairs = np.empty((len(vals), 2), dtype=np.int64)
+        pairs[:, 0] = vals
+        pairs[:, 1] = vals >> np.int64(63)  # sign extension
+        return pa.Array.from_buffers(
+            typ, len(vals), [None, pa.py_buffer(pairs.tobytes())])
+    out = pa.array(vals, type=pa.int64())
     if typ != pa.int64():
         out = out.cast(typ)
     return out

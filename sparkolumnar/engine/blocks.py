@@ -96,6 +96,9 @@ def arrow_type_from_str(s: str) -> pa.DataType:
                          ("large_list<element: ", pa.large_list)):
         if s.startswith(prefix) and s.endswith(">"):
             return ctor(arrow_type_from_str(s[len(prefix):-1]))
+    if s.startswith("decimal128(") and s.endswith(")"):
+        p, sc = s[len("decimal128("):-1].split(",")
+        return pa.decimal128(int(p), int(sc))
     raise ValueError(f"cannot parse arrow type {s!r}")
 
 

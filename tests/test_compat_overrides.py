@@ -71,3 +71,15 @@ def test_codec_override_invalid_falls_back_to_plain(spark, small_df):
     assert lin["s"] == "plain"
     out = decode_blocks(blocks).orderBy("k").collect()
     assert out[7]["s"] == "s2"
+
+
+def test_decimal_columns_roundtrip(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(i, Decimal(i * 7) / Decimal(100)) for i in range(200)],
+        "k long, price decimal(18,2)")
+    blocks = encode_table(df, snapshot_id="dec1")
+    out = decode_blocks(blocks, verify=True).orderBy("k").collect()
+    for i, r in enumerate(out):
+        assert r["price"] == Decimal(i * 7) / Decimal(100)

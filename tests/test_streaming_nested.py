@@ -72,3 +72,33 @@ def test_analyze_api(spark):
     by = {r["column"]: r for r in sm}
     assert by["lang"]["codec"] in ("dict", "rle")
     assert by["lang"]["tried"]["dict"] > 0
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """Cross-micro-batch exact dedup via applyInPandasWithState."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from sparkolumnar.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src)
+    # batch 1: docs 0..9 ; batch 2: docs 5..14 (5 dups by text)
+    t1 = pa.table({"doc_id": list(range(10)),
+                   "text": [f"doc number {i}" for i in range(10)]})
+    t2 = pa.table({"doc_id": list(range(100, 110)),
+                   "text": [f"doc number {i}" for i in range(5, 15)]})
+    pq.write_table(t1, f"{src}/a.parquet")
+    pq.write_table(t2, f"{src}/b.parquet")
+    static = spark.read.parquet(src)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream(stream, "text", n_buckets=8)
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dedup_out").collect()
+    texts = [r["text"] for r in rows]
+    assert len(texts) == 15  # 10 + 5 new
+    assert len(set(texts)) == 15  # no duplicate text survived
