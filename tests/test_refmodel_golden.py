@@ -169,3 +169,52 @@ def test_varint_zigzag():
 def test_f32_layout():
     assert rm.ser_f32(0.1) == bytes([205, 204, 204, 61])
     assert struct.pack("<f", 0.2) == bytes([205, 204, 76, 62])
+
+
+def test_row_map_ser_snapshot():
+    # snapshots/...row_map_ser.snap: [1,2,2,1,2,3,2,1,2]
+    # B{data: BTreeMap<u8, A{a:u64}>} with {1:{a:1}, 2:{a:2}}
+    key_col = rm.generic_encode([1, 2], ser=rm.ser_u8)
+    a_col = rm.generic_encode([1, 2], ser=rm.ser_u64)
+    got = rm.table([rm.map_container(key_col, [a_col])])
+    assert got == bytes([1, 2, 2, 1, 2, 3, 2, 1, 2])
+
+
+def test_row_generics_snapshot():
+    # snapshots/...row_generics.snap: [1,3,3,2,1,2,2,4,2,2,4,2]
+    # A{a:u64 generic, p:u8 Rle, q:u8 DeltaRle} rows (1,2,1),(2,2,2)
+    a_col = rm.generic_encode([1, 2], ser=rm.ser_u64)
+    p_col = rm.any_rle_encode([2, 2], ser=rm.ser_u8)
+    q_col = rm.delta_rle_encode([1, 2])
+    got = rm.table([rm.vec_container([a_col, p_col, q_col])])
+    assert got == bytes([1, 3, 3, 2, 1, 2, 2, 4, 2, 2, 4, 2])
+
+
+def test_derive_serialize_skip_snapshot():
+    # snapshots/...derive_serialize_skip.snap: [1,1]
+    # top-level struct A{a:u64=1, b skipped} -> seq(1) + varint(1)
+    assert rm.table([rm.uvarint(1)]) == bytes([1, 1])
+
+
+def test_nested_recursive_snapshot():
+    # snapshots/...nested.snap (72 bytes): C{vec: Vec<B>, map: Map<u8,B>},
+    # B{vec: Vec<A>, map: Map<u8,A>, b: bool BoolRle}, A{a:u64}.
+    # Nested container VALUES inside a column serialize as the container's
+    # own self-delimiting bytes inside a postcard seq.
+    a_vec_elem = rm.vec_container([rm.generic_encode([1, 1], ser=rm.ser_u64)])
+    a_map_elem = rm.map_container(
+        rm.generic_encode([1, 2], ser=rm.ser_u8),
+        [rm.generic_encode([1, 1], ser=rm.ser_u64)])
+    col_bvec = rm.uvarint(2) + a_vec_elem + a_vec_elem
+    col_bmap = rm.uvarint(2) + a_map_elem + a_map_elem
+    col_bb = rm.bool_rle_encode([True, True])
+    b_as_vec = rm.vec_container([col_bvec, col_bmap, col_bb])
+    b_as_map = rm.map_container(rm.generic_encode([1, 2], ser=rm.ser_u8),
+                                [col_bvec, col_bmap, col_bb])
+    got = rm.table([b_as_vec, b_as_map])
+    expected = bytes(
+        [2, 3, 11, 2, 1, 3, 2, 1, 1, 1, 3, 2, 1, 1, 17, 2, 2, 2, 1, 2, 3,
+         2, 1, 1, 2, 2, 1, 2, 3, 2, 1, 1, 2, 0, 2, 4, 2, 1, 2, 11, 2, 1,
+         3, 2, 1, 1, 1, 3, 2, 1, 1, 17, 2, 2, 2, 1, 2, 3, 2, 1, 1, 2, 2,
+         1, 2, 3, 2, 1, 1, 2, 0, 2])
+    assert got == expected
