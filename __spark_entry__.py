@@ -289,6 +289,18 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, hits, round(hits / max(total, 1), 4))],
         "n_exact long, n_hit long, recall double")
 
+def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.95) of the first 100
+    vectors vs the whole embeddings table."""
+    from sparkolumnar.pipeline import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    out = cosine_neardup_pairs(emb, queries, threshold=0.95)
+    return (out.select("query_id", "neighbor_id")
+            .orderBy("query_id", "neighbor_id"))
+
+
 def _q_encode_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed encode -> decode(verify=True) of documents; the
     verify flag recomputes canonical sha256 per column per block."""
@@ -342,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_sums": _q_text_feature_sums,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "ann_topk": _q_ann_topk,
+        "cosine_neardup": _q_cosine_neardup,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -473,6 +486,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, neighbor_id) AS rank
                 FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "cosine_neardup": """
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100) q,
+                 embeddings e
+            WHERE e.vec_id <> q.vec_id
+              AND list_cosine_similarity(q.embedding, e.embedding) >= 0.95
+            ORDER BY query_id, neighbor_id
         """,
         "token_stats": """
             SELECT lang,

@@ -4,7 +4,8 @@ substrate (vectorized Arrow UDFs + JVM-side expressions): deduplication
 analysis (language-id heuristic, quality scoring, token stats,
 fingerprinting) and multimodal column plumbing."""
 
-from .dedup import exact_dedup, minhash_signatures, minhash_neardup_pairs, simhash_buckets  # noqa: F401
+from .dedup import (exact_dedup, minhash_signatures, minhash_neardup_pairs,  # noqa: F401
+                    ngram_jaccard_verify, simhash_buckets)
 from .multimodal import attach_media_meta, decode_and_featurize, frame_sample  # noqa: F401
-from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .similarity import brute_force_topk, cosine_neardup_pairs, ivf_topk  # noqa: F401
 from .textstats import fingerprint, lang_id, quality_score, token_stats  # noqa: F401

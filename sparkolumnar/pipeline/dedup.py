@@ -110,6 +110,32 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("a", "b", "est_jaccard"))
 
 
+def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str,
+                         id_col: str, shingle: int = 5) -> DataFrame:
+    """Exact k-gram Jaccard for candidate pairs (a, b): joins texts in,
+    computes |A∩B| / |A∪B| over the shingle-hash sets vectorized
+    (np.intersect1d on the unique-hash arrays). Use after minhash banding
+    to turn estimates into exact similarities.
+    """
+    a_txt = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
+    b_txt = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb"))
+    joined = pairs.join(a_txt, "a").join(b_txt, "b").select("a", "b", "ta", "tb")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ha = _shingle_hashes(pdf["ta"], shingle)
+            hb = _shingle_hashes(pdf["tb"], shingle)
+            jac = []
+            for x, y in zip(ha, hb):
+                inter = len(np.intersect1d(x, y, assume_unique=True))
+                union = len(x) + len(y) - inter
+                jac.append(inter / union if union else 1.0)
+            yield pd.DataFrame({"a": pdf["a"].values, "b": pdf["b"].values,
+                                "jaccard": np.round(jac, 6)})
+
+    return joined.mapInPandas(fn, "a long, b long, jaccard double")
+
+
 def _token_hashes(text: str) -> np.ndarray:
     """Deterministic 64-bit polynomial hash per whitespace token,
     vectorized over the whole document (no per-token Python loop)."""

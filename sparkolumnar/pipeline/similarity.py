@@ -76,6 +76,41 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def cosine_neardup_pairs(df: DataFrame, queries: DataFrame,
+                         threshold: float = 0.9, id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (query_id, neighbor_id) with
+    cosine >= threshold, neighbor != query. Same broadcast-GEMM shape as
+    brute_force_topk but threshold-filtered inside the partition, so only
+    matches cross the wire."""
+    spark = df.sparkSession
+    q_rows = queries.select(id_col, emb_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.vstack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in q_rows]))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, float(threshold)))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, thr = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = _normalize(_emb_matrix(pdf[emb_col]))
+            sims = c @ mat.T
+            cid = pdf[id_col].values.astype(np.int64)
+            rows, cols = np.nonzero(sims >= thr)
+            if len(rows) == 0:
+                continue
+            yield pd.DataFrame({"query_id": ids[cols],
+                                "neighbor_id": cid[rows],
+                                "cosine": sims[rows, cols]})
+
+    out = df.select(id_col, emb_col).mapInPandas(
+        partial, "query_id long, neighbor_id long, cosine double")
+    return (out.filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cosine"))
+
+
 def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
                 seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)

@@ -141,3 +141,37 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(df, "img", every_n_bytes=32, max_frames=4)
     got = frames.groupBy("k").count().collect()
     assert all(1 <= r["count"] <= 4 for r in got)
+
+
+def test_ngram_jaccard_verify(spark, docs):
+    from sparkolumnar.pipeline import ngram_jaccard_verify, minhash_neardup_pairs
+    import pandas as pd
+
+    cand = minhash_neardup_pairs(docs, "text", "doc_id", n_hashes=128,
+                                 bands=32, threshold=0.5)
+    verified = ngram_jaccard_verify(docs, cand.select("a", "b"),
+                                    "text", "doc_id")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got[(0, 4)] == 1.0  # exact duplicates
+    tj = _true_jaccard(texts[0], texts[100])
+    assert abs(got[(0, 100)] - tj) < 1e-6  # exact, not an estimate
+
+
+def test_cosine_neardup_pairs(spark):
+    from sparkolumnar.pipeline import cosine_neardup_pairs
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(50, 8))
+    # 5 near-dup rows: tiny perturbations of rows 0..4
+    emb = np.vstack([base, base[:5] + 0.01 * rng.normal(size=(5, 8))])
+    pdf = pd.DataFrame({"vec_id": range(55),
+                        "embedding": [e.tolist() for e in emb]})
+    df = spark.createDataFrame(pdf)
+    out = cosine_neardup_pairs(df, df, threshold=0.99)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    for i in range(5):
+        assert (i, 50 + i) in pairs and (50 + i, i) in pairs
+    # unrelated gaussian vectors in 8d essentially never reach 0.99
+    assert len(pairs) <= 25
