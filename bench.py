@@ -82,7 +82,8 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
         nonlocal blocks
         b = encode_table(pages, key="url", snapshot_id="bench",
                          sort_within=True, plan=plan)
-        b.write.mode("overwrite").parquet("/tmp/sparkolumnar_bench_blocks")
+        (b.write.mode("overwrite").option("compression", "uncompressed")
+         .parquet("/tmp/sparkolumnar_bench_blocks"))
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
 
     clock("pages_encode", do_encode, repeats=3)  # best-of-3: shared-box noise

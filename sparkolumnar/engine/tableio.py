@@ -46,8 +46,11 @@ class TableIO:
         # exactly the re-encoded partitions of THIS snapshot and never
         # touches other snapshots' data (streaming writes one snapshot per
         # micro-batch into the same table)
+        # block payloads are already entropy-coded; parquet's default
+        # snappy pass wastes CPU re-compressing incompressible bytes
         (blocks.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
+         .option("compression", "uncompressed")
          .partitionBy("snapshot_id", "part_id")
          .parquet(self.blocks_path))
 
