@@ -131,7 +131,12 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     key: column to shuffle/sort by (e.g. "url"); hashing the key with a
     salt defuses value skew (hot host domains) — the partition key is the
     *hash*, uniform by construction. sort_within=True additionally sorts
-    rows inside each partition by the key to lengthen runs.
+    rows inside each partition by the key to lengthen runs — the classic
+    row-reordering lever for RLE effectiveness (cf. "Column Partition and
+    Permutation for Run Length Encoding in Columnar Databases", SIGMOD
+    2020): url-sorted rows cluster same-host pages, which lengthens runs
+    and sharpens FSST symbol tables on url/html, at the cost of
+    randomizing warc_ts order (DoD pays ~4 B/value instead of <2).
 
     overrides: {column: codec} forces codecs per column (the reference's
     per-field strategy attribute, applied at runtime).
