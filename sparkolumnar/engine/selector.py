@@ -134,6 +134,8 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
             payloads["plain"] = run("plain")
     elif dom in (STR, BIN):
         payloads["split"] = run("split")
+        if payloads["split"] is None:  # cannot happen for valid arrays
+            raise CodecError(f"split codec failed on {arr.type}")
         data, offsets = str_buffers(arr)
         raw = len(data)
         # rle can only beat split when runs exist
