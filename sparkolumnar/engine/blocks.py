@@ -5,9 +5,15 @@ A *block* is the unit of encoding: one Arrow batch of the input table
 block is ONE ROW of the blocks table — all column payloads travel together,
 so decode is a narrow mapInArrow with no shuffle (at 10^12-document scale a
 row-per-column layout would force a giant groupBy to reassemble blocks).
-Per-column metadata lives in a parallel array-of-struct column whose leaves
-are separate parquet column chunks, so lineage/metrics reads prune away the
-payload bytes entirely.
+
+The table is WIDE: every input column C gets its own `p_C: binary`
+payload field (plus `v_C: binary` validity when C is nullable), so a
+projection decode reads exactly the payload bytes it needs — parquet
+column pruning works per input column, which is what keeps a
+"decode url+text only" job from scanning html payloads at 100 TB.
+Per-column metadata lives in an array-of-struct column whose leaves are
+separate parquet column chunks, so lineage/metrics reads prune away ALL
+payload bytes.
 
 block_id is content-addressed (sha256 over the per-column input checksums
 plus the snapshot id), which makes re-encoding a partition idempotent —
@@ -17,50 +23,71 @@ the cornerstone of exactly-once resume (engine/lineage.py).
 from __future__ import annotations
 
 import hashlib
-from typing import List
+from typing import List, Sequence
 
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import types as T
 
-# Spark-side schema of the blocks table (one row per block)
-BLOCKS_SCHEMA = T.StructType([
-    T.StructField("block_id", T.StringType(), False),
-    T.StructField("snapshot_id", T.StringType(), False),
-    T.StructField("part_id", T.IntegerType(), False),
-    T.StructField("seq", T.IntegerType(), False),
-    T.StructField("n_rows", T.LongType(), False),
-    T.StructField("columns", T.ArrayType(T.StructType([
-        T.StructField("name", T.StringType(), False),
-        T.StructField("codec", T.StringType(), False),
-        T.StructField("arrow_type", T.StringType(), False),
-        T.StructField("n_nulls", T.LongType(), False),
-        T.StructField("bytes_in", T.LongType(), False),
-        T.StructField("bytes_out", T.LongType(), False),
-        T.StructField("checksum_in", T.StringType(), False),
-    ])), False),
-    T.StructField("validities", T.ArrayType(T.BinaryType()), False),
-    T.StructField("payloads", T.ArrayType(T.BinaryType()), False),
+_META_FIELDS = T.StructType([
+    T.StructField("name", T.StringType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("arrow_type", T.StringType(), False),
+    T.StructField("n_nulls", T.LongType(), False),
+    T.StructField("bytes_in", T.LongType(), False),
+    T.StructField("bytes_out", T.LongType(), False),
+    T.StructField("checksum_in", T.StringType(), False),
 ])
 
-ARROW_BLOCKS_SCHEMA = pa.schema([
-    pa.field("block_id", pa.string()),
-    pa.field("snapshot_id", pa.string()),
-    pa.field("part_id", pa.int32()),
-    pa.field("seq", pa.int32()),
-    pa.field("n_rows", pa.int64()),
-    pa.field("columns", pa.list_(pa.struct([
-        pa.field("name", pa.string()),
-        pa.field("codec", pa.string()),
-        pa.field("arrow_type", pa.string()),
-        pa.field("n_nulls", pa.int64()),
-        pa.field("bytes_in", pa.int64()),
-        pa.field("bytes_out", pa.int64()),
-        pa.field("checksum_in", pa.string()),
-    ]))),
-    pa.field("validities", pa.list_(pa.binary())),
-    pa.field("payloads", pa.list_(pa.binary())),
-])
+_ARROW_META = pa.list_(pa.struct([
+    pa.field("name", pa.string()),
+    pa.field("codec", pa.string()),
+    pa.field("arrow_type", pa.string()),
+    pa.field("n_nulls", pa.int64()),
+    pa.field("bytes_in", pa.int64()),
+    pa.field("bytes_out", pa.int64()),
+    pa.field("checksum_in", pa.string()),
+]))
+
+
+def payload_field(name: str) -> str:
+    return f"p_{name}"
+
+
+def validity_field(name: str) -> str:
+    return f"v_{name}"
+
+
+def blocks_schema(col_names: Sequence[str]) -> T.StructType:
+    """Spark schema of the blocks table for a given set of input columns
+    (one row per block; one payload + validity field per column)."""
+    fields = [
+        T.StructField("block_id", T.StringType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("columns", T.ArrayType(_META_FIELDS), False),
+    ]
+    for c in col_names:
+        fields.append(T.StructField(payload_field(c), T.BinaryType(), True))
+        fields.append(T.StructField(validity_field(c), T.BinaryType(), True))
+    return T.StructType(fields)
+
+
+def arrow_blocks_schema(col_names: Sequence[str]) -> pa.Schema:
+    fields = [
+        pa.field("block_id", pa.string()),
+        pa.field("snapshot_id", pa.string()),
+        pa.field("part_id", pa.int32()),
+        pa.field("seq", pa.int32()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("columns", _ARROW_META),
+    ]
+    for c in col_names:
+        fields.append(pa.field(payload_field(c), pa.binary()))
+        fields.append(pa.field(validity_field(c), pa.binary()))
+    return pa.schema(fields)
 
 
 # --- arrow type (de)serialization -------------------------------------------

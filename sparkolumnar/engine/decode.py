@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, types as T
 from pyspark.sql.pandas.types import from_arrow_type
 
 from ..codecs.nputil import CodecError
-from .blocks import arrow_type_from_str, canonical_checksum
+from .blocks import (arrow_type_from_str, canonical_checksum, payload_field,
+                     validity_field)
 
 
 def decode_block_row(row: dict, verify: bool = False,
@@ -38,14 +39,18 @@ def decode_block_row(row: dict, verify: bool = False,
     arrays = []
     fields = []
     if target is not None:
-        present = {m["name"] for m in row["columns"]}
         want = [f.name for f in target]
-    for meta, validity, payload in zip(row["columns"], row["validities"],
-                                       row["payloads"]):
+    for meta in row["columns"]:
         if columns is not None and meta["name"] not in columns:
             continue
         if target is not None and meta["name"] not in want:
             continue  # unknown-to-reader column: ignore (forward compat)
+        payload = row.get(payload_field(meta["name"]))
+        validity = row.get(validity_field(meta["name"])) or b""
+        if payload is None:
+            raise CodecError(
+                f"payload field for column {meta['name']} not in scan "
+                f"(projection must include it)")
         typ = arrow_type_from_str(meta["arrow_type"])
         n_nulls = meta["n_nulls"]
         n_valid = n - n_nulls
@@ -112,9 +117,10 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   compat: bool = False) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
-    columns: optional projection — only these columns are decoded (payloads
-    of other columns are skipped entirely; with parquet-backed blocks the
-    pruning happens at the scan thanks to the array-of-struct layout).
+    columns: optional projection — only these columns' payload/validity
+    fields are selected, so the parquet scan never reads the other
+    columns' bytes (per-column payload fields make pruning a plain
+    Catalyst projection).
 
     compat=True enables schema evolution against the provided `schema`:
     block columns unknown to the schema are ignored, schema columns missing
@@ -129,6 +135,18 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
 
         target = pa.schema([pa.field(f.name, to_arrow_type(f.dataType))
                             for f in schema.fields])
+    wanted = None
     if columns is not None:
-        columns = list(columns)
-    return blocks_df.mapInArrow(make_decode_fn(verify, columns, target), schema)
+        wanted = list(columns)
+    elif compat and target is not None:
+        wanted = [f.name for f in target]
+    if wanted is not None:
+        base = ["block_id", "snapshot_id", "part_id", "seq", "n_rows",
+                "columns"]
+        have = set(blocks_df.columns)
+        keep = base + [f for c in wanted
+                       for f in (payload_field(c), validity_field(c))
+                       if f in have]
+        blocks_df = blocks_df.select(*keep)
+    return blocks_df.mapInArrow(
+        make_decode_fn(verify, columns, target), schema)

@@ -29,8 +29,9 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs.core import domain_of
-from .blocks import (ARROW_BLOCKS_SCHEMA, BLOCKS_SCHEMA, arrow_type_to_str,
-                     block_id_of, canonical_checksum)
+from .blocks import (arrow_blocks_schema, arrow_type_to_str, block_id_of,
+                     blocks_schema, canonical_checksum, payload_field,
+                     validity_field)
 from .selector import BALANCED, select_encode
 
 DEFAULT_SALT = 0x5CA1AB1E
@@ -44,8 +45,7 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
 
     names: List[str] = []
     cols_meta = []
-    validities = []
-    payloads = []
+    row = {}
     checksums = []
     n = batch.num_rows
     for i, field in enumerate(batch.schema):
@@ -75,21 +75,19 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "bytes_out": len(choice.payload) + len(validity),
             "checksum_in": checksum,
         })
-        validities.append(validity)
-        payloads.append(choice.payload)
+        row[payload_field(field.name)] = choice.payload
+        row[validity_field(field.name)] = validity if validity else None
         checksums.append(checksum)
         names.append(field.name)
-    row = {
+    row.update({
         "block_id": block_id_of(snapshot_id, checksums, n),
         "snapshot_id": snapshot_id,
         "part_id": part_id,
         "seq": seq,
         "n_rows": n,
         "columns": cols_meta,
-        "validities": validities,
-        "payloads": payloads,
-    }
-    return pa.RecordBatch.from_pylist([row], schema=ARROW_BLOCKS_SCHEMA)
+    })
+    return pa.RecordBatch.from_pylist([row], schema=arrow_blocks_schema(names))
 
 
 def _raw_size(arr: pa.Array) -> int:
@@ -150,4 +148,4 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
         df = df.repartition(partitions)
     return df.mapInArrow(
         make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides),
-        BLOCKS_SCHEMA)
+        blocks_schema([f.name for f in df.schema.fields]))

@@ -82,9 +82,9 @@ def test_corrupted_payload_fails_verify():
         [pa.array(["aa", "bb", "cc"] * 10)], names=["s"])
     block = encode_batch(batch, "s", 0, 0)
     row = block.to_pylist()[0]
-    p = bytearray(row["payloads"][0])
+    p = bytearray(row["p_s"])
     p[-1] ^= 0xFF
-    row["payloads"][0] = bytes(p)
+    row["p_s"] = bytes(p)
     with pytest.raises(Exception):
         decode_block_row(row, verify=True)
 

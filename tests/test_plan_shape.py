@@ -22,11 +22,11 @@ def test_lineage_scan_prunes_payloads(spark, tmp_path):
     blocks = io.read_blocks()
     lin = lineage_of(blocks).groupBy("column").agg(F.sum("bytes_out"))
     plan = _plan_of(lin)
-    # the parquet scan for lineage must NOT read the payload/validity bytes
+    # the parquet scan for lineage must NOT read any payload/validity bytes
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l or "ReadSchema" in l]
     scan = " ".join(scan_lines)
-    assert "payloads" not in scan, scan
-    assert "validities" not in scan, scan
+    assert "p_text" not in scan and "p_html" not in scan, scan
+    assert "v_text" not in scan, scan
     assert "columns" in scan  # metadata struct leaves are read
 
 
@@ -48,3 +48,21 @@ def test_decode_plan_no_exchange(spark, tmp_path):
     out = decode_blocks(io.read_blocks())
     plan = _plan_of(out)
     assert "Exchange" not in plan  # decode is shuffle-free
+
+
+def test_projection_decode_prunes_payloads_at_scan(spark, tmp_path):
+    """Decoding only url+lang must not read text/html payload bytes from
+    parquet (the wide per-column payload layout makes this a plain
+    Catalyst projection)."""
+    pages = pages_df(spark, 2000)
+    io = TableIO(spark, str(tmp_path / "t3"))
+    io.write_blocks(encode_table(pages, snapshot_id="p4", partitions=2))
+    from sparkolumnar.engine import decode_blocks
+    out = decode_blocks(io.read_blocks(), columns=["url", "lang"])
+    plan = _plan_of(out)
+    scan_lines = [l for l in plan.splitlines()
+                  if "FileScan" in l or "ReadSchema" in l]
+    scan = " ".join(scan_lines)
+    assert "p_url" in scan and "p_lang" in scan, scan
+    assert "p_text" not in scan and "p_html" not in scan, scan
+    assert out.count() == 2000
