@@ -108,6 +108,10 @@ def schema_of_blocks(blocks_df: DataFrame,
             continue
         fields.append(T.StructField(
             name, from_arrow_type(arrow_type_from_str(ts)), True))
+    if columns is not None and not fields:
+        raise ValueError(
+            f"none of the requested columns {list(columns)} exist in the "
+            f"blocks table (available: {list(row[0]['names'])})")
     return T.StructType(fields)
 
 
