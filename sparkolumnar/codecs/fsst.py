@@ -212,13 +212,18 @@ def _tokenize(data: np.ndarray, offsets: np.ndarray,
     return starts, match_len[starts], match_code[starts]
 
 
-def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3) -> List[bytes]:
-    """Greedy iterative pair-merge symbol table construction on a sample."""
+def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
+                sample_bytes: Optional[int] = None) -> List[bytes]:
+    """Greedy iterative pair-merge symbol table construction on a sample.
+
+    Defaults are tuned for per-batch builds; job-level plans pass a larger
+    sample and more rounds (engine/plan.py) since they build once."""
     if len(data) == 0:
         return []
+    sample_bytes = sample_bytes or SAMPLE_BYTES
     # sample: prefix of the buffer, aligned to a string boundary
-    if len(data) > SAMPLE_BYTES:
-        cut = int(np.searchsorted(offsets, SAMPLE_BYTES))
+    if len(data) > sample_bytes:
+        cut = int(np.searchsorted(offsets, sample_bytes))
         cut = max(1, min(cut, len(offsets) - 1))
         s_off = offsets[:cut + 1].astype(np.int64)
         s_data = data[: int(s_off[-1])]
