@@ -1,3 +1,4 @@
 """Structured Streaming surface."""
 
+from .decode_stream import decode_stream  # noqa: F401
 from .encode_stream import encode_stream  # noqa: F401

@@ -102,3 +102,23 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     texts = [r["text"] for r in rows]
     assert len(texts) == 15  # 10 + 5 new
     assert len(set(texts)) == 15  # no duplicate text survived
+
+
+def test_streaming_decode(spark, tmp_path):
+    """readStream over blocks -> continuously decoded rows."""
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.streaming import decode_stream
+
+    pages = pages_df(spark, 3000, cache_dir=str(tmp_path / "pg"))
+    io = TableIO(spark, str(tmp_path / "sink2"))
+    io.write_blocks(encode_table(pages, key="url", partitions=4,
+                                 snapshot_id="sd"))
+    out = decode_stream(spark, io.blocks_path, verify=True,
+                        columns=["url", "lang"])
+    q = (out.writeStream.format("memory").queryName("decoded_stream")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from decoded_stream").collect()
+    assert len(rows) == 3000
+    assert set(rows[0].asDict()) == {"url", "lang"}
