@@ -10,3 +10,4 @@ from . import bitpack  # noqa: F401  (registers for_bitpack, bitpack)
 from . import dict_codec  # noqa: F401  (registers dict)
 from . import fsst  # noqa: F401  (registers fsst)
 from . import nested  # noqa: F401  (registers nested)
+from . import byteplane  # noqa: F401  (registers byteplane)

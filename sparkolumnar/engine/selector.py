@@ -191,6 +191,9 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
                         payloads["fsst"] = p
     else:  # floats
         payloads["plain"] = run("plain")
+        p = run("byteplane")
+        if p is not None:
+            payloads["byteplane"] = p
         vals = arr.to_numpy(zero_copy_only=False)
         bits = vals.view(np.uint64 if dom == F64 else np.uint32)
         _, lens = run_segments(bits)

@@ -99,3 +99,32 @@ def test_fsst_compresses_web_text():
     payload = c.encode(arr)
     assert c.decode(payload, len(docs), pa.string()).to_pylist() == docs
     assert len(payload) < 0.6 * raw  # must beat plain by a wide margin on text
+
+
+@given(st.lists(st.floats(allow_nan=False), max_size=150))
+@settings(max_examples=150, deadline=None)
+def test_byteplane_roundtrip(xs):
+    arr = pa.array(xs, type=pa.float64())
+    c = get_codec("byteplane")
+    out = c.decode(c.encode(arr), len(xs), pa.float64())
+    assert out.to_pylist() == xs
+
+
+def test_byteplane_compresses_uniform_doubles():
+    rng = np.random.default_rng(6)
+    vals = rng.random(20000)  # uniform [0,1): exponent planes low-entropy
+    arr = pa.array(vals, type=pa.float64())
+    c = get_codec("byteplane")
+    p = c.encode(arr)
+    assert len(p) < 0.9 * 8 * len(vals)  # beats plain by >10%
+    out = c.decode(p, len(vals), pa.float64())
+    assert np.array_equal(out.to_numpy(zero_copy_only=False), vals)
+
+
+def test_byteplane_f32():
+    vals = (np.arange(5000) % 100).astype(np.float32) / 7
+    arr = pa.array(vals, type=pa.float32())
+    c = get_codec("byteplane")
+    p = c.encode(arr)
+    out = c.decode(p, len(vals), pa.float32())
+    assert np.array_equal(out.to_numpy(zero_copy_only=False), vals)
