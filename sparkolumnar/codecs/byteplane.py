@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .core import F32, F64, Codec, register
-from .nputil import CodecError, uvarint_decode, uvarint_encode
+from .nputil import CodecError, uvarint_encode
 from .rle_family import rle_decode_int64, rle_encode_int64
 from .. import refmodel as rm
 

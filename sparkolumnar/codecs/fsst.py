@@ -32,14 +32,14 @@ string boundaries is safe.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 
 from .core import BIN, STR, Codec, from_str_buffers, register, str_buffers
-from .nputil import (CodecError, chain_segments, gather_chunks, orbit, uvarint_decode,
-                     uvarint_encode)
+from .nputil import (CodecError, chain_segments, gather_chunks,
+                     uvarint_decode, uvarint_encode)
 
 ESCAPE = 255
 MAX_SYMBOLS = 255

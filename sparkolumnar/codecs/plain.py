@@ -14,8 +14,8 @@ from .core import (BIN, BOOL, F32, F64, INT, STR, Codec, domain_of,
                    from_int64, from_str_buffers, register, str_buffers,
                    to_int64)
 from .nputil import (CodecError, gather_chunks, interleave_chunks,
-                     repeat_offsets, uvarint_decode, uvarint_encode,
-                     uvarint_size, zigzag_decode, zigzag_encode)
+                     uvarint_decode, uvarint_encode, uvarint_size,
+                     zigzag_decode, zigzag_encode)
 
 
 def plain_encode_int64(vals: np.ndarray) -> bytes:

@@ -39,7 +39,6 @@ def analyze_sample(df: DataFrame, rows: int = 20_000) -> DataFrame:
     """Encode a sample of `df` (driver-side) and report what the selector
     would choose per column, with sizes — the interactive counterpart of
     the reference's FieldAnalyze."""
-    from .plan import plan_from_sample
     from .selector import SIZE, select_encode
 
     sample = df.limit(rows).toArrow()

@@ -134,7 +134,7 @@ def arrow_type_from_str(s: str) -> pa.DataType:
 def canonical_checksum(arr: pa.Array) -> str:
     """sha256 over a canonical byte image of a column chunk (values +
     validity), so decode can prove bit-identity without a join."""
-    from ..codecs.core import (BIN, BOOL, F32, F64, INT, LIST, STR, domain_of,
+    from ..codecs.core import (BIN, BOOL, F64, INT, LIST, STR, domain_of,
                                str_buffers, to_int64)
 
     h = hashlib.sha256()

@@ -19,16 +19,13 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 from typing import Iterator, List, Optional, Set
 
-import numpy as np
 import pyarrow as pa
 
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.core import domain_of
 from .blocks import (arrow_blocks_schema, arrow_type_to_str, block_id_of,
                      blocks_schema, canonical_checksum, payload_field,
                      validity_field)

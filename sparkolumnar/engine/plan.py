@@ -22,7 +22,6 @@ from typing import Dict, List, Optional
 
 import pyarrow as pa
 
-from ..codecs.core import BIN, STR, domain_of
 from ..codecs import fsst as fsst_mod
 from ..codecs.core import str_buffers
 from .selector import BALANCED, SIZE, select_encode

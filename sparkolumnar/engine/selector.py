@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs import get_codec
-from ..codecs.core import (BIN, BOOL, F32, F64, INT, LIST, STR, domain_of,
+from ..codecs.core import (BIN, BOOL, F64, INT, LIST, STR, domain_of,
                            str_buffers)
 from ..codecs.nputil import CodecError, run_segments
 

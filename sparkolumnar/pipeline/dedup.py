@@ -17,8 +17,6 @@ from typing import Iterator, List
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
-
 from pyspark.sql import DataFrame, functions as F
 
 _M61 = (1 << 61) - 1
@@ -98,10 +96,6 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
              .filter(F.col("a") < F.col("b"))
              .select("a", "b", "sig_a", "sig_b")
              .dropDuplicates(["a", "b"]))
-    est = (F.size(F.zip_with("sig_a", "sig_b",
-                             lambda x, y: F.when(x == y, 1)))
-           .cast("double"))
-    # zip_with + when leaves nulls for mismatches; count non-nulls
     matches = F.size(F.filter(F.zip_with(
         "sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))

@@ -15,7 +15,7 @@ maxRecordsPerBatch so one 4K frame burst cannot OOM a worker.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
