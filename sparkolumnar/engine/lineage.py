@@ -63,7 +63,7 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
                partitions: Optional[int] = None, sort_within: bool = True,
                run_id: str = "r0",
                only_parts: Optional[set] = None,
-               plan="auto") -> EncodeJobResult:
+               plan="auto", overrides=None) -> EncodeJobResult:
     """Checkpointed encode of input_df into io's blocks table.
 
     only_parts restricts this run to a subset of partitions (used by tests
@@ -80,7 +80,8 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
         skip |= {i for i in range(p) if i not in only_parts}
     blocks = encode_table(input_df, key=key, partitions=p,
                           sort_within=sort_within, snapshot_id=snap,
-                          mode=mode, skip_parts=skip, plan=plan)
+                          mode=mode, skip_parts=skip, plan=plan,
+                          overrides=overrides)
     io.write_blocks(blocks)
     # derive checkpoint rows from what actually landed (metadata-only read)
     landed = io.read_blocks()

@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--run-id", default="cli")
+    ap.add_argument("--overrides", default=None,
+                    help="per-column codec overrides, e.g. 'ts=dod,lang=dict' "
+                         "(the reference's per-field strategy attribute)")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-encode")
@@ -41,9 +44,13 @@ def main(argv=None) -> None:
 
     df = spark.read.parquet(args.input)
     io = TableIO(spark, args.output)
+    overrides = None
+    if args.overrides:
+        overrides = dict(kv.split("=", 1) for kv in args.overrides.split(","))
     res = encode_job(spark, df, io, key=args.key, mode=args.mode,
                      partitions=args.partitions,
-                     sort_within=not args.no_sort, run_id=args.run_id)
+                     sort_within=not args.no_sort, run_id=args.run_id,
+                     overrides=overrides)
     print(json.dumps({
         "snapshot_id": res.snapshot_id,
         "parts_done_before": res.parts_done_before,
