@@ -119,10 +119,14 @@ def arrow_type_from_str(s: str) -> pa.DataType:
             if p.startswith("tz="):
                 tz = p[3:]
         return pa.timestamp(unit, tz=tz)
-    for prefix, ctor in (("list<element: ", pa.list_),
-                         ("large_list<element: ", pa.large_list)):
-        if s.startswith(prefix) and s.endswith(">"):
-            return ctor(arrow_type_from_str(s[len(prefix):-1]))
+    # pyarrow names the list child by origin: Spark-produced arrays use
+    # "element", plain pyarrow uses "item" — accept both, and preserve the
+    # child field name so the rebuilt type stringifies identically
+    for kind, ctor in (("list<", pa.list_), ("large_list<", pa.large_list)):
+        if s.startswith(kind) and s.endswith(">"):
+            inner = s[len(kind):-1]
+            child_name, _, child_type = inner.partition(": ")
+            return ctor(pa.field(child_name, arrow_type_from_str(child_type)))
     if s.startswith("decimal128(") and s.endswith(")"):
         p, sc = s[len("decimal128("):-1].split(",")
         return pa.decimal128(int(p), int(sc))

@@ -105,10 +105,13 @@ class IcebergTableIO(TableIO):
         self.checkpoint_table = checkpoint_table
 
     def write_blocks(self, blocks: DataFrame) -> None:
-        try:
+        if self.spark.catalog.tableExists(self.blocks_table):
+            # atomic replace of exactly the (snapshot, partition) pairs
+            # present in `blocks`; real failures propagate
             blocks.writeTo(self.blocks_table).overwritePartitions()
-        except Exception:
-            blocks.writeTo(self.blocks_table).partitionedBy("part_id").create()
+        else:
+            (blocks.writeTo(self.blocks_table)
+             .partitionedBy("snapshot_id", "part_id").create())
 
     def read_blocks(self) -> DataFrame:
         return self.spark.table(self.blocks_table)
