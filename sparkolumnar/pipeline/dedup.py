@@ -36,10 +36,17 @@ def _shingle_hashes(texts: pd.Series, k: int) -> List[np.ndarray]:
     out = []
     B = np.uint64(1099511628211)
     for t in texts:
-        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        enc = t.encode("utf-8", "surrogatepass")
+        b = np.frombuffer(enc, dtype=np.uint8)
         n = len(b)
         if n < k:
-            out.append(np.zeros(1, dtype=np.uint64))
+            # short doc: one content-dependent hash (a zero sentinel would
+            # make ALL short docs look identical to each other)
+            h = np.uint64(1469598103934665603)
+            with np.errstate(over="ignore"):
+                for byte in enc:
+                    h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+            out.append(np.array([h], dtype=np.uint64))
             continue
         h = np.zeros(n - k + 1, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -153,7 +160,10 @@ def _token_hashes(text: str) -> np.ndarray:
     with np.errstate(over="ignore"):
         for i in range(1, max_len):
             W[i] = W[i - 1] * B
-        contrib = np.where(tok, b.astype(np.uint64) * W[np.maximum(pos_from_end, 0)], 0)
+        # non-token positions (leading/interior whitespace) carry junk indices;
+        # clip them — their contribution is zeroed by the np.where anyway
+        widx = np.clip(pos_from_end, 0, max_len - 1)
+        contrib = np.where(tok, b.astype(np.uint64) * W[widx], 0)
         sums = np.add.reduceat(contrib, starts)
     return sums
 

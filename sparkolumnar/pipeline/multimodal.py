@@ -56,6 +56,7 @@ def decode_and_featurize(df: DataFrame, media_col: str, target: int = 32,
         for pdf in batches:
             feats = []
             widths = []
+            heights = []
             for payload in pdf[media_col]:
                 if not fake:
                     raise NotImplementedError(
@@ -63,10 +64,11 @@ def decode_and_featurize(df: DataFrame, media_col: str, target: int = 32,
                         "pass fake=True for the deterministic stub")
                 img = _fake_decode(bytes(payload), target)
                 feats.append((img.reshape(-1, 3).mean(axis=0) / 255.0).tolist())
+                heights.append(img.shape[0])
                 widths.append(img.shape[1])
             out = pdf.drop(columns=[media_col])
             out["width"] = np.array(widths, dtype=np.int32)
-            out["height"] = np.array(widths, dtype=np.int32)
+            out["height"] = np.array(heights, dtype=np.int32)
             out["feature"] = feats
             yield out
 

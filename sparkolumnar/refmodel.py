@@ -430,14 +430,15 @@ def dod_decode(buf: bytes) -> List[int]:
         if flag == 0:
             prev_value += prev_delta
         else:
-            if read(1) == 0:
-                nbits, bias = 7, 63
-            elif read(1) == 0:
-                nbits, bias = 9, 255
-            elif read(1) == 0:
-                nbits, bias = 12, 2047
-            elif read(1) == 0:
-                nbits, bias = 21, MAX_DELTA_OF_DELTA - 1
+            nbits = bias = None
+            for nb, bi in ((7, 63), (9, 255), (12, 2047),
+                           (21, MAX_DELTA_OF_DELTA - 1)):
+                b = read(1)
+                if b is None:
+                    raise RefModelError("truncated DoD prefix")
+                if b == 0:
+                    nbits, bias = nb, bi
+                    break
             else:
                 nbits, bias = 64, 0
             raw = read(nbits)
