@@ -128,3 +128,18 @@ def test_byteplane_f32():
     p = c.encode(arr)
     out = c.decode(p, len(vals), pa.float32())
     assert np.array_equal(out.to_numpy(zero_copy_only=False), vals)
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.one_of(st.none(), I64), max_size=6)),
+                max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_nested_list_fuzz(xs):
+    """Nested codec round-trips arbitrary list<int64> with nulls at both
+    levels (top-level nulls handled by the engine; codec sees null-free
+    lists with possibly-null children)."""
+    arr = pa.array([x for x in xs if x is not None],
+                   type=pa.list_(pa.int64()))
+    c = get_codec("nested")
+    out = c.decode(c.encode(arr), len(arr), arr.type)
+    assert out.to_pylist() == arr.to_pylist()

@@ -65,3 +65,19 @@ def test_all_null_column(spark):
     out = decode_blocks(encode_table(df, snapshot_id="e2"), verify=True)
     rows = out.orderBy("k").collect()
     assert all(r["v"] is None for r in rows) and len(rows) == 50
+
+
+def test_special_column_names_roundtrip(spark, tmp_path):
+    """Spaces/dashes/unicode in column names must survive the wide
+    p_<col> blocks layout through parquet."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"my col": [1, 2, 3], "col-1": ["a", "b", "c"],
+                        "naïve": [1.5, 2.5, 3.5]})
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, snapshot_id="odd")
+    p = str(tmp_path / "b")
+    blocks.write.mode("overwrite").parquet(p)
+    out = decode_blocks(spark.read.parquet(p), verify=True).collect()
+    assert sorted(r["my col"] for r in out) == [1, 2, 3]
+    assert {r["col-1"] for r in out} == {"a", "b", "c"}
