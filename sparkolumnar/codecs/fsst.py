@@ -9,14 +9,24 @@ iterative greedy pair-merging; encoding uses longest-match.
 This implementation is written for whole-batch numpy execution:
 
 * symbol lengths snap to {1,2,4,8}; longest-match is computed for every
-  byte position with at most 4 vectorized passes, longest first — direct
-  256/65536-entry lookup tables for L=1/2 and single-probe multiply-shift
-  hash tables for L=4/8 — each shorter pass running only on the positions
-  still unmatched;
+  byte position with dense contiguous passes whose results merge with a
+  plain np.maximum — every lookup table stores PACKED entries
+  (len << 16) | code, so "longest match wins" is literally the numeric
+  max and no boolean select/scatter ever runs over the full buffer. A
+  single 65536-entry table resolves both 1- and 2-byte symbols in one
+  gather; L=4/8 use single-probe multiply-shift hash tables over pure u32
+  arithmetic, gathering one u64 combo that packs key-verification bytes
+  with the code. Rolling LE keys k2/k4 are built by widening shift-or;
+  all match state is int8/int16/int32 (the passes are memory-bound —
+  dtype width is throughput). String-boundary legality is repaired on the
+  sparse tail positions afterwards instead of being checked densely;
 * the inherently sequential "next token starts after this one ends" chain
   exploits string independence: one frontier pointer per string advances in
-  lock-step (nputil.chain_segments), one vectorized gather per round, total
-  work ~ token count;
+  lock-step, 8 tokens per round via pointer-doubled composed jumps
+  (J2=J∘J, J4), so Python-level round overhead is ~tokens/8;
+* symbol-table construction vectorizes the gain counting: 8-byte LE keys
+  are gathered at token starts, pair-merge candidate keys are composed by
+  shift-or, and np.unique supplies occurrence counts — no per-token Python;
 * decode classifies escape markers via parity inside 0xFF-runs (split at
   string boundaries) and assembles output with one vectorized gather.
 
@@ -31,15 +41,14 @@ string boundaries is safe.
 
 from __future__ import annotations
 
-from collections import Counter
 from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 
 from .core import BIN, STR, Codec, from_str_buffers, register, str_buffers
-from .nputil import (CodecError, chain_segments, gather_chunks,
-                     uvarint_decode, uvarint_encode)
+from .nputil import (CodecError, gather_chunks, uvarint_decode,
+                     uvarint_encode)
 
 ESCAPE = 255
 MAX_SYMBOLS = 255
@@ -56,165 +65,281 @@ CHUNK_BYTES = 1 << 20
 # symbol table
 # ---------------------------------------------------------------------------
 
-LENGTHS = (8, 4, 2, 1)  # symbol lengths, longest-first (power-of-two snap)
+LENGTHS = (8, 4, 2, 1)  # symbol lengths (power-of-two snap)
 _HASH_BITS = 13
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_PAD = 16  # zero padding after the data buffer so LE key views never OOB
+
+# u64 mask keeping the low L bytes, indexed by L (0..8)
+_LEN_MASK = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 8)]
+                     + [0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+
+
+def _pad_buf(data: np.ndarray) -> np.ndarray:
+    """Copy `data` into a buffer with _PAD trailing zero bytes (so strided
+    little-endian key views may read past the last position safely)."""
+    out = np.zeros(len(data) + _PAD, dtype=np.uint8)
+    out[: len(data)] = data
+    return out
 
 
 class _SymTables:
-    """Match tables: direct-index for L=1/2, single-probe hash for L=4/8."""
+    """Match tables: direct-index for L=1/2, single-probe hash for L=4/8.
+
+    All keys are little-endian integers of the symbol bytes, so encode-side
+    probes read them zero-copy from uint16/32/64 views of the data buffer."""
 
     def __init__(self, symbols: List[bytes]):
-        self.tab1 = np.full(256, -1, dtype=np.int16)
-        self.tab2 = np.full(65536, -1, dtype=np.int16)
+        # packed entry = (len << 16) | code, -1 = no symbol. tab12 resolves
+        # BOTH 1- and 2-byte symbols with a single gather: slots whose
+        # 2-byte key has no symbol fall back to the 1-byte symbol of the
+        # slot's low (= first) byte.
+        self.tab1p = np.full(256, -1, dtype=np.int32)
+        self.tab12 = np.full(65536, -1, dtype=np.int32)
         self.hash4 = self._build_hash([s for s in symbols], 4)
         self.hash8 = self._build_hash([s for s in symbols], 8)
         self.has = {1: False, 2: False, 4: self.hash4 is not None,
                     8: self.hash8 is not None}
         for c, s in enumerate(symbols):
             if len(s) == 1:
-                self.tab1[s[0]] = c
+                self.tab1p[s[0]] = (1 << 16) | c
+                self.tab12[s[0]::256] = (1 << 16) | c
                 self.has[1] = True
-            elif len(s) == 2:
-                self.tab2[(s[0] << 8) | s[1]] = c
+        for c, s in enumerate(symbols):
+            if len(s) == 2:
+                self.tab12[s[0] | (s[1] << 8)] = (2 << 16) | c
                 self.has[2] = True
 
     def _build_hash(self, symbols, L):
-        entries = [(int.from_bytes(s, "big"), c)
+        """Single-probe hash table over 32-bit arithmetic only.
+
+        L=4: slot = (key32 * A) >> (32 - BITS); L=8: the key is kept as two
+        u32 halves and slot = ((lo * A) ^ (hi * B)) >> (32 - BITS) — the
+        encoder then never materializes 8-byte rolling keys (u32 multiplies
+        halve the memory traffic of the hot probe pass).
+        Returns (keys_lo, keys_hi, codes, A, B); keys_hi is None for L=4."""
+        entries = [(int.from_bytes(s, "little"), c)
                    for c, s in enumerate(symbols) if len(s) == L]
         if not entries:
             return None
         size = 1 << _HASH_BITS
-        keys = np.zeros(size, dtype=np.uint64)
-        codes = np.full(size, -1, dtype=np.int16)
-        mult = _HASH_MULT
-        for attempt in range(8):
-            keys[:] = 0
-            codes[:] = -1
-            ok = True
+        shift = 32 - _HASH_BITS
+        m32 = (1 << 32) - 1
+        # combo packs verification + code into ONE gathered u64:
+        #   L=4: combo = key32          | (code+1) << 32
+        #   L=8: combo = key_hi (u32)   | (code+1) << 32, keys_lo separate
+        # empty slot combo = 0 -> extracted code = -1 (invalid).
+        keys_lo = np.zeros(size, dtype=np.uint32) if L == 8 else None
+        combo = np.zeros(size, dtype=np.uint64)
+        a, b = 0x9E3779B1, 0x85EBCA77
+
+        def fill(a, b, drop_collisions):
+            combo[:] = 0
+            if keys_lo is not None:
+                keys_lo[:] = 0
             for k, c in entries:
-                slot = ((k * int(mult)) & ((1 << 64) - 1)) >> (64 - _HASH_BITS)
-                if codes[slot] != -1:
-                    ok = False
-                    break
-                keys[slot] = k
-                codes[slot] = c
-            if ok:
-                return keys, codes, mult
-            mult = np.uint64((int(mult) * 0xC2B2AE3D27D4EB4F + 2 * attempt + 1)
-                             & ((1 << 64) - 1)) | np.uint64(1)
+                lo, hi = k & m32, k >> 32
+                slot = (((lo * a) ^ (hi * b)) & m32) >> shift
+                if combo[slot] != 0:
+                    if drop_collisions:
+                        continue
+                    return False
+                if L == 4:
+                    combo[slot] = lo | ((c + 1) << 32)
+                else:
+                    combo[slot] = hi | ((c + 1) << 32)
+                    keys_lo[slot] = lo
+            return True
+
+        for attempt in range(8):
+            if fill(a, b, drop_collisions=False):
+                return keys_lo, combo, np.uint32(a), np.uint32(b)
+            a = ((a * 0xC2B2AE35 + 2 * attempt + 1) & m32) | 1
+            b = ((b * 0x27D4EB2F + 2 * attempt + 1) & m32) | 1
         # fall back to dropping colliding symbols (keeps correctness)
-        keys[:] = 0
-        codes[:] = -1
-        for k, c in entries:
-            slot = ((k * int(_HASH_MULT)) & ((1 << 64) - 1)) >> (64 - _HASH_BITS)
-            if codes[slot] == -1:
-                keys[slot] = k
-                codes[slot] = c
-        return keys, codes, _HASH_MULT
+        a, b = 0x9E3779B1, 0x85EBCA77
+        fill(a, b, drop_collisions=True)
+        return keys_lo, combo, np.uint32(a), np.uint32(b)
 
 
-def _match_all(data: np.ndarray, max_allowed: np.ndarray, tables: _SymTables):
+def _match_all(pad: np.ndarray, n: int, room: np.ndarray, tables: _SymTables):
     """Longest symbol match at every position (lengths 8,4,2,1 only).
 
-    Returns (match_len int64 >=1, match_code int64, code -1 = escape)."""
-    n = len(data)
-    match_len = np.ones(n, dtype=np.int64)
-    match_code = np.full(n, -1, dtype=np.int64)
+    pad: data buffer with >= _PAD trailing zero bytes; room: int32 bytes
+    remaining in the enclosing string at each position (matches never cross
+    a string boundary). Returns (match_len int8 >= 1, match_code int16,
+    code -1 = escape).
+
+    Every pass is dense and contiguous, and the pass results merge with
+    plain np.maximum: every table stores PACKED entries (len << 16) | code
+    (-1 = no symbol), so "longest match wins" is literally the numeric max.
+    tab12 resolves 1- and 2-byte symbols in a single gather; the L=4/8 hash
+    probes are pure u32 arithmetic and gather a single u64 combo that packs
+    key-verification bytes together with the code (one gather instead of
+    three). String-boundary legality is NOT checked per position; the few
+    positions per string tail whose match would cross the boundary are
+    repaired afterwards with sparse re-probes."""
     if n == 0:
-        return match_len, match_code
-    # rolling keys, built once
-    k2 = k4 = k8 = None
-    if tables.has[2] or tables.has[4] or tables.has[8]:
-        k2 = (data[:-1].astype(np.uint16) << 8) | data[1:] if n >= 2 else np.empty(0, np.uint16)
-    if tables.has[4] or tables.has[8]:
-        k4 = ((k2[:-2].astype(np.uint32) << 16) | k2[2:]) if n >= 4 else np.empty(0, np.uint32)
-    if tables.has[8]:
-        k8 = ((k4[:-4].astype(np.uint64) << np.uint64(32)) | k4[4:]) if n >= 8 else np.empty(0, np.uint64)
-    unmatched = None  # bool mask over all n positions; None = all unmatched
-    idx = None        # compressed unmatched indices once sparse enough
-    for L in LENGTHS:
-        if not tables.has[L]:
-            continue
-        m = n - L + 1
-        if m <= 0:
-            continue
-        if idx is not None:
-            # sparse path: gather only at still-unmatched positions
-            sub = idx[idx < m]
-            if len(sub) == 0:
-                continue
-            if L == 1:
-                code = tables.tab1[data[sub]]
-                hit = code >= 0
-            elif L == 2:
-                code = tables.tab2[k2[sub]]
-                hit = code >= 0
-            else:
-                keys, codes, mult = tables.hash4 if L == 4 else tables.hash8
-                key = k4[sub].astype(np.uint64) if L == 4 else k8[sub]
-                with np.errstate(over="ignore"):
-                    slot = ((key * mult) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
-                code = codes[slot]
-                hit = (code >= 0) & (keys[slot] == key)
-            hit &= max_allowed[sub] >= L
-            hidx = sub[hit]
-            match_len[hidx] = L
-            match_code[hidx] = code[hit]
-            if L > 1:
-                idx = np.concatenate([sub[~hit], idx[idx >= m]])
-                idx.sort()
-            continue
-        if L == 1:
-            code = tables.tab1[data[:m]]
-            ok = code >= 0
-        elif L == 2:
-            code = tables.tab2[k2[:m]]
-            ok = code >= 0
-        else:
-            keys, codes, mult = tables.hash4 if L == 4 else tables.hash8
-            key = k4[:m].astype(np.uint64) if L == 4 else k8[:m]
+        return np.ones(0, dtype=np.int8), np.full(0, -1, dtype=np.int16)
+    shift = np.uint32(32 - _HASH_BITS)
+    need2 = tables.has[1] or tables.has[2] or tables.has[4] or tables.has[8]
+    need4 = tables.has[4] or tables.has[8]
+    k2 = k4 = None
+    if need2:
+        # k2[p] over [0, n+8): LE 2-byte key (padding supplies the tail)
+        m2 = n + 8
+        k2 = pad[:m2].astype(np.uint16)
+        k2 |= pad[1:m2 + 1].astype(np.uint16) << np.uint16(8)
+    if tables.has[1] or tables.has[2]:
+        v = tables.tab12[k2[:n]]
+    else:
+        v = np.full(n, -1, dtype=np.int32)
+    if need4:
+        m4 = n + 4
+        k4 = k2[:m4].astype(np.uint32)
+        k4 |= k2[2:m4 + 2].astype(np.uint32) << np.uint32(16)
+    with np.errstate(over="ignore"):
+        if tables.hash4 is not None:
+            _, combo, a, _ = tables.hash4
+            slot = k4[:n] * a
+            np.right_shift(slot, shift, out=slot)
+            got = combo[slot]
+            # pv = packed candidate; stays -1 for empty slots (code -1)
+            pv = (got >> np.uint64(32)).astype(np.int32)
+            pv -= 1
+            pv |= 4 << 16  # -1 | x == -1; valid code c -> (4<<16)|c
+            keq = got.astype(np.uint32) == k4[:n]
+            msk = keq.view(np.int8).astype(np.int32)  # 0/1
+            msk = -msk                                # 0 / -1
+            pv += 1
+            pv &= msk
+            pv -= 1
+            np.maximum(v, pv, out=v)
+        if tables.hash8 is not None:
+            keys_lo, combo, a, b = tables.hash8
+            slot = k4[:n] * a
+            slot ^= k4[4:n + 4] * b
+            np.right_shift(slot, shift, out=slot)
+            got = combo[slot]
+            pv = (got >> np.uint64(32)).astype(np.int32)
+            pv -= 1
+            pv |= 8 << 16
+            keq = keys_lo[slot] == k4[:n]
+            keq &= got.astype(np.uint32) == k4[4:n + 4]
+            msk = keq.view(np.int8).astype(np.int32)
+            msk = -msk
+            pv += 1
+            pv &= msk
+            pv -= 1
+            np.maximum(v, pv, out=v)
+    # repair string tails: positions whose match would cross the boundary
+    # (sparse — at most len(symbol)-1 per string)
+    vlen = v >> 16  # -1 for escapes
+    bad = np.flatnonzero(vlen > room)
+    if len(bad):
+        r = room[bad]
+        fix = tables.tab1p[pad[bad]]
+        if tables.has[2]:
+            v2 = tables.tab12[k2[bad]]
+            ok2 = (v2 >> 16) <= r
+            fix = np.where(ok2, v2, fix)
+        if tables.hash4 is not None:
+            _, combo, a, _ = tables.hash4
+            kb = k4[bad]
             with np.errstate(over="ignore"):
-                slot = ((key * mult) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
-            code = codes[slot]
-            ok = (code >= 0) & (keys[slot] == key)
-        ok &= max_allowed[:m] >= L
-        sel = ok if unmatched is None else (ok & unmatched[:m])
-        match_len[:m][sel] = L
-        match_code[:m][sel] = code[sel]
-        if L > 1:  # last pass needs no bookkeeping
-            if unmatched is None:
-                unmatched = np.ones(n, dtype=bool)
-            unmatched[:m] &= ~ok
-            # switch to the sparse path once most positions are matched
-            remaining = int(unmatched.sum())
-            if remaining < n // 3:
-                idx = np.flatnonzero(unmatched)
-                unmatched = None
+                sl = (kb * a) >> shift
+            got = combo[sl]
+            c4 = (got >> np.uint64(32)).astype(np.int32) - 1
+            h4 = (c4 >= 0) & (got.astype(np.uint32) == kb) & (r >= 4)
+            fix = np.where(h4, c4 | (4 << 16), fix)
+        v[bad] = fix
+        vlen[bad] = fix >> 16
+    match_len = np.maximum(vlen, 1).astype(np.int8)
+    match_code = (v & 0xFFFF).astype(np.int16)
     return match_len, match_code
 
 
-def _tokenize(data: np.ndarray, offsets: np.ndarray,
+def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
+    """Token start positions: per-string frontier chains walked in
+    lock-step, 8 tokens per round via pointer-doubled composed jumps
+    (J2 = J∘J, J4). Emitted positions are marked in a bitmap and recovered
+    with flatnonzero — cheaper than sorting the concatenated rounds."""
+    J1 = np.empty(n + 1, dtype=np.int32)
+    J1[:n] = jump
+    J1[n] = n  # terminal sink (jump values are clamped <= n by room)
+    J2 = J1[J1]
+    J4 = J2[J2]
+    cur = offsets[:-1]
+    ends = offsets[1:]
+    nonempty = ends > cur
+    cur = np.array(cur[nonempty], dtype=np.int32)
+    ends = np.array(ends[nonempty], dtype=np.int32)
+    mark = np.zeros(n, dtype=bool)
+    total = 0
+    mat = None
+    while len(cur):
+        k = len(cur)
+        if mat is None or mat.shape[1] != k:
+            mat = np.empty((8, k), dtype=np.int32)
+        mat[0] = cur
+        mat[1] = J1[cur]
+        mat[2] = J2[cur]
+        mat[3] = J2[mat[1]]
+        mat[4] = J4[cur]
+        for i in range(1, 4):
+            mat[4 + i] = J4[mat[i]]
+        valid = mat < ends[None, :]
+        mark[mat[valid]] = True
+        total += k * 8
+        if total > 9 * (n + 8):
+            raise CodecError("jump chain does not advance")
+        cur = J4[mat[4]]
+        alive = cur < ends
+        if not alive.all():
+            cur = cur[alive]
+            ends = ends[alive]
+            mat = None
+    return np.flatnonzero(mark).astype(np.int32)
+
+
+def _tokenize(pad: np.ndarray, n: int, offsets: np.ndarray,
               tables: "_SymTables") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Token start positions, lengths and codes for the whole buffer."""
-    n = len(data)
+    """Token start positions, lengths and codes for the whole buffer.
+
+    pad: padded data buffer (see _pad_buf); offsets: int32, offsets[0]==0,
+    offsets[-1]==n."""
     if n == 0:
-        return (np.empty(0, np.int64),) * 3
+        return (np.empty(0, np.int32), np.empty(0, np.int8),
+                np.empty(0, np.int16))
     str_lens = np.diff(offsets)
     ends = np.repeat(offsets[1:], str_lens)
-    max_allowed = ends - np.arange(n, dtype=np.int64)
-    match_len, match_code = _match_all(data, max_allowed, tables)
-    # strings are independent chains (matches never cross a boundary), so
-    # walk one frontier pointer per string in lock-step instead of one
-    # global pointer-doubling orbit
-    starts = chain_segments(np.arange(n, dtype=np.int64) + match_len,
-                            offsets[:-1], offsets[1:])
+    ar = np.arange(n, dtype=np.int32)
+    room = ends - ar
+    match_len, match_code = _match_all(pad, n, room, tables)
+    jump = ar  # reuse the arange buffer
+    jump += match_len
+    starts = _chain_starts(jump, offsets, n)
     return starts, match_len[starts], match_code[starts]
+
+
+def _le64_at(pad: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Little-endian 8-byte key gathered at each (byte) position."""
+    k = pad[starts].astype(np.uint64)
+    for i in range(1, 8):
+        k |= pad[starts + i].astype(np.uint64) << np.uint64(8 * i)
+    return k
+
+
+_SNAP = np.array([0, 1, 2, 2, 4, 4, 4, 4, 8], dtype=np.int64)
 
 
 def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
                 sample_bytes: Optional[int] = None) -> List[bytes]:
     """Greedy iterative pair-merge symbol table construction on a sample.
+
+    Gain counting is fully vectorized: tokens and pair-merge candidates are
+    represented as (length, LE-int key) and counted with np.unique; the
+    gain of symbol s is occurrences * len(s), kept when occurrences >= 2.
 
     Defaults are tuned for per-batch builds; job-level plans pass a larger
     sample and more rounds (engine/plan.py) since they build once."""
@@ -225,33 +350,56 @@ def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
     if len(data) > sample_bytes:
         cut = int(np.searchsorted(offsets, sample_bytes))
         cut = max(1, min(cut, len(offsets) - 1))
-        s_off = offsets[:cut + 1].astype(np.int64)
+        s_off = offsets[:cut + 1]
         s_data = data[: int(s_off[-1])]
     else:
         s_off = offsets
         s_data = data
-    sbytes = s_data.tobytes()
+    n = len(s_data)
+    if n == 0:
+        return []
+    pad = _pad_buf(s_data)
+    off32 = np.asarray(s_off).astype(np.int32)
     symbols: List[bytes] = []
     for _ in range(rounds):
-        starts, lens, codes = _tokenize(s_data, s_off, _SymTables(symbols))
-        if len(starts) == 0:
+        starts, lens, codes = _tokenize(pad, n, off32, _SymTables(symbols))
+        t = len(starts)
+        if t == 0:
             break
-        gains: Counter = Counter()
-        tok = [sbytes[int(s): int(s) + int(l)] for s, l in zip(starts, lens)]
-        # which string each token belongs to (pairs must not cross)
-        sid = np.searchsorted(s_off, starts, side="right")
-        snap = (0, 1, 2, 2, 4, 4, 4, 4, 8)  # snap to power-of-two lengths
-        for i, t in enumerate(tok):
-            gains[t] += len(t)
-            if i + 1 < len(tok) and sid[i] == sid[i + 1]:
-                cat = t + tok[i + 1]
-                cat = cat[: snap[min(len(cat), MAX_LEN)]]
-                if len(cat) > len(t):
-                    gains[cat] += len(cat)
-        # gains[s] = occurrences * len(s); require >= 2 occurrences
-        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        symbols = [s for s, g in ranked[:MAX_SYMBOLS]
-                   if len(s) <= MAX_LEN and g >= 2 * len(s)]
+        lens = lens.astype(np.int64)
+        key = _le64_at(pad, starts) & _LEN_MASK[lens]
+        # pair-merge candidates: token i + token i+1, truncated to the
+        # power-of-two snap; pairs must not cross a string boundary — with
+        # contiguous strings that is exactly "next token start < this
+        # token's string end"
+        estr = off32[np.searchsorted(off32, starts, side="right")]
+        nxt = np.empty(t, dtype=np.int32)
+        nxt[:-1] = starts[1:]
+        nxt[-1] = n
+        cat_len = _SNAP[np.minimum(lens + np.roll(lens, -1), MAX_LEN)]
+        ok = (nxt < estr) & (cat_len > lens)  # lens[ok] <= 4, shift < 64
+        cat_key = ((key | (np.roll(key, -1) << (lens.astype(np.uint64)
+                                                * np.uint64(8))))[ok]
+                   & _LEN_MASK[cat_len[ok]])
+        cat_len = cat_len[ok]
+        cands: List[Tuple[int, bytes]] = []
+        for L in (1, 2, 4, 8):
+            ks = np.concatenate([key[lens == L], cat_key[cat_len == L]])
+            if len(ks) == 0:
+                continue
+            uk, cnt = np.unique(ks, return_counts=True)
+            keep = cnt >= 2  # gain = cnt * L >= 2 * L
+            uk, cnt = uk[keep], cnt[keep]
+            if len(uk) > 2 * MAX_SYMBOLS:
+                # deterministic top slice: sort by (-count, byte-lex key)
+                be = uk.byteswap() >> np.uint64(8 * (8 - L))
+                order = np.lexsort((be, -cnt))[: 2 * MAX_SYMBOLS]
+                uk, cnt = uk[order], cnt[order]
+            gain = cnt.astype(np.int64) * L
+            for k_, g_ in zip(uk.tolist(), gain.tolist()):
+                cands.append((-g_, int(k_).to_bytes(L, "little")))
+        cands.sort()
+        symbols = [s for _, s in cands[:MAX_SYMBOLS]]
     return symbols
 
 
@@ -285,20 +433,23 @@ def fsst_encode(data: np.ndarray, offsets: np.ndarray,
         end_str = int(np.searchsorted(offsets, limit, side="left"))
         end_str = max(start_str + 1, min(end_str, n_strings))
         lo, hi = int(offsets[start_str]), int(offsets[end_str])
-        c_off = offsets[start_str:end_str + 1].astype(np.int64) - lo
-        c_data = data[lo:hi]
-        starts, lens, codes = _tokenize(c_data, c_off, tables)
+        if hi - lo >= 1 << 31:
+            raise CodecError("fsst chunk exceeds 2 GiB (single giant string)")
+        c_off = (offsets[start_str:end_str + 1] - lo).astype(np.int32)
+        c_pad = _pad_buf(data[lo:hi])
+        starts, lens, codes = _tokenize(c_pad, hi - lo, c_off, tables)
         is_code = codes >= 0
-        out_len = np.where(is_code, 1, 2)
-        out_pos = np.cumsum(out_len) - out_len
-        out = np.empty(int(out_len.sum()), dtype=np.uint8)
+        out_len = np.where(is_code, np.int32(1), np.int32(2))
+        cum = np.cumsum(out_len, dtype=np.int32)
+        out_pos = cum - out_len
+        out = np.empty(int(cum[-1]) if len(cum) else 0, dtype=np.uint8)
         cp = out_pos[is_code]
         out[cp] = codes[is_code]
         ep = out_pos[~is_code]
         out[ep] = ESCAPE
-        out[ep + 1] = c_data[starts[~is_code]]
+        out[ep + 1] = c_pad[starts[~is_code]]
         # encoded length per string: tokens per string via boundaries
-        tok_out_end = np.concatenate([[0], np.cumsum(out_len)])
+        tok_out_end = np.concatenate([[0], cum])
         ntok_before = np.searchsorted(starts, c_off[1:], side="left")
         enc_end = tok_out_end[ntok_before]
         enc_lens = np.diff(np.concatenate([[0], enc_end]))

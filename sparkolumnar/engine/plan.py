@@ -1,13 +1,21 @@
 """Job-level codec plan: the "single Spark pass" statistics/selection step
 from the north star.
 
-build_plan() samples the input once (driver-side Arrow pull of a bounded
-row count), runs the full per-column selector on the sample, and captures
-anything expensive to rebuild per batch — today that is the FSST symbol
-table. The plan is a tiny plain-dict object that rides into the encode UDF
-closure (an implicit broadcast), so per-batch work drops to: encode the
-planned codec + the cheap always-on safety candidates, and never rebuild
-symbol tables.
+build_plan() samples the input ACROSS partitions (a bounded per-partition
+head take via mapInArrow, collected small to the driver), runs the full
+per-column selector on the sample, and captures anything expensive to
+rebuild per batch — today that is the FSST symbol table. The plan is a tiny
+plain-dict object that rides into the encode UDF closure (an implicit
+broadcast), so per-batch work drops to: encode the planned codec + the
+cheap always-on safety candidates, and never rebuild symbol tables.
+
+Why not `df.limit(n)`: limit pulls from the first partition(s) only, so a
+sorted or per-host-clustered input would mis-plan the FSST/dict decision
+for the whole job. The per-partition take spreads the sample over up to
+_SAMPLE_PARTS evenly-strided partitions, which is unbiased w.r.t. any
+partition-level clustering and costs one cheap narrow job (each sampled
+task reads only its first Arrow batches; at cluster scale the non-sampled
+tasks are no-ops).
 
 Size-parity note: the plan never *removes* the cheap reference-format
 candidates from the per-batch race (selector.select_encode always encodes
@@ -20,13 +28,19 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
 
 from ..codecs import fsst as fsst_mod
-from ..codecs.core import str_buffers
-from .selector import BALANCED, SIZE, select_encode
+from ..codecs import get_codec
+from ..codecs.core import BIN, STR, domain_of, str_buffers
+from ..codecs.nputil import CodecError
+from .selector import BALANCED, FAST, SIZE, select_encode
 
 DEFAULT_SAMPLE_ROWS = 8_192
+_SAMPLE_PARTS = 64          # spread the sample over at most this many parts
+_JOB_FSST_SAMPLE = 128 << 10
+_JOB_FSST_ROUNDS = 5
 
 
 @dataclass
@@ -45,6 +59,39 @@ class CodecPlan:
         return self.columns.get(name)
 
 
+def _raw_bytes(arr: pa.Array) -> int:
+    return sum(b.size for b in arr.buffers() if b is not None)
+
+
+def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
+    """Price every string-domain candidate on the sample, building the
+    job-level FSST symbol table exactly once (the per-batch select_encode
+    path would build a throwaway table first and the job table second)."""
+    sizes: Dict[str, int] = {"split": len(get_codec("split").encode(arr))}
+    if len(arr) > 1:
+        from ..codecs.rle_family import rle_size_binary
+        sizes["rle"] = rle_size_binary(arr)
+    try:
+        sizes["dict"] = len(get_codec("dict").encode(arr))
+    except (CodecError, OverflowError):
+        pass
+    symbols: Optional[List[bytes]] = None
+    if mode != FAST:
+        data, offsets = str_buffers(arr)
+        symbols = fsst_mod.build_table(
+            data, offsets, rounds=_JOB_FSST_ROUNDS,
+            sample_bytes=_JOB_FSST_SAMPLE)
+        if symbols:
+            sizes["fsst"] = len(fsst_mod.fsst_encode(
+                data, offsets, symbols=symbols))
+    best = min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    cp = ColumnPlan(codec=best,
+                    sample_ratio=sizes[best] / max(1, _raw_bytes(arr)))
+    if best == "fsst":
+        cp.fsst_symbols = symbols
+    return cp
+
+
 def plan_from_sample(sample: pa.Table, mode: str = BALANCED) -> CodecPlan:
     plan = CodecPlan(mode=mode)
     for i, fld in enumerate(sample.schema):
@@ -53,26 +100,54 @@ def plan_from_sample(sample: pa.Table, mode: str = BALANCED) -> CodecPlan:
             arr = arr.drop_null()
         if len(arr) == 0:
             continue
-        choice = select_encode(arr, mode=SIZE if mode != "fast" else mode)
+        try:
+            dom = domain_of(arr.type)
+        except CodecError:
+            continue
+        if dom in (STR, BIN):
+            plan.columns[fld.name] = _plan_str_column(arr, mode)
+            continue
+        choice = select_encode(arr, mode=SIZE if mode != FAST else mode)
         raw = max(1, _raw_bytes(arr))
-        cp = ColumnPlan(codec=choice.codec,
-                        sample_ratio=len(choice.payload) / raw)
-        if choice.codec == "fsst":
-            # one-time job-level build: afford a bigger sample + more
-            # merge rounds (~5-6% better ratio than the per-batch default)
-            data, offsets = str_buffers(arr)
-            cp.fsst_symbols = fsst_mod.build_table(
-                data, offsets, rounds=5, sample_bytes=128 << 10)
-        plan.columns[fld.name] = cp
+        plan.columns[fld.name] = ColumnPlan(
+            codec=choice.codec, sample_ratio=len(choice.payload) / raw)
     return plan
 
 
-def _raw_bytes(arr: pa.Array) -> int:
-    return sum(b.size for b in arr.buffers() if b is not None)
+def sample_table(df, sample_rows: int = DEFAULT_SAMPLE_ROWS) -> pa.Table:
+    """Cross-partition sample: up to _SAMPLE_PARTS evenly-strided
+    partitions each contribute a bounded head slice, collected small."""
+    from pyspark import TaskContext
+
+    try:
+        nparts = max(1, df.rdd.getNumPartitions())
+    except Exception:
+        nparts = _SAMPLE_PARTS
+    want = min(nparts, _SAMPLE_PARTS)
+    step = max(1, nparts // want)
+    per_part = max(64, sample_rows // want)
+
+    def take_head(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if pid % step:
+            return
+        taken = 0
+        for batch in batches:
+            if taken >= per_part:
+                break
+            take = min(batch.num_rows, per_part - taken)
+            if take > 0:
+                yield batch.slice(0, take)
+            taken += take
+
+    sample = df.mapInArrow(take_head, df.schema).toArrow()
+    if sample.num_rows == 0:  # e.g. all sampled partitions empty
+        sample = df.limit(sample_rows).toArrow()
+    return sample
 
 
 def build_plan(df, mode: str = BALANCED,
                sample_rows: int = DEFAULT_SAMPLE_ROWS) -> CodecPlan:
-    """Sample the DataFrame (bounded driver pull) and derive the plan."""
-    sample = df.limit(sample_rows).toArrow()
-    return plan_from_sample(sample, mode=mode)
+    """Cross-partition sample (one narrow Spark job) -> codec plan."""
+    return plan_from_sample(sample_table(df, sample_rows), mode=mode)

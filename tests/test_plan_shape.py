@@ -66,3 +66,28 @@ def test_projection_decode_prunes_payloads_at_scan(spark, tmp_path):
     assert "p_url" in scan and "p_lang" in scan, scan
     assert "p_text" not in scan and "p_html" not in scan, scan
     assert out.count() == 2000
+
+
+def test_plan_sample_spans_partitions(spark):
+    """build_plan's sample must draw from more than one partition (a
+    limit()-style head pull would mis-plan sorted/clustered inputs)."""
+    from sparkolumnar.engine.plan import sample_table
+
+    pages = pages_df(spark, 4000).repartition(8)
+    tagged = pages.withColumn("pid", F.spark_partition_id())
+    sample = sample_table(tagged, sample_rows=2048)
+    pids = set(sample.column("pid").to_pylist())
+    assert len(pids) > 1, pids
+
+
+def test_plan_picks_fsst_on_clustered_input(spark):
+    """A value-clustered (sorted) input must still yield the same codec
+    decisions as the natural order — the cross-partition sample defeats
+    first-partition bias."""
+    from sparkolumnar.engine.plan import build_plan
+
+    pages = pages_df(spark, 4000)
+    natural = build_plan(pages)
+    clustered = build_plan(pages.repartition(8).sortWithinPartitions("lang"))
+    for col in ("text", "html", "url"):
+        assert clustered.columns[col].codec == natural.columns[col].codec
