@@ -237,6 +237,31 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank")
 
 
+def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-column round-trip: pack documents metadata into a struct
+    and a map column, run the distributed encode -> decode(verify=True)
+    (struct fields recurse through the per-field selector, map rides
+    offsets+keys+values — codecs/containers.py), then aggregate over the
+    struct field. The oracle recomputes the same aggregate from the raw
+    table, so any container-codec corruption breaks the hash match."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("lang"),
+                 F.col("n_chars").alias("n_chars")).alias("meta"),
+        F.create_map(F.lit("source"), F.col("source")).alias("attrs"))
+    blocks = encode_table(df, key="doc_id", snapshot_id="structq",
+                          sort_within=True)
+    dec = decode_blocks(blocks, verify=True)
+    return (dec.groupBy(F.col("meta.lang").alias("lang"))
+            .agg(F.sum(F.col("meta.n_chars")).alias("sum_chars"),
+                 F.countDistinct(F.col("attrs")["source"]).alias("n_sources"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (the distributed engine itself; not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -355,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": _q_fingerprint_dedup,
         "ann_topk": _q_ann_topk,
         "cosine_neardup": _q_cosine_neardup,
+        "struct_field_agg": _q_struct_field_agg,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -502,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
                             END) AS BIGINT) AS sum_tokens,
                    COUNT(*) AS n_docs,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_bytes
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "struct_field_agg": """
+            SELECT lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -10,4 +10,5 @@ from . import bitpack  # noqa: F401  (registers for_bitpack, bitpack)
 from . import dict_codec  # noqa: F401  (registers dict)
 from . import fsst  # noqa: F401  (registers fsst)
 from . import nested  # noqa: F401  (registers nested)
+from . import containers  # noqa: F401  (registers struct, map, dec128)
 from . import byteplane  # noqa: F401  (registers byteplane)

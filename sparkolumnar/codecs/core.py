@@ -32,7 +32,10 @@ STR = "str"     # utf8 string
 BIN = "bin"     # raw binary
 F64 = "f64"
 F32 = "f32"
-LIST = "list"   # nested containers (list<...>), handled by codecs.nested
+LIST = "list"      # nested containers (list<...>), handled by codecs.nested
+STRUCT = "struct"  # struct<...> -> per-field sub-columns (codecs.containers)
+MAP = "map"        # map<k,v> -> offsets + keys + values (codecs.containers)
+DEC128 = "dec128"  # decimal128(p>18) -> two int64 limb columns
 
 _INT_TYPES = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
@@ -46,8 +49,10 @@ def domain_of(typ: pa.DataType) -> str:
         return BOOL
     if typ in _INT_TYPES or pa.types.is_timestamp(typ) or typ == pa.date64():
         return INT
-    if pa.types.is_decimal(typ) and typ.precision <= 18:
-        return INT  # unscaled value rides the int64 path losslessly
+    if pa.types.is_decimal128(typ):
+        if typ.precision <= 18:
+            return INT  # unscaled value rides the int64 path losslessly
+        return DEC128  # wide decimals ride two int64 limb columns
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         return STR
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
@@ -58,6 +63,10 @@ def domain_of(typ: pa.DataType) -> str:
         return F32
     if pa.types.is_list(typ) or pa.types.is_large_list(typ):
         return LIST
+    if pa.types.is_struct(typ):
+        return STRUCT
+    if pa.types.is_map(typ):
+        return MAP
     raise CodecError(f"unsupported arrow type {typ}")
 
 
@@ -118,6 +127,22 @@ def from_str_buffers(data: np.ndarray, offsets: np.ndarray, typ: pa.DataType) ->
          pa.py_buffer(np.ascontiguousarray(data, np.uint8).tobytes())],
     )
     return big.cast(typ)
+
+
+def reassemble_nulls(vals: pa.Array, vmask: np.ndarray, n: int,
+                     typ: pa.DataType) -> pa.Array:
+    """Spread `vals` (the valid rows, in order) back over n rows according
+    to validity mask `vmask`. Works for EVERY arrow type (incl. struct and
+    map, which pa.compute.if_else does not support): take() with a null
+    index yields a null output row."""
+    n_valid = len(vals)
+    if n_valid == n:
+        return vals
+    if n_valid == 0:
+        return pa.nulls(n, typ)
+    idx = np.zeros(n, dtype=np.int64)
+    idx[vmask] = np.arange(n_valid)
+    return vals.take(pa.array(idx, type=pa.int64(), mask=~vmask))
 
 
 class Codec:

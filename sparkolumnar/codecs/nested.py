@@ -101,11 +101,9 @@ class NestedCodec(Codec):
             n_valid = n_child
         vals = get_codec(codec_name).decode(child_payload, n_valid, value_type)
         if vmask is not None:
-            idx = np.zeros(n_child, dtype=np.int64)
-            idx[vmask] = np.arange(n_valid)
-            taken = vals.take(pa.array(idx)) if n_valid else pa.nulls(n_child, value_type)
-            vals = pa.compute.if_else(pa.array(vmask), taken,
-                                      pa.nulls(n_child, value_type))
+            from .core import reassemble_nulls
+
+            vals = reassemble_nulls(vals, vmask, n_child, value_type)
         out = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
         if pa.types.is_list(typ):
             out = out.cast(typ)

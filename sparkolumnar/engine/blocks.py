@@ -107,6 +107,25 @@ def arrow_type_to_str(typ: pa.DataType) -> str:
     return str(typ)
 
 
+def _split_top(s: str) -> List[str]:
+    """Split on ', ' at angle-bracket depth 0 (nested type params)."""
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0 and s[i:i + 2] == ", ":
+            parts.append(s[start:i])
+            start = i + 2
+            i += 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
 def arrow_type_from_str(s: str) -> pa.DataType:
     if s in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[s]
@@ -130,6 +149,17 @@ def arrow_type_from_str(s: str) -> pa.DataType:
     if s.startswith("decimal128(") and s.endswith(")"):
         p, sc = s[len("decimal128("):-1].split(",")
         return pa.decimal128(int(p), int(sc))
+    if s.startswith("struct<") and s.endswith(">"):
+        inner = s[len("struct<"):-1]
+        fields = []
+        if inner:
+            for part in _split_top(inner):
+                fname, _, ftype = part.partition(": ")
+                fields.append(pa.field(fname, arrow_type_from_str(ftype)))
+        return pa.struct(fields)
+    if s.startswith("map<") and s.endswith(">"):
+        kt, vt = _split_top(s[len("map<"):-1])
+        return pa.map_(arrow_type_from_str(kt), arrow_type_from_str(vt))
     raise ValueError(f"cannot parse arrow type {s!r}")
 
 
@@ -138,8 +168,8 @@ def arrow_type_from_str(s: str) -> pa.DataType:
 def canonical_checksum(arr: pa.Array) -> str:
     """sha256 over a canonical byte image of a column chunk (values +
     validity), so decode can prove bit-identity without a join."""
-    from ..codecs.core import (BIN, BOOL, F64, INT, LIST, STR, domain_of,
-                               str_buffers, to_int64)
+    from ..codecs.core import (BIN, BOOL, DEC128, F64, INT, LIST, MAP, STR,
+                               STRUCT, domain_of, str_buffers, to_int64)
 
     h = hashlib.sha256()
     if arr.null_count:
@@ -162,6 +192,21 @@ def canonical_checksum(arr: pa.Array) -> str:
         offsets, child = _list_parts(vals)
         h.update(offsets.astype("<i8", copy=False).tobytes())
         h.update(canonical_checksum(child).encode())
+    elif dom == STRUCT:
+        for i in range(vals.type.num_fields):
+            h.update(vals.type.field(i).name.encode())
+            h.update(canonical_checksum(vals.field(i)).encode())
+    elif dom == MAP:
+        from ..codecs.containers import _map_parts
+
+        offsets, keys, items = _map_parts(vals)
+        h.update(offsets.astype("<i8", copy=False).tobytes())
+        h.update(canonical_checksum(keys).encode())
+        h.update(canonical_checksum(items).encode())
+    elif dom == DEC128:
+        raw = np.frombuffer(vals.buffers()[1], dtype=np.int64)
+        pairs = raw[2 * vals.offset: 2 * (vals.offset + len(vals))]
+        h.update(pairs.astype("<i8", copy=False).tobytes())
     else:
         dt = "<f8" if dom == F64 else "<f4"
         h.update(vals.to_numpy(zero_copy_only=False).astype(dt, copy=False).tobytes())

@@ -56,12 +56,11 @@ def decode_block_row(row: dict, verify: bool = False,
         n_valid = n - n_nulls
         vals = get_codec(meta["codec"]).decode(payload, n_valid, typ)
         if n_nulls:
+            from ..codecs.core import reassemble_nulls
+
             valid = get_codec("bool_rle").decode(validity, n, pa.bool_())
             vmask = valid.to_numpy(zero_copy_only=False)
-            idx = np.zeros(n, dtype=np.int64)
-            idx[vmask] = np.arange(n_valid)
-            taken = vals.take(pa.array(idx, type=pa.int64())) if n_valid else pa.nulls(n, typ)
-            arr = pa.compute.if_else(pa.array(vmask), taken, pa.nulls(n, typ))
+            arr = reassemble_nulls(vals, vmask, n, typ)
         else:
             arr = vals
         if verify and canonical_checksum(arr) != meta["checksum_in"]:

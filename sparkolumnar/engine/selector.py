@@ -27,8 +27,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs import get_codec
-from ..codecs.core import (BIN, BOOL, F64, INT, LIST, STR, domain_of,
-                           str_buffers)
+from ..codecs.core import (BIN, BOOL, DEC128, F64, INT, LIST, MAP, STR,
+                           STRUCT, domain_of, str_buffers)
+
+# container domains route to exactly one composite codec (which recurses
+# through this selector for its children)
+_CONTAINER_CODEC = {LIST: "nested", STRUCT: "struct", MAP: "map",
+                    DEC128: "dec128"}
 from ..codecs.nputil import CodecError, run_segments
 
 # selector modes
@@ -84,7 +89,7 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
             return Choice(codec=override, payload=payload,
                           tried={override: len(payload)})
         except (CodecError, OverflowError, pa.ArrowInvalid):
-            fallback = "nested" if dom == LIST else "plain"
+            fallback = _CONTAINER_CODEC.get(dom, "plain")
             payload = get_codec(fallback).encode(arr)
             return Choice(codec=fallback, payload=payload,
                           tried={fallback: len(payload)})
@@ -102,10 +107,11 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
 
     payloads: Dict[str, bytes] = {}
 
-    if dom == LIST:
-        p = run("nested")
+    if dom in _CONTAINER_CODEC:
+        cname = _CONTAINER_CODEC[dom]
+        p = run(cname)
         if p is not None:
-            payloads["nested"] = p
+            payloads[cname] = p
     elif dom == BOOL:
         for name in ("bool_rle", "plain"):
             p = run(name)
