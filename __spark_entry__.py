@@ -280,14 +280,33 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkolumnar.pipeline import simhash_buckets
+    """SimHash profile via the JVM md5-based implementation — bit-exactly
+    recomputed by the DuckDB oracle (the numpy fast path simhash_buckets
+    shares the algorithm and keeps its own unit-test gate)."""
+    from sparkolumnar.pipeline import simhash64_md5
 
     docs = _t(spark, sf_dir, "documents")
-    sh = simhash_buckets(docs, "text", "doc_id")
+    sh = simhash64_md5(docs, "text", "doc_id")
     return sh.select(
         F.count("*").alias("n_docs"),
         F.countDistinct("simhash").alias("n_distinct_simhash"),
         F.countDistinct("band0").alias("n_band0_buckets"))
+
+
+def _q_minhash_wordgram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 MinHash over word 3-grams — the oracle recomputes
+    every signature component bit-for-bit."""
+    from sparkolumnar.pipeline import minhash_wordgram_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_wordgram_signatures(docs, "text", "doc_id", n_hashes=8)
+    sig_str = F.concat_ws(",", *[F.col(f"h{i}").cast("string")
+                                 for i in range(8)])
+    return sigs.select(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(sig_str).alias("n_distinct_sig"),
+        F.countDistinct("h0").alias("n_distinct_h0"),
+        F.min("h0").alias("min_h0"))
 
 
 def _q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,14 +318,19 @@ def _q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-vs-exact recall@5 on the embeddings table (the ANN scale path
-    measured against its own brute-force baseline)."""
-    from sparkolumnar.pipeline import brute_force_topk, ivf_topk
+    """IVF-vs-exact recall@5 on the embeddings table, over a PERSISTED
+    index: ivf_build writes centroids + a cell-partitioned corpus once,
+    ivf_query probes only the nprobe cells (partition-pruned scan)."""
+    import tempfile
+
+    from sparkolumnar.pipeline import brute_force_topk, ivf_build, ivf_query
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).select(
+    path = tempfile.mkdtemp(prefix="sparkolumnar_ivf_")
+    ivf_build(emb, path, n_clusters=8)
+    approx = ivf_query(spark, path, queries, k=5, nprobe=4).select(
         "query_id", "neighbor_id")
     hits = exact.intersect(approx).count()
     total = exact.count()
@@ -381,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cosine_neardup": _q_cosine_neardup,
         "struct_field_agg": _q_struct_field_agg,
+        "minhash_wordgram_profile": _q_minhash_wordgram_profile,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -389,6 +414,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_distribution": _q_lang_id_distribution,
         "ivf_recall": _q_ivf_recall,
     }
+
+
+_TOKS_SQL = "list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB recomputation of simhash64_md5 (bit votes over the high 64
+    bits of md5 per token, sign-packed into a signed 64-bit value)."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (h64 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64))
+    packed = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(64))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h64
+            FROM tok
+        ), v AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id
+        ), s AS (
+            SELECT d.doc_id, ({packed}) AS u
+            FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        ), sg AS (
+            SELECT doc_id,
+                   (u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
+                        THEN 18446744073709551616::HUGEINT
+                        ELSE 0::HUGEINT END)::BIGINT AS simhash,
+                   (u & 65535)::BIGINT AS band0
+            FROM s
+        )
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT simhash) AS n_distinct_simhash,
+               COUNT(DISTINCT band0) AS n_band0_buckets
+        FROM sg
+    """
+
+
+def _minhash_wordgram_oracle_sql(n_hashes: int = 8) -> str:
+    mins = ",\n                   ".join(
+        f"MIN(CASE WHEN i = {k} THEN h END) AS h{k}"
+        for k in range(n_hashes))
+    sig = " || ',' || ".join(f"h{k}::VARCHAR" for k in range(n_hashes))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                            list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' '
+                                     || toks[i+2])
+                        WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+                        ELSE [''] END AS shingles
+            FROM t
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS sh FROM s
+        ), hh AS (
+            SELECT doc_id, i,
+                   ('0x' || substr(md5(i::VARCHAR || '|' || sh), 2, 15))
+                       ::UBIGINT::BIGINT AS h
+            FROM e CROSS JOIN (SELECT unnest(range({n_hashes})) AS i)
+        ), m AS (
+            SELECT doc_id,
+                   {mins}
+            FROM hh GROUP BY doc_id
+        )
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT ({sig})) AS n_distinct_sig,
+               COUNT(DISTINCT h0) AS n_distinct_h0,
+               MIN(h0) AS min_h0
+        FROM m
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """Exact token-membership recomputation of pipeline.textstats.lang_id
+    (same tokens, integer-exact threshold, lexicographically-larger lang
+    wins score ties)."""
+    from sparkolumnar.pipeline.textstats import _PROFILES
+
+    def prof(lang):
+        words = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+        return (f"len(list_filter(toks, x -> list_contains([{words}], x))) "
+                f"AS {lang}")
+
+    cols = ",\n                   ".join(prof(k) for k in sorted(_PROFILES))
+    return f"""
+        WITH t AS (
+            SELECT {_TOKS_SQL} AS toks FROM documents
+        ), s AS (
+            SELECT len(toks) AS n,
+                   {cols}
+            FROM t
+        ), p AS (
+            SELECT CASE
+                     WHEN n = 0 THEN 'unknown'
+                     WHEN 100 * GREATEST(de, en, es, fr) <= 3 * n
+                         THEN 'unknown'
+                     WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+                     WHEN es >= en AND es >= de THEN 'es'
+                     WHEN en >= de THEN 'en'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM s
+        )
+        SELECT lang_pred, COUNT(*) AS n FROM p
+        GROUP BY lang_pred ORDER BY lang_pred
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -537,4 +675,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        "simhash_profile": _simhash_oracle_sql(),
+        "minhash_wordgram_profile": _minhash_wordgram_oracle_sql(),
+        "lang_id_distribution": _lang_id_oracle_sql(),
     }

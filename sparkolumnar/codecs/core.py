@@ -157,6 +157,19 @@ class Codec:
     def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
         raise NotImplementedError
 
+    def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
+                      k: int) -> pa.Array:
+        """Decode only the first k of the n encoded values — the
+        reference's AnyRleDecoder::take_n_finalize semantics
+        (columnar/src/strategy/rle.rs:165-246) generalized to every codec.
+
+        Default: full decode + slice (always correct). Codecs where a true
+        partial decode skips work (rle/delta_rle value expansion, fsst
+        body bytes, split data bytes) override this."""
+        if k >= n:
+            return self.decode(payload, n, typ)
+        return self.decode(payload, n, typ).slice(0, k)
+
 
 _REGISTRY: Dict[str, Codec] = {}
 

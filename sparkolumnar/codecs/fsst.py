@@ -464,7 +464,12 @@ def fsst_encode(data: np.ndarray, offsets: np.ndarray,
     return bytes(head) + body
 
 
-def fsst_decode(payload: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
+def fsst_decode(payload: bytes, n: int,
+                k: int = -1) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode all n strings, or (k >= 0) only the FIRST k strings — the
+    per-string encoded lengths live in the header, so a prefix decode
+    touches only the first sum(enc_lens[:k]) body bytes (bytes past the
+    prefix may even be absent)."""
     buf = np.frombuffer(payload, dtype=np.uint8)
     cnt, used = uvarint_decode(buf, 1)
     n_sym = int(cnt[0])
@@ -485,9 +490,17 @@ def fsst_decode(payload: bytes, n: int) -> Tuple[np.ndarray, np.ndarray]:
     enc_lens, used3 = uvarint_decode(buf[pos:], n)
     enc_lens = enc_lens.astype(np.int64)
     pos += used3
-    E = buf[pos:]
-    if int(enc_lens.sum()) != len(E):
-        raise CodecError("fsst encoded size mismatch")
+    if 0 <= k < n:
+        enc_lens = enc_lens[:k]
+        need = int(enc_lens.sum())
+        E = buf[pos: pos + need]
+        if len(E) < need:
+            raise CodecError("fsst payload shorter than requested prefix")
+        n = k
+    else:
+        E = buf[pos:]
+        if int(enc_lens.sum()) != len(E):
+            raise CodecError("fsst encoded size mismatch")
     ne = len(E)
     if ne == 0:
         return np.empty(0, np.uint8), np.concatenate([[0], np.zeros(n, np.int64)]).astype(np.int64)
@@ -568,6 +581,11 @@ class FsstCodec(Codec):
 
     def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
         data, offsets = fsst_decode(payload, n)
+        return from_str_buffers(data, offsets, typ)
+
+    def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
+                      k: int) -> pa.Array:
+        data, offsets = fsst_decode(payload, n, k=min(k, n))
         return from_str_buffers(data, offsets, typ)
 
 

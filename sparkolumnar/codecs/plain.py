@@ -170,6 +170,28 @@ class SplitCodec(Codec):
         np.cumsum(lens, out=offsets[1:])
         return from_str_buffers(data, offsets, typ)
 
+    def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
+                      k: int) -> pa.Array:
+        """First k strings only: the length varints are all read (tiny),
+        but only the first k strings' DATA bytes are touched — bytes past
+        the prefix may even be absent (truncated payload)."""
+        if k >= n:
+            return self.decode(payload, n, typ)
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        cnt, used = uvarint_decode(buf, 1)
+        if int(cnt[0]) != n:
+            raise CodecError(f"split payload has {cnt[0]} values, expected {n}")
+        lens, used2 = uvarint_decode(buf[used:], n)
+        lens = lens[:k].astype(np.int64)
+        need = int(lens.sum())
+        data = buf[used + used2: used + used2 + need]
+        if len(data) < need:
+            raise CodecError("split payload shorter than requested prefix")
+        offsets = np.empty(k + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(lens, out=offsets[1:])
+        return from_str_buffers(data, offsets, typ)
+
 
 register(PlainCodec())
 register(SplitCodec())

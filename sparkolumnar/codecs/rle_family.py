@@ -110,7 +110,27 @@ def _scan_varint_groups(payload: bytes, n_vals_max: int):
     return w, sv, hpos
 
 
-def rle_decode_int64(payload: bytes, n: int) -> np.ndarray:
+def _expand_groups_int64(w, sv, hpos, n: int, k: int = -1) -> np.ndarray:
+    """Expand parsed AnyRle groups to values; k >= 0 caps expansion at the
+    first k values (take_n_finalize, rle.rs:165-246 — the header parse is
+    sequential wire format, but value materialization is the O(n) part)."""
+    h = sv[hpos]
+    counts = np.abs(h)
+    if int(counts.sum()) != n:
+        raise CodecError(f"rle payload decodes {counts.sum()} values, expected {n}")
+    is_lit = h < 0
+    if 0 <= k < n:
+        cum = np.cumsum(counts)
+        g = int(np.searchsorted(cum, k, side="left")) + 1
+        counts = counts[:g].copy()
+        counts[-1] -= int(cum[g - 1]) - k
+        hpos, is_lit = hpos[:g], is_lit[:g]
+    piece_id, within = repeat_offsets(counts)
+    idx = hpos[piece_id] + 1 + np.where(is_lit[piece_id], within, 0)
+    return zigzag_decode(w[idx]).astype(np.int64, copy=False)
+
+
+def rle_decode_int64(payload: bytes, n: int, k: int = -1) -> np.ndarray:
     if len(payload) == 0:
         if n:
             raise CodecError("empty rle payload")
@@ -120,15 +140,9 @@ def rle_decode_int64(payload: bytes, n: int) -> np.ndarray:
     except CodecError:
         # extreme i128 payloads: exact scalar fallback
         vals = rm.any_rle_decode(bytes(payload), de=rm.de_i128)
-        return np.array(vals, dtype=np.int64)
-    h = sv[hpos]
-    counts = np.abs(h)
-    if int(counts.sum()) != n:
-        raise CodecError(f"rle payload decodes {counts.sum()} values, expected {n}")
-    is_lit = h < 0
-    piece_id, within = repeat_offsets(counts)
-    idx = hpos[piece_id] + 1 + np.where(is_lit[piece_id], within, 0)
-    return zigzag_decode(w[idx]).astype(np.int64, copy=False)
+        out = np.array(vals, dtype=np.int64)
+        return out[:k] if 0 <= k else out
+    return _expand_groups_int64(w, sv, hpos, n, k)
 
 
 # ---------------------------------------------------------------------------
@@ -409,21 +423,14 @@ def delta_rle_encode_int64(vals: np.ndarray) -> bytes:
         return rm.delta_rle_encode([int(v) for v in vals])
 
 
-def delta_rle_decode_int64(payload: bytes, n: int) -> np.ndarray:
+def delta_rle_decode_int64(payload: bytes, n: int, k: int = -1) -> np.ndarray:
     try:
         if len(payload) == 0:
             if n:
                 raise CodecError("empty delta rle payload")
             return np.empty(0, np.int64)
         w, sv, hpos = _scan_varint_groups(payload, n)
-        h = sv[hpos]
-        counts = np.abs(h)
-        if int(counts.sum()) != n:
-            raise CodecError("delta rle count mismatch")
-        is_lit = h < 0
-        piece_id, within = repeat_offsets(counts)
-        idx = hpos[piece_id] + 1 + np.where(is_lit[piece_id], within, 0)
-        deltas = zigzag_decode(w[idx])
+        deltas = _expand_groups_int64(w, sv, hpos, n, k)
         with np.errstate(over="ignore"):
             out = np.cumsum(deltas)
         return out.astype(np.int64, copy=False)
@@ -431,7 +438,8 @@ def delta_rle_decode_int64(payload: bytes, n: int) -> np.ndarray:
         vals = rm.delta_rle_decode(bytes(payload), lo=rm.I64_MIN, hi=rm.I64_MAX)
         if len(vals) != n:
             raise CodecError(f"delta rle decodes {len(vals)}, expected {n}")
-        return np.array(vals, dtype=np.int64)
+        out = np.array(vals, dtype=np.int64)
+        return out[:k] if 0 <= k else out
 
 
 # ---------------------------------------------------------------------------
@@ -598,6 +606,18 @@ class RleCodec(Codec):
         dtype = np.float64 if dom == F64 else np.float32
         return pa.array(rle_decode_float(payload, n, dtype))
 
+    def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
+                      k: int) -> pa.Array:
+        from .core import domain_of
+        if k >= n:
+            return self.decode(payload, n, typ)
+        dom = domain_of(typ)
+        if dom == INT:  # take_n: parse headers, expand only k values
+            return from_int64(rle_decode_int64(payload, n, k), typ)
+        if dom == BOOL:
+            return pa.array(rle_decode_int64(payload, n, k).astype(bool))
+        return self.decode(payload, n, typ).slice(0, k)
+
 
 class BoolRleCodec(Codec):
     name = "bool_rle"
@@ -619,6 +639,12 @@ class DeltaRleCodec(Codec):
 
     def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
         return from_int64(delta_rle_decode_int64(payload, n), typ)
+
+    def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
+                      k: int) -> pa.Array:
+        if k >= n:
+            return self.decode(payload, n, typ)
+        return from_int64(delta_rle_decode_int64(payload, n, k), typ)
 
 
 class DeltaOfDeltaCodec(Codec):

@@ -24,7 +24,8 @@ from .blocks import (arrow_type_from_str, canonical_checksum, payload_field,
 
 def decode_block_row(row: dict, verify: bool = False,
                      columns: Optional[List[str]] = None,
-                     target: Optional[pa.Schema] = None) -> pa.RecordBatch:
+                     target: Optional[pa.Schema] = None,
+                     budget: Optional[int] = None) -> pa.RecordBatch:
     """Decode one block row.
 
     target: optional reader schema for forward/backward compatibility,
@@ -36,6 +37,7 @@ def decode_block_row(row: dict, verify: bool = False,
     from ..codecs import get_codec
 
     n = row["n_rows"]
+    k = n if budget is None else min(budget, n)  # prefix row budget
     arrays = []
     fields = []
     if target is not None:
@@ -54,16 +56,21 @@ def decode_block_row(row: dict, verify: bool = False,
         typ = arrow_type_from_str(meta["arrow_type"])
         n_nulls = meta["n_nulls"]
         n_valid = n - n_nulls
-        vals = get_codec(meta["codec"]).decode(payload, n_valid, typ)
+        codec = get_codec(meta["codec"])
         if n_nulls:
             from ..codecs.core import reassemble_nulls
 
             valid = get_codec("bool_rle").decode(validity, n, pa.bool_())
-            vmask = valid.to_numpy(zero_copy_only=False)
-            arr = reassemble_nulls(vals, vmask, n, typ)
+            vmask = valid.to_numpy(zero_copy_only=False)[:k]
+            k_valid = int(vmask.sum())
+            vals = (codec.decode(payload, n_valid, typ) if k == n
+                    else codec.decode_prefix(payload, n_valid, typ, k_valid))
+            arr = reassemble_nulls(vals, vmask, k, typ)
         else:
-            arr = vals
-        if verify and canonical_checksum(arr) != meta["checksum_in"]:
+            arr = (codec.decode(payload, n_valid, typ) if k == n
+                   else codec.decode_prefix(payload, n_valid, typ, k))
+        if verify and k == n and canonical_checksum(arr) != meta["checksum_in"]:
+            # (checksums cover whole columns; partial decodes skip verify)
             raise CodecError(
                 f"round-trip checksum mismatch for column {meta['name']} "
                 f"in block {row['block_id']}")
@@ -74,18 +81,24 @@ def decode_block_row(row: dict, verify: bool = False,
         # and emit in target order
         by_name = dict(zip((f.name for f in fields), arrays))
         arrays = [by_name[f.name].cast(f.type) if f.name in by_name
-                  else pa.nulls(n, f.type) for f in target]
+                  else pa.nulls(k, f.type) for f in target]
         fields = list(target)
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
 def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
-                   target: Optional[pa.Schema] = None):
+                   target: Optional[pa.Schema] = None,
+                   budgets: Optional[dict] = None):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             for row in b.to_pylist():
+                budget = None
+                if budgets is not None:
+                    budget = budgets.get(row["block_id"], 0)
+                    if budget <= 0:
+                        continue
                 out = decode_block_row(row, verify=verify, columns=columns,
-                                       target=target)
+                                       target=target, budget=budget)
                 if out.num_rows:
                     yield out
 
@@ -114,10 +127,32 @@ def schema_of_blocks(blocks_df: DataFrame,
     return T.StructType(fields)
 
 
+def _prefix_budgets(blocks_df: DataFrame, limit: int) -> dict:
+    """Per-block row budgets covering the first `limit` rows in
+    (part_id, seq) order. Metadata-only: the driver scan reads block_id/
+    part_id/seq/n_rows (payload columns pruned away by the wide layout)
+    and toLocalIterator stops pulling partitions once the limit is met."""
+    from pyspark.sql import functions as F
+
+    it = (blocks_df.select("block_id", "part_id", "seq", "n_rows")
+          .orderBy(F.asc("part_id"), F.asc("seq"))
+          .toLocalIterator())
+    budgets: dict = {}
+    left = limit
+    for r in it:
+        take = min(left, r["n_rows"])
+        budgets[r["block_id"]] = int(take)
+        left -= take
+        if left <= 0:
+            break
+    return budgets
+
+
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
                   columns: Optional[List[str]] = None,
-                  compat: bool = False) -> DataFrame:
+                  compat: bool = False,
+                  limit: Optional[int] = None) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns' payload/validity
@@ -129,8 +164,25 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     block columns unknown to the schema are ignored, schema columns missing
     from a block are null-filled (the reference's indexed-optional-column
     forward/backward compatibility, re-expressed).
+
+    limit=n decodes only the FIRST n rows (blocks ordered by part_id,
+    seq) — the reference's take_n_finalize re-expressed distributedly:
+    a metadata-only pass picks the needed blocks + per-block row budgets,
+    the payload scan is filtered to those block_ids (an isin predicate
+    that reaches the parquet scan, so other blocks' payload bytes are
+    never read), and inside a partially-needed block each codec decodes
+    only the value prefix (rle/delta_rle cap run expansion, fsst/split
+    touch only the prefix's body bytes). Partial blocks skip checksum
+    verification (checksums cover whole columns).
     """
     target = None
+    budgets = None
+    if limit is not None:
+        from pyspark.sql import functions as F
+
+        budgets = _prefix_budgets(blocks_df, limit)
+        blocks_df = blocks_df.where(
+            F.col("block_id").isin(list(budgets.keys())))
     if schema is None:
         schema = schema_of_blocks(blocks_df, columns)
     elif compat:
@@ -152,4 +204,4 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                        if f in have]
         blocks_df = blocks_df.select(*keep)
     return blocks_df.mapInArrow(
-        make_decode_fn(verify, columns, target), schema)
+        make_decode_fn(verify, columns, target, budgets), schema)

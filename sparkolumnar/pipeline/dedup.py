@@ -81,11 +81,23 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           n_hashes: int = 64, bands: int = 16,
                           shingle: int = 5,
-                          threshold: float = 0.7) -> DataFrame:
+                          threshold: float = 0.7,
+                          max_bucket: int = 256) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, with the estimated jaccard
     (fraction of matching minhashes) filtered at `threshold`.
 
     Returns (a, b, est_jaccard) with a < b, deduplicated across bands.
+
+    Scale shape (the 100 TB rules):
+    * band rows carry IDS ONLY — the 64-long signatures never ride the
+      band self-join shuffle (which multiplies volume by `bands`);
+      signatures are re-joined exactly once per side AFTER the (a, b)
+      pair dedup, when the pair set is small;
+    * hot-bucket cap: buckets larger than `max_bucket` are dropped via a
+      broadcast anti-join (the per-(band,bucket) count is a cheap
+      map-side-combined aggregation of id-free rows). A bucket of k
+      mass-duplicated boilerplate docs would otherwise emit k^2/2 pairs —
+      run exact_dedup first; the cap is the quadratic-blowup safety valve.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle).cache()
@@ -94,15 +106,23 @@ def minhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
               .withColumn("bucket", F.xxhash64(
                   F.slice("signature",
                           F.col("band") * rows_per_band + 1, rows_per_band),
-                  F.col("band"))))
-    left = banded.select(F.col(id_col).alias("a"),
-                         F.col("signature").alias("sig_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("b"),
-                          F.col("signature").alias("sig_b"), "band", "bucket")
+                  F.col("band")))
+              .select(id_col, "band", "bucket"))  # ids only past this point
+    hot = (banded.groupBy("band", "bucket").count()
+           .filter(F.col("count") > max_bucket)
+           .select("band", "bucket"))
+    banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     pairs = (left.join(right, ["band", "bucket"])
              .filter(F.col("a") < F.col("b"))
-             .select("a", "b", "sig_a", "sig_b")
+             .select("a", "b")
              .dropDuplicates(["a", "b"]))
+    sig_a = sigs.select(F.col(id_col).alias("a"),
+                        F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("b"),
+                        F.col("signature").alias("sig_b"))
+    pairs = pairs.join(sig_a, "a").join(sig_b, "b")
     matches = F.size(F.filter(F.zip_with(
         "sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
@@ -166,6 +186,66 @@ def _token_hashes(text: str) -> np.ndarray:
         contrib = np.where(tok, b.astype(np.uint64) * W[widx], 0)
         sums = np.add.reduceat(contrib, starts)
     return sums
+
+
+_TOKS_EXPR = "filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+
+
+def simhash64_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash computed ENTIRELY in JVM expressions (whole-stage
+    codegen, SQL-expressible — the DuckDB oracle recomputes it exactly):
+    tokens -> md5 -> high 64 bits -> per-bit votes -> sign -> packed long.
+
+    This is the oracle-checkable twin of simhash_buckets (whose numpy
+    polynomial hash is faster per batch but not SQL-reproducible). Shape:
+    one explode + one hash-aggregate over (id, 64 conditional sums) — no
+    driver data, no Python workers, scales like any groupBy."""
+    toks = F.expr(_TOKS_EXPR.format(col=text_col))
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    ex = ex.withColumn("h", F.md5("tok"))
+    votes = []
+    for j in range(64):
+        c = 16 - j // 4  # 1-based hex char (of the first 16) holding bit j
+        nib = F.conv(F.substring("h", c, 1), 16, 10).cast("long")
+        bit = F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    agg = ex.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(64):
+        term = F.when(F.col(f"v{j}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return (agg.select(F.col(id_col), sim.alias("simhash"))
+            .withColumn("band0", F.col("simhash").bitwiseAND(F.lit(0xFFFF).cast("long"))))
+
+
+def minhash_wordgram_signatures(df: DataFrame, text_col: str, id_col: str,
+                                n_hashes: int = 8) -> DataFrame:
+    """Deterministic, SQL-reproducible MinHash variant over word 3-gram
+    shingles: sig_i = min over shingles of the 60-bit integer read from
+    md5(i || '|' || shingle). Entirely JVM expressions (explode + one
+    hash-aggregate of conditional mins) so a DuckDB oracle recomputes it
+    bit-for-bit — the correctness gate for the minhash family (the
+    production path minhash_signatures uses faster numpy universal
+    hashing with the same algorithmic shape)."""
+    toks = F.expr(_TOKS_EXPR.format(col=text_col))
+    sh = F.expr(
+        "CASE WHEN size(__toks) >= 3 THEN "
+        "  transform(sequence(0, size(__toks) - 3),"
+        "            i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))"
+        " WHEN size(__toks) >= 1 THEN array(concat_ws(' ', __toks))"
+        " ELSE array('') END")
+    ex = (df.select(F.col(id_col), toks.alias("__toks"))
+          .select(F.col(id_col), F.explode(sh).alias("sh"))
+          .select(F.col(id_col), F.explode(
+              F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"), "sh"))
+    h60 = F.conv(F.substring(F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                               F.col("sh"))), 2, 15),
+                 16, 10).cast("long")
+    ex = ex.withColumn("h", h60)
+    mins = [F.min(F.when(F.col("i") == i, F.col("h"))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return ex.groupBy(id_col).agg(*mins)
 
 
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

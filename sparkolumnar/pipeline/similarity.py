@@ -5,11 +5,17 @@
   numpy inside mapInPandas and emits per-partition top-k candidates, then
   a single small groupBy merges them. Shuffle volume is O(queries * k *
   partitions), never O(corpus).
-* ivf_topk — IVF scale path: k-means centroids fitted on a driver-side
-  sample (numpy), broadcast; each row is assigned to its nearest centroid
-  JVM-free inside the same GEMM pass; queries probe only the nprobe
-  nearest cells. Recall < 1.0 by construction; the brute-force path is
-  the correctness baseline.
+* ivf_build / ivf_query — the persisted IVF scale path: k-means centroids
+  fitted on a CROSS-PARTITION sample (engine.plan.sample_table — no
+  first-partition bias), every row assigned to its nearest cell in one
+  distributed pass, and the index written as a cell-partitioned parquet
+  table (one file per cell via repartition-by-cell). Queries then read
+  ONLY their nprobe probed cells — partition pruning at the scan, no
+  re-assignment of the corpus per query pass.
+* ivf_topk — one-shot convenience wrapper (fit + assign + probe in a
+  single pass, nothing persisted) for ad-hoc queries; same math.
+  Recall < 1.0 by construction; the brute-force path is the correctness
+  baseline.
 """
 
 from __future__ import annotations
@@ -124,19 +130,130 @@ def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def _distributed_sample(df: DataFrame, emb_col: str,
+                        sample_rows: int) -> np.ndarray:
+    """Cross-partition embedding sample (no first-partition bias): reuses
+    the engine's plan sampler (bounded head takes from up to 64
+    evenly-strided partitions)."""
+    from ..engine.plan import sample_table
+
+    tbl = sample_table(df.select(emb_col), sample_rows)
+    return _emb_matrix(pd.Series(tbl.column(0).to_pylist()))
+
+
+def _query_matrix(queries: DataFrame, id_col: str, emb_col: str):
+    q_rows = queries.select(id_col, emb_col).collect()  # queries are small
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.vstack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in q_rows]))
+    return q_ids, q_mat
+
+
+def _topk_merge(partials: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (partials
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def ivf_build(df: DataFrame, path: str, n_clusters: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              sample_rows: int = 10_000, seed: int = 7) -> np.ndarray:
+    """Fit centroids on a distributed sample, assign every row to its
+    nearest cell in ONE pass, and persist the index:
+
+      <path>/centroids  — (cell, centroid) parquet, driver-small
+      <path>/cells      — the corpus partitioned BY CELL (one file per
+                          cell via repartition-by-cell), so a query pass
+                          scans only its probed cells (partition pruning)
+
+    Returns the centroid matrix."""
+    spark = df.sparkSession
+    sample = _distributed_sample(df, emb_col, sample_rows)
+    cent = _normalize(_kmeans_fit(sample, n_clusters, seed=seed))
+    bc = spark.sparkContext.broadcast(cent)
+    emb_t = df.schema[emb_col].dataType.simpleString()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize(_emb_matrix(pdf[emb_col]))
+            out = pdf[[id_col, emb_col]].copy()
+            out["cell"] = np.argmax(m @ c_.T, axis=1).astype(np.int32)
+            yield out
+
+    assigned = df.select(id_col, emb_col).mapInPandas(
+        assign, f"{id_col} long, {emb_col} {emb_t}, cell int")
+    (assigned.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/cells"))
+    cent_pdf = pd.DataFrame({"cell": range(n_clusters),
+                             "centroid": [c.tolist() for c in cent]})
+    (spark.createDataFrame(cent_pdf)
+     .write.mode("overwrite").parquet(f"{path}/centroids"))
+    return cent
+
+
+def ivf_query(spark, path: str, queries: DataFrame, k: int = 5,
+              nprobe: int = 4, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF index: reads ONLY the nprobe cells each query
+    needs (cell is a parquet partition column — the scan prunes the rest),
+    GEMMs per partition, merges per-partition top-k."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                      for r in sorted(cent_rows, key=lambda r: r["cell"])])
+    q_ids, q_mat = _query_matrix(queries, id_col, emb_col)
+    q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in q_cells for c in row})
+    idx = (spark.read.parquet(f"{path}/cells")
+           .where(F.col("cell").isin(needed)))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_cells))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, cells = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = _normalize(_emb_matrix(pdf[emb_col]))
+            cid = pdf[id_col].values.astype(np.int64)
+            cell = pdf["cell"].values
+            out = []
+            for j in range(len(ids)):
+                probe_mask = np.isin(cell, cells[j])
+                if not probe_mask.any():
+                    continue
+                sub = c[probe_mask]
+                sims = sub @ mat[j]
+                kk = min(k + 1, len(sub))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": ids[j],
+                    "neighbor_id": cid[probe_mask][top],
+                    "cosine": sims[top],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = idx.select(id_col, emb_col, "cell").mapInPandas(
+        partial, "query_id long, neighbor_id long, cosine double")
+    return _topk_merge(partials, k)
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_clusters: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding",
              sample_rows: int = 10_000) -> DataFrame:
-    """Approximate cosine top-k via inverted-file (IVF) cells.
-
-    At 10^12 scale the cell assignment becomes a bucketed table; here the
-    assignment happens in the same pass and the probe filter cuts the GEMM
-    to nprobe/n_clusters of the corpus.
-    """
+    """One-shot IVF (fit + assign + probe in one pass, nothing persisted).
+    For repeated query passes build the index once with ivf_build and
+    probe it with ivf_query instead."""
     spark = df.sparkSession
-    sample = _emb_matrix(
-        pd.Series([r[emb_col] for r in df.select(emb_col).limit(sample_rows).collect()]))
+    sample = _distributed_sample(df, emb_col, sample_rows)
     cent = _normalize(_kmeans_fit(sample, n_clusters))
     q_rows = queries.select(id_col, emb_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)

@@ -55,29 +55,85 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", F.round(score, 6)))
 
 
+def _batch_lang_scores(texts, profiles_hashed, n_langs):
+    """(hits[lang, doc], n_tokens[doc]) for a whole batch, no per-token
+    Python: all texts are concatenated into ONE byte buffer (newline-
+    separated, lowercased), tokenized with the vectorized run-finder from
+    dedup._token_hashes, and profile membership is a hashed np.isin."""
+    import numpy as np
+
+    from .dedup import _token_hashes
+
+    n_docs = len(texts)
+    joined = "\n".join(t.lower() for t in texts)
+    enc = joined.encode("utf-8", "surrogatepass")
+    # doc start byte offsets in the concatenated buffer
+    doc_lens = np.fromiter((len(t.lower().encode("utf-8", "surrogatepass"))
+                            for t in texts), dtype=np.int64, count=n_docs)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
+    b = np.frombuffer(enc, dtype=np.uint8)
+    # MUST match _token_hashes' whitespace set exactly (same tokenization)
+    is_ws = (b == 32) | (b == 10) | (b == 9) | (b == 13)
+    tok = ~is_ws
+    tok_starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
+    hashes = _token_hashes(joined)  # hashes whole buffer; \n splits tokens
+    tok_doc = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+    n_tokens = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+    hits = np.zeros((n_langs, n_docs), dtype=np.int64)
+    for li, prof in enumerate(profiles_hashed):
+        m = np.isin(hashes, prof)
+        hits[li] = np.bincount(tok_doc, weights=m, minlength=n_docs)
+    return hits, n_tokens
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-profile language-ID heuristic (vectorized pandas UDF —
-    per-language token-set membership over the batch token matrix)."""
-    profiles = {k: set(v) for k, v in _PROFILES.items()}
+    """Stopword-profile language-ID heuristic, batch-vectorized: the whole
+    Arrow batch is tokenized as one numpy buffer and profile membership is
+    a hashed np.isin — no per-token (or per-row) Python.
+
+    Exact semantics (mirrored 1:1 by the DuckDB oracle in
+    __spark_entry__.oracle_sql): tokens = maximal non-whitespace runs of
+    lower(text); score(lang) = |tokens in profile(lang)|; prediction =
+    argmax score with lexicographically-larger lang winning ties, or
+    'unknown' when 100*hits <= 3*n_tokens (integer-exact threshold);
+    lang_conf = round(hits / n_tokens, 6)."""
+    import numpy as np
+
+    from .dedup import _token_hashes
+
+    langs = sorted(_PROFILES)
+    profiles_hashed = [np.sort(np.array(
+        [_token_hashes(w)[0] for w in _PROFILES[k]], dtype=np.uint64))
+        for k in langs]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            langs = []
-            confs = []
-            for t in pdf[text_col]:
-                toks = t.lower().split()
-                if not toks:
-                    langs.append("unknown")
-                    confs.append(0.0)
-                    continue
-                scores = {k: sum(tok in prof for tok in toks) / len(toks)
-                          for k, prof in profiles.items()}
-                best = max(scores, key=lambda k: (scores[k], k))
-                langs.append(best if scores[best] > 0.03 else "unknown")
-                confs.append(round(scores[best], 6))
+            n = len(pdf)
             out = pdf.copy()
-            out["lang_pred"] = langs
-            out["lang_conf"] = confs
+            if n == 0:
+                out["lang_pred"] = pd.Series([], dtype=str)
+                out["lang_conf"] = pd.Series([], dtype=float)
+                yield out
+                continue
+            hits, n_tok = _batch_lang_scores(
+                list(pdf[text_col]), profiles_hashed, len(langs))
+            best_hits = np.zeros(n, dtype=np.int64)
+            best_lang = np.zeros(n, dtype=np.int64)
+            for li in range(len(langs)):  # ascending: later (larger) lang
+                upd = hits[li] >= best_hits  # wins ties, like max((s, k))
+                best_hits[upd] = hits[li][upd]
+                best_lang[upd] = li
+            known = 100 * best_hits > 3 * n_tok  # integer-exact threshold
+            preds = np.where(known & (n_tok > 0),
+                             np.array(langs, dtype=object)[best_lang],
+                             "unknown")
+            conf = np.where(n_tok > 0,
+                            np.round(best_hits / np.maximum(n_tok, 1), 6),
+                            0.0)
+            out["lang_pred"] = preds
+            out["lang_conf"] = conf
             yield out
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"

@@ -1,0 +1,114 @@
+"""Partial / limited decode — the reference's AnyRleDecoder::take_n_finalize
+(columnar/src/strategy/rle.rs:165-246) re-expressed: codec-level prefix
+decode plus engine-level decode_blocks(limit=n)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sparkolumnar.codecs import get_codec
+from sparkolumnar.engine.selector import select_encode
+
+
+def _prefix_equal(arr: pa.Array, codec_name: str, payload: bytes, k: int):
+    got = get_codec(codec_name).decode_prefix(payload, len(arr), arr.type, k)
+    assert got.to_pylist() == arr.slice(0, k).to_pylist()
+
+
+def test_rle_take_n():
+    vals = pa.array([1] * 100 + [2] * 50 + list(range(30)), pa.int64())
+    p = get_codec("rle").encode(vals)
+    for k in (0, 1, 99, 100, 101, 150, 179, 180):
+        _prefix_equal(vals, "rle", p, k)
+
+
+def test_delta_rle_take_n():
+    vals = pa.array(np.arange(0, 5000, 3, dtype=np.int64))
+    p = get_codec("delta_rle").encode(vals)
+    for k in (0, 1, 7, 1000, len(vals)):
+        _prefix_equal(vals, "delta_rle", p, k)
+
+
+def test_split_prefix_needs_only_prefix_bytes():
+    """The prefix decode must not touch data bytes past the prefix: a
+    payload truncated right after the k-th string still decodes."""
+    strs = pa.array([f"string number {i} {'x' * (i % 17)}"
+                     for i in range(500)])
+    p = get_codec("split").encode(strs)
+    full = get_codec("split").decode(p, 500, strs.type)
+    k = 100
+    # compute exact byte extent of the prefix: header + all len varints +
+    # first k strings' data
+    from sparkolumnar.codecs.nputil import uvarint_decode
+    buf = np.frombuffer(p, np.uint8)
+    _, used = uvarint_decode(buf, 1)
+    lens, used2 = uvarint_decode(buf[used:], 500)
+    cut = used + used2 + int(lens[:k].sum())
+    truncated = p[:cut]
+    got = get_codec("split").decode_prefix(truncated, 500, strs.type, k)
+    assert got.to_pylist() == full.slice(0, k).to_pylist()
+    with pytest.raises(Exception):
+        get_codec("split").decode(truncated, 500, strs.type)
+
+
+def test_fsst_prefix_needs_only_prefix_bytes():
+    strs = pa.array([f"the quick brown fox {i} jumps over the lazy dog"
+                     for i in range(400)])
+    p = get_codec("fsst").encode(strs)
+    full = get_codec("fsst").decode(p, 400, strs.type)
+    for k in (0, 1, 50, 400):
+        got = get_codec("fsst").decode_prefix(p, 400, strs.type, k)
+        assert got.to_pylist() == full.slice(0, k).to_pylist()
+    # truncated payload: keep header + first 50 strings' bytes only
+    from sparkolumnar.codecs import fsst as fs
+    from sparkolumnar.codecs.nputil import uvarint_decode
+    buf = np.frombuffer(p, np.uint8)
+    cnt, used = uvarint_decode(buf, 1)
+    pos = used
+    for _ in range(int(cnt[0])):
+        pos += 1 + int(buf[pos])
+    _, u2 = uvarint_decode(buf[pos:], 1)
+    pos += u2
+    enc_lens, u3 = uvarint_decode(buf[pos:], 400)
+    pos += u3
+    cut = pos + int(enc_lens[:50].sum())
+    got = get_codec("fsst").decode_prefix(p[:cut], 400, strs.type, 50)
+    assert got.to_pylist() == full.slice(0, 50).to_pylist()
+
+
+def test_default_prefix_fallback():
+    vals = pa.array(np.random.default_rng(5).normal(size=200))
+    ch = select_encode(vals)
+    got = get_codec(ch.codec).decode_prefix(ch.payload, 200, vals.type, 20)
+    assert got.to_pylist() == vals.slice(0, 20).to_pylist()
+
+
+def test_decode_blocks_limit(spark):
+    """Engine-level limit: exact prefix rows, payload scan filtered to the
+    needed block_ids (pushed to parquet), partial blocks prefix-decoded."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.tableio import TableIO
+
+    pages = pages_df(spark, 20_000).coalesce(1)
+    io = TableIO(spark, "/tmp/sparkolumnar_partial_t")
+    io.write_blocks(encode_table(pages, snapshot_id="pd1", partitions=1))
+    blocks = io.read_blocks()
+    n_blocks = blocks.count()
+    assert n_blocks > 1  # several blocks, so the limit skips some
+    full = decode_blocks(blocks).limit(25).collect()
+    lim = decode_blocks(blocks, limit=25)
+    rows = lim.collect()
+    assert len(rows) == 25
+    assert rows == full
+    # the payload scan is filtered by block_id (reaches the parquet scan)
+    plan = lim._jdf.queryExecution().executedPlan().toString()
+    assert "block_id" in plan and ("PushedFilters: [In(block_id" in plan
+                                   or "isnotnull(block_id" in plan), plan
+    # fewer blocks scanned than exist
+    from sparkolumnar.engine.decode import _prefix_budgets
+    budgets = _prefix_budgets(blocks, 25)
+    assert len(budgets) < n_blocks
+    assert sum(budgets.values()) == 25
