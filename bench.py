@@ -43,6 +43,33 @@ def build_spark(cpus: str):
 
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
 
+# This shared box's speed swings 2-6x on a timescale of seconds-to-minutes
+# (documented in BENCH/BASELINE.md). Before timing anything, probe host
+# speed with a fixed numpy workload and wait (bounded) for a quiet window;
+# the observed probe time is reported in the output for transparency.
+_PROBE_ANCHOR_SEC = 0.85  # fastest observed on this host (BENCH/BASELINE.md)
+
+
+def _host_probe() -> float:
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.int64)  # 64 MB working set
+    t0 = time.time()
+    for _ in range(4):
+        b = np.cumsum(a)
+        idx = (b % 8_000_000).astype(np.int64)
+        a ^= a[idx]
+    return time.time() - t0
+
+
+def wait_for_quiet_host(max_wait: float = 120.0) -> float:
+    deadline = time.time() + max_wait
+    best = _host_probe()
+    while best > 1.8 * _PROBE_ANCHOR_SEC and time.time() < deadline:
+        time.sleep(8)
+        best = min(best, _host_probe())
+    return best
+
 
 def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     from pyspark.sql import functions as F
@@ -86,7 +113,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
          .parquet("/tmp/sparkolumnar_bench_blocks"))
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
 
-    clock("pages_encode", do_encode, repeats=3)  # best-of-3: shared-box noise
+    clock("pages_encode", do_encode, repeats=5)  # best-of-5: shared-box noise
     lin = (lineage_of(blocks).groupBy()
            .agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"))
            .collect()[0])
@@ -97,7 +124,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
 
     clock("pages_decode_verify",
           lambda: decode_blocks(blocks, verify=True)
-          .select(F.count("*")).collect(), repeats=2)
+          .select(F.count("*")).collect(), repeats=3)
 
     # reference-equivalent codec set (no FSST/dict): the raw-throughput mode
     clock("pages_encode_fast",
@@ -142,7 +169,9 @@ def main():
         warm = pages_df(spark, 8192).repartition(int(cpus) * 2)
         encode_table(warm, snapshot_id="warm").count()
 
+        probe = wait_for_quiet_host()
         timings, extras = run_bench(spark, sf_dir)
+        extras["host_probe_sec"] = round(probe, 3)
         sf = sf_dir.rstrip("/").split("sf")[-1]
         out = {
             "metric": "pages encode+decode wall (text+html GB/s in extras)",

@@ -32,7 +32,7 @@ from typing import Tuple
 import numpy as np
 import pyarrow as pa
 
-from .core import Codec, DEC128, MAP, STRUCT, register
+from .core import Codec, DEC128, MAP, STRUCT, U64, register
 from .nputil import CodecError, uvarint_encode
 from .rle_family import (bool_rle_decode, bool_rle_encode,
                          delta_rle_decode_int64, delta_rle_encode_int64)
@@ -221,6 +221,32 @@ class Dec128Codec(Codec):
             typ, n, [None, pa.py_buffer(pairs.tobytes())])
 
 
+class U64Codec(Codec):
+    """uint64 -> int64 bit reinterpretation through the int selector
+    (zigzag/delta wraparound is lossless on the bit pattern), matching the
+    reference's u64::MAX round-trip (fuzz/tests/test.rs:74)."""
+
+    name = "u64"
+    domains = (U64,)
+
+    def encode(self, arr: pa.Array) -> bytes:
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        vals = arr.to_numpy(zero_copy_only=False).view(np.int64)
+        out = bytearray()
+        out += uvarint_encode(np.array([len(arr)], dtype=np.uint64))
+        out += encode_child(pa.array(vals, pa.int64()))
+        return bytes(out)
+
+    def decode(self, payload: bytes, n: int, typ: pa.DataType) -> pa.Array:
+        r = rm.Reader(bytes(payload))
+        n_rows = r.read_uvarint()
+        if n_rows != n:
+            raise CodecError(f"u64 payload has {n_rows} rows, expected {n}")
+        vals = decode_child(r, n, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array(vals.view(np.uint64), type=pa.uint64())
+
+
 register(StructCodec())
 register(MapCodec())
 register(Dec128Codec())
+register(U64Codec())

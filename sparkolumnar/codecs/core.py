@@ -36,12 +36,16 @@ LIST = "list"      # nested containers (list<...>), handled by codecs.nested
 STRUCT = "struct"  # struct<...> -> per-field sub-columns (codecs.containers)
 MAP = "map"        # map<k,v> -> offsets + keys + values (codecs.containers)
 DEC128 = "dec128"  # decimal128(p>18) -> two int64 limb columns
+U64 = "u64"        # uint64 -> int64 bit reinterpretation (codecs.containers)
 
 _INT_TYPES = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint8(), pa.uint16(), pa.uint32(),
     pa.date32(),
 }
+# uint64 cannot ride the int64 canonical path (u64::MAX overflows); it
+# gets its own bit-reinterpretation codec — matching the reference's
+# u64::MAX round-trip through i128 arithmetic (fuzz/tests/test.rs:74)
 
 
 def domain_of(typ: pa.DataType) -> str:
@@ -67,6 +71,8 @@ def domain_of(typ: pa.DataType) -> str:
         return STRUCT
     if pa.types.is_map(typ):
         return MAP
+    if typ == pa.uint64():
+        return U64
     raise CodecError(f"unsupported arrow type {typ}")
 
 

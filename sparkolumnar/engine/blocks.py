@@ -95,7 +95,7 @@ def arrow_blocks_schema(col_names: Sequence[str]) -> pa.Schema:
 _SIMPLE_TYPES = {
     "bool": pa.bool_(), "int8": pa.int8(), "int16": pa.int16(),
     "int32": pa.int32(), "int64": pa.int64(), "uint8": pa.uint8(),
-    "uint16": pa.uint16(), "uint32": pa.uint32(),
+    "uint16": pa.uint16(), "uint32": pa.uint32(), "uint64": pa.uint64(),
     "float": pa.float32(), "double": pa.float64(),
     "string": pa.string(), "large_string": pa.large_string(),
     "binary": pa.binary(), "large_binary": pa.large_binary(),
@@ -169,7 +169,7 @@ def canonical_checksum(arr: pa.Array) -> str:
     """sha256 over a canonical byte image of a column chunk (values +
     validity), so decode can prove bit-identity without a join."""
     from ..codecs.core import (BIN, BOOL, DEC128, F64, INT, LIST, MAP, STR,
-                               STRUCT, domain_of, str_buffers, to_int64)
+                               STRUCT, U64, domain_of, str_buffers, to_int64)
 
     h = hashlib.sha256()
     if arr.null_count:
@@ -207,6 +207,9 @@ def canonical_checksum(arr: pa.Array) -> str:
         raw = np.frombuffer(vals.buffers()[1], dtype=np.int64)
         pairs = raw[2 * vals.offset: 2 * (vals.offset + len(vals))]
         h.update(pairs.astype("<i8", copy=False).tobytes())
+    elif dom == U64:
+        h.update(vals.to_numpy(zero_copy_only=False)
+                 .astype("<u8", copy=False).tobytes())
     else:
         dt = "<f8" if dom == F64 else "<f4"
         h.update(vals.to_numpy(zero_copy_only=False).astype(dt, copy=False).tobytes())

@@ -28,12 +28,12 @@ import pyarrow.compute as pc
 
 from ..codecs import get_codec
 from ..codecs.core import (BIN, BOOL, DEC128, F64, INT, LIST, MAP, STR,
-                           STRUCT, domain_of, str_buffers)
+                           STRUCT, U64, domain_of, str_buffers)
 
 # container domains route to exactly one composite codec (which recurses
 # through this selector for its children)
 _CONTAINER_CODEC = {LIST: "nested", STRUCT: "struct", MAP: "map",
-                    DEC128: "dec128"}
+                    DEC128: "dec128", U64: "u64"}
 from ..codecs.nputil import CodecError, run_segments
 
 # selector modes

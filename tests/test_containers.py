@@ -159,3 +159,23 @@ def test_engine_roundtrip_struct_map_decimal(spark):
     a = df.orderBy("id").collect()
     b = out.orderBy("id").collect()
     assert a == b
+
+
+def test_uint64_roundtrip():
+    vals = np.array([0, 1, 2**63, 2**64 - 1, 12345], dtype=np.uint64)
+    arr = pa.array(vals, type=pa.uint64())
+    ch = select_encode(arr)
+    assert ch.codec == "u64"
+    out = get_codec("u64").decode(ch.payload, len(arr), pa.uint64())
+    assert out.to_pylist() == vals.tolist()
+    assert len(canonical_checksum(arr)) == 64
+    assert arrow_type_from_str(arrow_type_to_str(pa.uint64())) == pa.uint64()
+
+
+def test_uint64_sequential_compresses():
+    # bit-reinterpreted sequence still delta-RLE collapses
+    arr = pa.array(np.arange(2**63, 2**63 + 5000, dtype=np.uint64))
+    ch = select_encode(arr)
+    assert len(ch.payload) < 200
+    out = get_codec("u64").decode(ch.payload, 5000, pa.uint64())
+    assert out.to_pylist() == arr.to_pylist()
