@@ -379,14 +379,17 @@ def _q_encode_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_encode_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp-heavy round-trip (DoD path) over the events table."""
+    """Timestamp-heavy round-trip (DoD path) over the events table.
+    Oracle-checked: decode is bit-identical, so the raw table IS the
+    oracle (ts emitted as epoch micros for an exact cross-engine hash)."""
     from sparkolumnar.engine import decode_blocks, encode_table
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
                                             "event_type", "value")
     blocks = encode_table(ev, snapshot_id="rt_ev")  # natural order
     return (decode_blocks(blocks, verify=True)
-            .select("event_id", "ts", "event_type").orderBy("event_id"))
+            .select("event_id", F.unix_micros("ts").alias("ts_us"),
+                    "event_type").orderBy("event_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -674,6 +677,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT source) AS n_sources,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "encode_roundtrip_documents": """
+            SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+        """,
+        "encode_roundtrip_events": """
+            SELECT event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events ORDER BY event_id
         """,
         "simhash_profile": _simhash_oracle_sql(),
         "minhash_wordgram_profile": _minhash_wordgram_oracle_sql(),

@@ -3,7 +3,12 @@
 Usage:
   spark-submit --py-files sparkolumnar.zip -m sparkolumnar.jobs.decode_job \
       --blocks /path/to/engine_dir/blocks --output /path/to/decoded \
-      [--columns url,text] [--verify]
+      [--columns url,text] [--verify] [--limit N]
+
+--limit N decodes only the first N rows (blocks ordered by part_id, seq):
+the payload scan is filtered to the needed block_ids and partially-needed
+blocks prefix-decode (the reference's take_n_finalize) — a preview read
+never materializes the whole table's payloads.
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ def main(argv=None) -> None:
     ap.add_argument("--columns", default=None)
     ap.add_argument("--verify", action="store_true",
                     help="recompute canonical checksums while decoding")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="decode only the first N rows (partial decode)")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-decode")
@@ -33,7 +40,8 @@ def main(argv=None) -> None:
 
     blocks = spark.read.parquet(args.blocks)
     cols = args.columns.split(",") if args.columns else None
-    out = decode_blocks(blocks, verify=args.verify, columns=cols)
+    out = decode_blocks(blocks, verify=args.verify, columns=cols,
+                        limit=args.limit)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 
