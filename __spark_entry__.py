@@ -262,6 +262,21 @@ def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_decode_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial decode (take_n_finalize re-expressed): encode documents
+    sorted by doc_id into one partition, then decode_blocks(limit=50) —
+    the metadata pass picks the needed blocks, the payload scan filters to
+    their block_ids, and the partially-needed block prefix-decodes. The
+    oracle is the raw table's first 50 rows."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = (_t(spark, sf_dir, "documents")
+            .coalesce(1).sortWithinPartitions("doc_id"))
+    blocks = encode_table(docs, snapshot_id="preview")
+    return (decode_blocks(blocks, limit=50)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (the distributed engine itself; not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -409,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "struct_field_agg": _q_struct_field_agg,
         "minhash_wordgram_profile": _q_minhash_wordgram_profile,
+        "decode_limit_preview": _q_decode_limit_preview,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -680,6 +696,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "encode_roundtrip_documents": """
             SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+        """,
+        "decode_limit_preview": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY doc_id LIMIT 50
         """,
         "encode_roundtrip_events": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type

@@ -112,3 +112,29 @@ def test_decode_blocks_limit(spark):
     budgets = _prefix_budgets(blocks, 25)
     assert len(budgets) < n_blocks
     assert sum(budgets.values()) == 25
+
+
+def test_decode_prefix_property_all_codecs():
+    """decode_prefix(k) must equal decode()[:k] for every codec the
+    selector can choose, across value shapes."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(77)
+    arrays = [
+        pa.array(np.repeat(rng.integers(0, 5, 40), rng.integers(1, 9, 40)
+                           ).astype(np.int64)),                  # rle-ish
+        pa.array(np.cumsum(rng.integers(0, 3, 300)).astype(np.int64)),
+        pa.array([f"w{i % 9}" for i in range(400)]),             # dict-ish
+        pa.array([f"str {i} {'pad' * (i % 5)}" for i in range(300)]),
+        pa.array(rng.normal(size=150)),
+        pa.array(np.repeat([True, False, True], [40, 13, 20])),
+        pa.array([[1, 2, 3]] * 50 + [[7]] * 10),                 # nested
+    ]
+    for arr in arrays:
+        ch = select_encode(arr)
+        codec = get_codec(ch.codec)
+        full = codec.decode(ch.payload, len(arr), arr.type)
+        for k in (0, 1, len(arr) // 3, len(arr) - 1, len(arr)):
+            got = codec.decode_prefix(ch.payload, len(arr), arr.type, k)
+            assert got.to_pylist() == full.slice(0, k).to_pylist(), \
+                (ch.codec, k)
