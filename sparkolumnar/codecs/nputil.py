@@ -112,12 +112,16 @@ def uvarint_decode(buf: np.ndarray, n: int = -1) -> Tuple[np.ndarray, int]:
 
 def repeat_offsets(lens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """For pieces with lengths lens, return (piece_id, within_piece_offset)
-    for every output byte position."""
+    for every output byte position. Index arrays are int32 whenever the
+    output fits (these are the dominant memory traffic of every
+    variable-length gather — dtype width is throughput)."""
     lens = lens.astype(np.int64, copy=False)
     total = int(lens.sum())
-    piece_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    out_start = np.cumsum(lens) - lens
-    within = np.arange(total, dtype=np.int64) - out_start[piece_id]
+    dt = np.int32 if total < 2**31 else np.int64
+    piece_id = np.repeat(np.arange(len(lens), dtype=dt), lens)
+    out_start = (np.cumsum(lens, dtype=np.int64) - lens).astype(dt, copy=False)
+    within = np.arange(total, dtype=dt)
+    within -= out_start[piece_id]
     return piece_id, within
 
 
@@ -126,6 +130,10 @@ def gather_chunks(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
     if len(lens) == 0:
         return np.empty(0, dtype=np.uint8)
     piece_id, within = repeat_offsets(lens)
+    if piece_id.dtype == np.int32 and len(src) < 2**31:
+        idx = starts.astype(np.int32, copy=False)[piece_id]
+        idx += within
+        return src[idx]
     return src[starts.astype(np.int64)[piece_id] + within]
 
 

@@ -102,3 +102,72 @@ def test_malicious_rle_count_capped():
     evil_bool = rm.uvarint(10**10)
     with pytest.raises(CodecError):
         bool_rle_decode(bytes(evil_bool), 10**10)
+
+
+# ---- container-column fuzz (struct/map/wide-decimal/uint64) ----------------
+
+import decimal as _dec
+
+_STRUCT_T = pa.struct([pa.field("s", pa.string()), pa.field("v", pa.int64())])
+_MAP_T = pa.map_(pa.string(), pa.int64())
+_DEC_T = pa.decimal128(38, 6)
+
+_CONT_GENS = {
+    "struct": st.fixed_dictionaries(
+        {"s": st.one_of(st.none(), st.text(max_size=8)),
+         "v": st.one_of(st.none(), st.integers(-2**62, 2**62))}),
+    "map": st.dictionaries(st.text(max_size=4),
+                           st.one_of(st.none(),
+                                     st.integers(-2**31, 2**31)),
+                           max_size=4).map(lambda d: list(d.items())),
+    "dec": st.decimals(min_value=_dec.Decimal("-" + "9" * 28),
+                       max_value=_dec.Decimal("9" * 28),
+                       allow_nan=False, allow_infinity=False, places=6),
+    "u64": st.integers(0, 2**64 - 1),
+    "list": st.lists(st.one_of(st.none(), st.integers(-100, 100)),
+                     max_size=5),
+}
+
+_CONT_PA = {"struct": _STRUCT_T, "map": _MAP_T, "dec": _DEC_T,
+            "u64": pa.uint64(), "list": pa.list_(pa.int64())}
+
+
+@st.composite
+def container_tables(draw):
+    n_rows = draw(st.integers(0, 50))
+    cols, types = {}, {}
+    for i in range(draw(st.integers(1, 3))):
+        t = draw(st.sampled_from(sorted(_CONT_GENS)))
+        nullable = draw(st.booleans())
+        vals = [draw(st.none()) if (nullable and draw(st.booleans()))
+                else draw(_CONT_GENS[t]) for _ in range(n_rows)]
+        cols[f"c{i}"] = vals
+        types[f"c{i}"] = t
+    budget = draw(st.one_of(st.none(), st.integers(0, n_rows)))
+    return cols, types, n_rows, budget
+
+
+@given(container_tables())
+@settings(max_examples=80, deadline=None)
+def test_block_roundtrip_fuzz_containers(tbl):
+    """Engine-level round-trip for container columns, including a random
+    decode budget (partial blocks must be the exact row prefix)."""
+    cols, types, n_rows, budget = tbl
+    arrays = [pa.array(v, type=_CONT_PA[types[k]]) for k, v in cols.items()]
+    batch = pa.RecordBatch.from_arrays(arrays, names=list(cols))
+    block = encode_batch(batch, "fuzz_c", 0, 0)
+    row = block.to_pylist()[0]
+    out = decode_block_row(row, verify=True)
+    assert out.num_rows == n_rows
+    for k in cols:
+        got = out.column(out.schema.get_field_index(k)).to_pylist()
+        want = pa.array(cols[k], type=_CONT_PA[types[k]]).to_pylist()
+        assert got == want, k
+    if budget is not None:
+        part = decode_block_row(row, budget=budget)
+        assert part.num_rows == budget
+        for k in cols:
+            got = part.column(part.schema.get_field_index(k)).to_pylist()
+            want = pa.array(cols[k],
+                            type=_CONT_PA[types[k]]).to_pylist()[:budget]
+            assert got == want, k
