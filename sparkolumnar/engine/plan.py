@@ -63,10 +63,21 @@ def _raw_bytes(arr: pa.Array) -> int:
     return sum(b.size for b in arr.buffers() if b is not None)
 
 
+_PRICE_BYTES = 2 << 20  # price candidates on a bounded slice of the sample
+
+
 def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
     """Price every string-domain candidate on the sample, building the
     job-level FSST symbol table exactly once (the per-batch select_encode
-    path would build a throwaway table first and the job table second)."""
+    path would build a throwaway table first and the job table second).
+
+    All candidates are priced on the SAME bounded slice (~2 MB) — enough
+    for a stable ratio estimate; the per-batch race still guarantees the
+    <=-reference size regardless of what the plan picks."""
+    full_data, full_offsets = str_buffers(arr)
+    if len(full_data) > _PRICE_BYTES:
+        cut = max(1, int(np.searchsorted(full_offsets, _PRICE_BYTES)))
+        arr = arr.slice(0, min(cut, len(arr)))
     sizes: Dict[str, int] = {"split": len(get_codec("split").encode(arr))}
     if len(arr) > 1:
         from ..codecs.rle_family import rle_size_binary
