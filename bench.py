@@ -82,10 +82,12 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     timings = {}
     extras = {}
 
-    def clock(name, fn, repeats=1):
+    def clock(name, fn, repeats=1, quiet=False):
         best = None
         out = None
         for _ in range(repeats):
+            if quiet:  # headline metrics: re-check host speed per repeat
+                wait_for_quiet_host(max_wait=45)
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -113,7 +115,8 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
          .parquet("/tmp/sparkolumnar_bench_blocks"))
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
 
-    clock("pages_encode", do_encode, repeats=5)  # best-of-5: shared-box noise
+    # best-of-5 with per-repeat quiet-host gating: shared-box noise
+    clock("pages_encode", do_encode, repeats=5, quiet=True)
     lin = (lineage_of(blocks).groupBy()
            .agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"))
            .collect()[0])
