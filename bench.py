@@ -103,7 +103,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     pages = spark.read.parquet(*sorted(set(pages.inputFiles())))  # fresh scan
 
     # job-level plan (single sample pass), as encode_job does in production
-    plan = clock("plan_sample_pass", lambda: build_plan(pages))
+    plan = clock("plan_sample_pass", lambda: build_plan(pages), repeats=2)
 
     blocks = None
 

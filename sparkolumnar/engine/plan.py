@@ -67,7 +67,7 @@ def _raw_bytes(arr: pa.Array) -> int:
     return sum(b.size for b in arr.buffers() if b is not None)
 
 
-_PRICE_BYTES = 2 << 20  # price candidates on a bounded slice of the sample
+_PRICE_BYTES = 1 << 20  # price candidates on a bounded slice of the sample
 
 
 def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
@@ -75,7 +75,7 @@ def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
     job-level FSST symbol table exactly once (the per-batch select_encode
     path would build a throwaway table first and the job table second).
 
-    All candidates are priced on the SAME bounded slice (~2 MB) — enough
+    All candidates are priced on the SAME bounded slice (~1 MB) — enough
     for a stable ratio estimate; the per-batch race still guarantees the
     <=-reference size regardless of what the plan picks."""
     full_data, full_offsets = str_buffers(arr)
@@ -134,6 +134,8 @@ def plan_from_sample(sample: pa.Table, mode: str = BALANCED) -> CodecPlan:
         work.append((fld.name, arr))
     if not work:
         return plan
+    # longest columns first: the pool drains big items while small ones fill
+    work.sort(key=lambda w: -_raw_bytes(w[1]))
     with ThreadPoolExecutor(max_workers=min(4, len(work))) as pool:
         results = list(pool.map(lambda w: _plan_one(w[1], mode), work))
     for (name, _), cp in zip(work, results):
@@ -147,10 +149,18 @@ def sample_table(df, sample_rows: int = DEFAULT_SAMPLE_ROWS) -> pa.Table:
     partitions each contribute a bounded head slice, collected small."""
     from pyspark import TaskContext
 
+    nparts = 0
     try:
-        nparts = max(1, df.rdd.getNumPartitions())
+        # cheap metadata probe first (a .rdd conversion can cost ~0.5s of
+        # JVM work on wide plans); file count ~ partition count for scans
+        nparts = len(df.inputFiles())
     except Exception:
-        nparts = _SAMPLE_PARTS
+        pass
+    if nparts <= 0:  # non-file-backed DF: ask the RDD
+        try:
+            nparts = max(1, df.rdd.getNumPartitions())
+        except Exception:
+            nparts = _SAMPLE_PARTS
     want = min(nparts, _SAMPLE_PARTS)
     step = max(1, nparts // want)
     per_part = max(64, sample_rows // want)
