@@ -542,36 +542,48 @@ def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
     if ne == 0:
         return np.empty(0, np.uint8), np.zeros(len(enc_off) - 1, np.int64)
     rel_off = enc_off - lo
-    # escape-marker classification: runs of 0xFF split at string starts;
-    # within each run the 1st, 3rd, ... byte is a marker
-    is_ff = E == ESCAPE
-    is_start = np.zeros(ne, dtype=bool)
-    starts_in = rel_off[:-1][np.diff(enc_off) > 0]
-    is_start[starts_in] = True
-    neq = (is_ff[1:] != is_ff[:-1]) | is_start[1:]
-    run_starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
-    run_id = np.cumsum(np.concatenate([[True], neq])) - 1
-    off_in_run = np.arange(ne, dtype=np.int64) - run_starts[run_id]
-    is_marker = is_ff & (off_in_run % 2 == 0)
-    is_literal = np.zeros(ne, dtype=bool)
-    is_literal[1:] = is_marker[:-1]
-    is_codebyte = ~is_marker & ~is_literal
-    if np.any(E[is_codebyte] >= n_sym):
+    # escape-marker classification, SPARSE: code bytes are never 0xFF (the
+    # code space is 0..254), so only the (rare) 0xFF positions need the
+    # runs-of-FF parity walk — everything else is one dense table gather
+    ff = np.flatnonzero(E == ESCAPE)
+    if len(ff):
+        starts_in = rel_off[:-1][np.diff(enc_off) > 0]  # string starts
+        new_run = np.empty(len(ff), dtype=bool)
+        new_run[0] = True
+        if len(ff) > 1:
+            new_run[1:] = np.diff(ff) != 1  # non-consecutive FF = new run
+            new_run[1:] |= np.isin(ff[1:], starts_in)  # starts split runs
+        rs = ff[new_run]
+        run_id = np.cumsum(new_run) - 1
+        off = ff - rs[run_id]
+        markers = ff[(off & 1) == 0]
+        literals = markers + 1
+        if len(literals) and int(literals[-1]) >= ne:
+            raise CodecError("dangling fsst escape")
+    else:
+        markers = literals = np.empty(0, dtype=np.int64)
+    # per-byte output length via a 256-entry table (-1 = invalid code)
+    len256 = np.full(256, -1, dtype=np.int8)
+    len256[:n_sym] = sym_lens[:n_sym]
+    out_len = len256[E]
+    out_len[markers] = 0
+    out_len[literals] = 1
+    if int(out_len.min()) < 0:
         raise CodecError("fsst code byte out of range")
-    out_len = np.zeros(ne, dtype=np.int64)
-    out_len[is_literal] = 1
-    out_len[is_codebyte] = sym_lens[E[is_codebyte]]
-    cum = np.concatenate([[0], np.cumsum(out_len)])
+    cum = np.empty(ne + 1, dtype=np.int64)
+    cum[0] = 0
+    cum[1:] = np.cumsum(out_len, dtype=np.int64)
     str_out_lens = cum[rel_off[1:]] - cum[rel_off[:-1]]
     # assemble: pieces in byte order; sources: symbol area (within buf) for
-    # codes, E itself for literals
+    # codes, E itself for literals (sparse override)
     p_idx = np.flatnonzero(out_len > 0)
-    p_lens = out_len[p_idx]
-    p_starts = np.empty(len(p_idx), dtype=np.int64)
-    lit = is_literal[p_idx]
-    p_starts[lit] = e_base + lo + p_idx[lit]  # literal byte inside E
-    cb = ~lit
-    p_starts[cb] = sym_starts[E[p_idx[cb]]]
+    starts256 = np.zeros(256, dtype=np.int64)
+    starts256[:n_sym] = sym_starts[:n_sym]
+    p_starts = starts256[E[p_idx]]
+    p_lens = out_len[p_idx].astype(np.int64)
+    if len(literals):
+        pos = np.searchsorted(p_idx, literals)
+        p_starts[pos] = e_base + lo + literals
     return gather_chunks(buf, p_starts, p_lens), str_out_lens
 
 
