@@ -59,6 +59,9 @@ SAMPLE_BYTES = 1 << 15  # 32 KiB sample for table construction
 # throughput at 16 concurrent workers vs 8 MiB chunks (this is what makes
 # many-core scaling near-linear — the match passes stop fighting for DRAM).
 CHUNK_BYTES = 1 << 20
+# chain walking switches from lock-step rounds to per-chain orbits once
+# this few chains survive (the survivors are the longest strings)
+_CHAIN_TAIL = 24
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +284,7 @@ def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
     mark = np.zeros(n, dtype=bool)
     total = 0
     mat = None
-    while len(cur):
+    while len(cur) > _CHAIN_TAIL:
         k = len(cur)
         if mat is None or mat.shape[1] != k:
             mat = np.empty((8, k), dtype=np.int32)
@@ -303,6 +306,17 @@ def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
             cur = cur[alive]
             ends = ends[alive]
             mat = None
+    # tail: a handful of extra-long chains would otherwise burn hundreds
+    # of tiny lock-step rounds — finish each with a pointer-doubling orbit
+    # over its own local span (log2(tokens) small compositions)
+    if len(cur):
+        from .nputil import orbit
+
+        for c, e in zip(cur.tolist(), ends.tolist()):
+            jloc = J1[c:e].astype(np.int64)
+            jloc -= c
+            seq = orbit(jloc, 0, e - c)
+            mark[seq + c] = True
     return np.flatnonzero(mark).astype(np.int32)
 
 
