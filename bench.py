@@ -128,6 +128,8 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     clock("pages_decode_verify",
           lambda: decode_blocks(blocks, verify=True)
           .select(F.count("*")).collect(), repeats=3)
+    extras["decode_verify_gbps"] = round(
+        raw / 1e9 / timings["pages_decode_verify"], 4)
 
     # reference-equivalent codec set (no FSST/dict): the raw-throughput mode
     clock("pages_encode_fast",

@@ -78,6 +78,36 @@ def decode_and_featurize(df: DataFrame, media_col: str, target: int = 32,
         fn, f"{fields}, width int, height int, feature array<double>")
 
 
+def media_embeddings(df: DataFrame, media_col: str, id_col: str,
+                     dim: int = 16, fake: bool = False) -> DataFrame:
+    """binary media -> embedding column (array<double>, L2-normalized),
+    ready for the similarity operators (brute_force_topk / ivf_build /
+    cosine_neardup_pairs): the multimodal near-dup pipeline is
+    media_embeddings -> ann ops, all batch-vectorized, no shuffle here.
+
+    The embedding network is STUBBED like the decoders (no ML libs in this
+    environment): fake=True derives a deterministic unit vector from the
+    decoded fake image's channel statistics; fake=False raises."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf[media_col]:
+                if not fake:
+                    raise NotImplementedError(
+                        "no embedding model available in this environment; "
+                        "pass fake=True for the deterministic stub")
+                img = _fake_decode(bytes(payload), max(8, dim))
+                v = img.reshape(-1)[: dim].astype(np.float64)
+                v = v - v.mean()
+                norm = np.linalg.norm(v)
+                embs.append((v / norm if norm else v).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "embedding": embs})
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn, f"{id_col} long, embedding array<double>")
+
+
 def frame_sample(df: DataFrame, media_col: str, every_n_bytes: int = 1024,
                  max_frames: int = 8) -> DataFrame:
     """'Video' frame sampling stand-in: emits one row per sampled byte

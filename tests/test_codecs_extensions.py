@@ -143,3 +143,42 @@ def test_nested_list_fuzz(xs):
     c = get_codec("nested")
     out = c.decode(c.encode(arr), len(arr), arr.type)
     assert out.to_pylist() == arr.to_pylist()
+
+
+def test_fsst_adversarial_shapes():
+    """Edge shapes through the FULL fsst path: all-escape bytes, empty
+    strings, single giant string crossing the chunk limit, 1-byte strings,
+    and a string of repeated escapes."""
+    import numpy as np
+
+    from sparkolumnar.codecs import fsst as fsst_mod
+
+    c = get_codec("fsst")
+    cases = [
+        pa.array(["\xff" * 3, "", "\xff\xff\xff\xff"] * 40),
+        pa.array([""] * 100),
+        pa.array(["x"] * 5000),
+        pa.array(["ab" * (1 << 19)]),  # one string > CHUNK_BYTES
+        pa.array(["q"] + ["the quick brown fox"] * 300 + [""]),
+        pa.array([chr(i % 256) for i in range(1, 512)]),
+    ]
+    for arr in cases:
+        arr = arr.cast(pa.string()) if arr.type == pa.string() else arr
+        p = c.encode(arr)
+        out = c.decode(p, len(arr), arr.type)
+        assert out.to_pylist() == arr.to_pylist()
+        k = max(1, len(arr) // 2)
+        pre = c.decode_prefix(p, len(arr), arr.type, k)
+        assert pre.to_pylist() == arr.slice(0, k).to_pylist()
+
+
+def test_fsst_binary_random_bytes():
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    vals = [rng.integers(0, 256, rng.integers(0, 300)).astype("u1").tobytes()
+            for _ in range(400)]
+    arr = pa.array(vals, type=pa.binary())
+    c = get_codec("fsst")
+    p = c.encode(arr)
+    assert c.decode(p, len(arr), arr.type).to_pylist() == vals

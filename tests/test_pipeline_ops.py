@@ -241,3 +241,23 @@ def test_ivf_persisted_index_recall(spark, tmp_path):
     probe_plan = ivf_query(spark, path, queries.limit(1), k=5, nprobe=2)
     plan = probe_plan._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan  # partition filter present on the scan
+
+
+def test_media_embedding_to_ann_pipeline(spark):
+    """Multimodal near-dup shape end-to-end: media bytes -> (stub)
+    embeddings -> exact cosine top-k. Duplicate media must be each
+    other's nearest neighbor (identical bytes -> identical embedding)."""
+    from sparkolumnar.pipeline import media_embeddings
+
+    rows = [(i, bytes([i % 7] * (64 + i % 5))) for i in range(40)]
+    rows += [(100, rows[3][1]), (101, rows[4][1])]  # exact dup media
+    df = spark.createDataFrame(rows, "k long, img binary")
+    emb = media_embeddings(df, "img", "k", dim=16, fake=True)
+    assert emb.count() == 42
+    queries = emb.filter(F.col("k").isin([100, 101]))
+    top = brute_force_topk(emb, queries, k=1, id_col="k")
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got[100] == 3 and got[101] == 4
+    import pytest as _pt
+    with _pt.raises(Exception):
+        media_embeddings(df, "img", "k", fake=False).collect()
