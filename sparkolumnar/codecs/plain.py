@@ -138,6 +138,18 @@ class PlainCodec(Codec):
         return pa.array(plain_decode_fixed(payload, n, dtype))
 
 
+def split_size(arr: pa.Array) -> int:
+    """Exact encoded size of SplitCodec.encode(arr) WITHOUT encoding (the
+    format is varint count + all length varints + raw data, so the size is
+    pure arithmetic). Lets the selector keep split fully priced for the
+    <=-reference guarantee while only paying for the encode when split
+    actually wins."""
+    data, offsets = str_buffers(arr)
+    lens = np.diff(offsets).astype(np.uint64)
+    n_b = int(uvarint_size(np.array([len(arr)], dtype=np.uint64))[0])
+    return n_b + int(uvarint_size(lens).sum()) + len(data)
+
+
 class SplitCodec(Codec):
     """Column-split variant of plain for strings/binary: varint count, then
     ALL length varints, then all payload bytes. Exactly the same byte count

@@ -139,24 +139,21 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
         if not payloads:
             payloads["plain"] = run("plain")
     elif dom in (STR, BIN):
-        payloads["split"] = run("split")
-        if payloads["split"] is None:  # cannot happen for valid arrays
-            raise CodecError(f"split codec failed on {arr.type}")
+        # split and rle are priced ANALYTICALLY (byte-exact, one cheap
+        # pass each — tests pin the estimates against real encodes); the
+        # actual encode only runs for whichever candidate wins, so the
+        # reference strategy set {rle, generic} stays fully priced (size
+        # parity) with zero wasted encode passes
+        from ..codecs.plain import split_size
+        s_size = split_size(arr)
+        tried["split"] = s_size
         data, offsets = str_buffers(arr)
         raw = len(data)
-        # rle can only beat split when runs exist
+        rle_size = None
         if n > 1:
-            # exact rle size in one comparison pass (no encode); only pay
-            # for the actual encode when rle provably beats split — this
-            # keeps the reference strategy set {rle, generic} fully priced
-            # (size parity) without worst-case all-literal rle passes
             from ..codecs.rle_family import rle_size_binary
             rle_size = rle_size_binary(arr)
             tried["rle"] = rle_size
-            if rle_size < len(payloads["split"]):
-                p = run("rle")
-                if p is not None:
-                    payloads["rle"] = p
         if plan is not None:
             # the job plan already decided the expensive candidates
             if plan.codec == "dict":
@@ -195,6 +192,19 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
                     p = run("fsst")
                     if p is not None:
                         payloads["fsst"] = p
+        # pick the winner across encoded payloads + analytic prices, then
+        # encode the analytic winner only if it actually won
+        cand = {k: len(v) for k, v in payloads.items() if v is not None}
+        cand["split"] = s_size
+        if rle_size is not None:
+            cand["rle"] = rle_size
+        best_name = min(cand.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if best_name not in payloads:
+            p = run(best_name)
+            if p is not None:
+                payloads[best_name] = p
+        if not any(v is not None for v in payloads.values()):
+            payloads["split"] = run("split")
     else:  # floats
         payloads["plain"] = run("plain")
         p = run("byteplane")

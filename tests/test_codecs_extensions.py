@@ -182,3 +182,17 @@ def test_fsst_binary_random_bytes():
     c = get_codec("fsst")
     p = c.encode(arr)
     assert c.decode(p, len(arr), arr.type).to_pylist() == vals
+
+
+def test_split_size_is_byte_exact():
+    from hypothesis import given, settings, strategies as st
+
+    from sparkolumnar.codecs.plain import split_size
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(max_size=300), max_size=60))
+    def check(vals):
+        arr = pa.array(vals, type=pa.binary())
+        assert split_size(arr) == len(get_codec("split").encode(arr))
+
+    check()
