@@ -176,6 +176,20 @@ class Codec:
             return self.decode(payload, n, typ)
         return self.decode(payload, n, typ).slice(0, k)
 
+    def decode_range(self, payload: bytes, n: int, typ: pa.DataType,
+                     start: int, stop: int) -> pa.Array:
+        """Decode only values [start, stop) — random access into an
+        encoded column (the property FSST is named for; the reference's
+        iterable module exposes the same capability as lazy per-value
+        iterators, columnar/src/iterable.rs).
+
+        Default: prefix decode + slice (skips the tail); offset-indexed
+        formats (fsst/split) override to skip the head's bytes too."""
+        stop = min(stop, n)
+        start = min(start, stop)
+        return self.decode_prefix(payload, n, typ, stop).slice(
+            start, stop - start)
+
 
 _REGISTRY: Dict[str, Codec] = {}
 

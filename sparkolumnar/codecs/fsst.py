@@ -482,12 +482,12 @@ def fsst_encode(data: np.ndarray, offsets: np.ndarray,
     return bytes(head) + body
 
 
-def fsst_decode(payload: bytes, n: int,
-                k: int = -1) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode all n strings, or (k >= 0) only the FIRST k strings — the
-    per-string encoded lengths live in the header, so a prefix decode
-    touches only the first sum(enc_lens[:k]) body bytes (bytes past the
-    prefix may even be absent)."""
+def fsst_decode(payload: bytes, n: int, k: int = -1,
+                start: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode all n strings, or only strings [start, k) — the per-string
+    encoded lengths live in the header, so a range decode touches only
+    that range's body bytes (random access, the property FSST is named
+    for; bytes past the range's end may even be absent)."""
     buf = np.frombuffer(payload, dtype=np.uint8)
     cnt, used = uvarint_decode(buf, 1)
     n_sym = int(cnt[0])
@@ -508,13 +508,17 @@ def fsst_decode(payload: bytes, n: int,
     enc_lens, used3 = uvarint_decode(buf[pos:], n)
     enc_lens = enc_lens.astype(np.int64)
     pos += used3
-    if 0 <= k < n:
-        enc_lens = enc_lens[:k]
+    stop = k if 0 <= k <= n else n
+    start = max(0, min(start, stop))
+    if start > 0 or stop < n:
+        head = int(enc_lens[:start].sum())
+        enc_lens = enc_lens[start:stop]
         need = int(enc_lens.sum())
+        pos += head
         E = buf[pos: pos + need]
         if len(E) < need:
-            raise CodecError("fsst payload shorter than requested prefix")
-        n = k
+            raise CodecError("fsst payload shorter than requested range")
+        n = stop - start
     else:
         E = buf[pos:]
         if int(enc_lens.sum()) != len(E):
@@ -616,6 +620,12 @@ class FsstCodec(Codec):
     def decode_prefix(self, payload: bytes, n: int, typ: pa.DataType,
                       k: int) -> pa.Array:
         data, offsets = fsst_decode(payload, n, k=min(k, n))
+        return from_str_buffers(data, offsets, typ)
+
+    def decode_range(self, payload: bytes, n: int, typ: pa.DataType,
+                     start: int, stop: int) -> pa.Array:
+        data, offsets = fsst_decode(payload, n, k=min(stop, n),
+                                    start=start)
         return from_str_buffers(data, offsets, typ)
 
 

@@ -204,6 +204,28 @@ class SplitCodec(Codec):
         np.cumsum(lens, out=offsets[1:])
         return from_str_buffers(data, offsets, typ)
 
+    def decode_range(self, payload: bytes, n: int, typ: pa.DataType,
+                     start: int, stop: int) -> pa.Array:
+        """Random access: length varints index the data area directly."""
+        stop = min(stop, n)
+        start = max(0, min(start, stop))
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        cnt, used = uvarint_decode(buf, 1)
+        if int(cnt[0]) != n:
+            raise CodecError(f"split payload has {cnt[0]} values, expected {n}")
+        all_lens, used2 = uvarint_decode(buf[used:], n)
+        head = int(all_lens[:start].sum())
+        lens = all_lens[start:stop].astype(np.int64)
+        need = int(lens.sum())
+        lo = used + used2 + head
+        data = buf[lo: lo + need]
+        if len(data) < need:
+            raise CodecError("split payload shorter than requested range")
+        offsets = np.empty(stop - start + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(lens, out=offsets[1:])
+        return from_str_buffers(data, offsets, typ)
+
 
 register(PlainCodec())
 register(SplitCodec())

@@ -138,3 +138,48 @@ def test_decode_prefix_property_all_codecs():
             got = codec.decode_prefix(ch.payload, len(arr), arr.type, k)
             assert got.to_pylist() == full.slice(0, k).to_pylist(), \
                 (ch.codec, k)
+
+
+def test_decode_range_random_access():
+    """decode_range(start, stop) == decode()[start:stop] for all codecs;
+    fsst/split skip both head and tail body bytes (proven by truncation)."""
+    rng = np.random.default_rng(21)
+    arrays = [
+        ("rle", pa.array(np.repeat(rng.integers(0, 4, 50),
+                                   rng.integers(1, 7, 50)).astype(np.int64))),
+        ("delta_rle", pa.array(np.arange(0, 3000, 7, dtype=np.int64))),
+        ("split", pa.array([f"value {i} {'y' * (i % 11)}"
+                            for i in range(300)])),
+        ("fsst", pa.array(["the quick brown fox jumps"] * 200
+                          + [f"tail {i}" for i in range(50)])),
+    ]
+    for name, arr in arrays:
+        codec = get_codec(name)
+        p = codec.encode(arr)
+        full = codec.decode(p, len(arr), arr.type)
+        n = len(arr)
+        for start, stop in ((0, n), (5, 20), (n - 3, n), (7, 7), (0, 1)):
+            got = codec.decode_range(p, n, arr.type, start, stop)
+            assert got.to_pylist() == full.slice(
+                start, stop - start).to_pylist(), (name, start, stop)
+
+
+def test_fsst_range_needs_only_range_bytes():
+    strs = pa.array([f"doc {i} with words" for i in range(200)])
+    c = get_codec("fsst")
+    p = c.encode(strs)
+    full = c.decode(p, 200, strs.type)
+    from sparkolumnar.codecs.nputil import uvarint_decode
+    buf = np.frombuffer(p, np.uint8)
+    cnt, used = uvarint_decode(buf, 1)
+    pos = used
+    for _ in range(int(cnt[0])):
+        pos += 1 + int(buf[pos])
+    _, u2 = uvarint_decode(buf[pos:], 1)
+    pos += u2
+    enc_lens, u3 = uvarint_decode(buf[pos:], 200)
+    pos += u3
+    # truncate right after string 120's bytes; decode strings [80, 120)
+    cut = pos + int(enc_lens[:120].sum())
+    got = c.decode_range(p[:cut], 200, strs.type, 80, 120)
+    assert got.to_pylist() == full.slice(80, 40).to_pylist()
