@@ -37,7 +37,13 @@ def decode_block_row(row: dict, verify: bool = False,
     from ..codecs import get_codec
 
     n = row["n_rows"]
-    k = n if budget is None else min(budget, n)  # prefix row budget
+    # budget: None (whole block) or (skip, take) row window within it
+    if budget is None:
+        skip, k = 0, n
+    else:
+        skip, take = budget
+        skip = min(skip, n)
+        k = min(take, n - skip)
     arrays = []
     fields = []
     if target is not None:
@@ -57,19 +63,24 @@ def decode_block_row(row: dict, verify: bool = False,
         n_nulls = meta["n_nulls"]
         n_valid = n - n_nulls
         codec = get_codec(meta["codec"])
+        whole = skip == 0 and k == n
         if n_nulls:
             from ..codecs.core import reassemble_nulls
 
             valid = get_codec("bool_rle").decode(validity, n, pa.bool_())
-            vmask = valid.to_numpy(zero_copy_only=False)[:k]
+            vm_all = valid.to_numpy(zero_copy_only=False)
+            vmask = vm_all[skip:skip + k]
+            v_start = int(vm_all[:skip].sum())
             k_valid = int(vmask.sum())
-            vals = (codec.decode(payload, n_valid, typ) if k == n
-                    else codec.decode_prefix(payload, n_valid, typ, k_valid))
+            vals = (codec.decode(payload, n_valid, typ) if whole
+                    else codec.decode_range(payload, n_valid, typ,
+                                            v_start, v_start + k_valid))
             arr = reassemble_nulls(vals, vmask, k, typ)
         else:
-            arr = (codec.decode(payload, n_valid, typ) if k == n
-                   else codec.decode_prefix(payload, n_valid, typ, k))
-        if verify and k == n and canonical_checksum(arr) != meta["checksum_in"]:
+            arr = (codec.decode(payload, n_valid, typ) if whole
+                   else codec.decode_range(payload, n_valid, typ,
+                                           skip, skip + k))
+        if verify and whole and canonical_checksum(arr) != meta["checksum_in"]:
             # (checksums cover whole columns; partial decodes skip verify)
             raise CodecError(
                 f"round-trip checksum mismatch for column {meta['name']} "
@@ -94,8 +105,8 @@ def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
             for row in b.to_pylist():
                 budget = None
                 if budgets is not None:
-                    budget = budgets.get(row["block_id"], 0)
-                    if budget <= 0:
+                    budget = budgets.get(row["block_id"])
+                    if budget is None:
                         continue
                 out = decode_block_row(row, verify=verify, columns=columns,
                                        target=target, budget=budget)
@@ -127,21 +138,29 @@ def schema_of_blocks(blocks_df: DataFrame,
     return T.StructType(fields)
 
 
-def _prefix_budgets(blocks_df: DataFrame, limit: int) -> dict:
-    """Per-block row budgets covering the first `limit` rows in
-    (part_id, seq) order. Metadata-only: the driver scan reads block_id/
-    part_id/seq/n_rows (payload columns pruned away by the wide layout)
-    and toLocalIterator stops pulling partitions once the limit is met."""
+def _prefix_budgets(blocks_df: DataFrame, limit: int,
+                    offset: int = 0) -> dict:
+    """Per-block (skip, take) row windows covering rows
+    [offset, offset + limit) in (part_id, seq) order. Metadata-only: the
+    driver scan reads block_id/part_id/seq/n_rows (payload columns pruned
+    away by the wide layout) and toLocalIterator stops pulling partitions
+    once the window is covered."""
     from pyspark.sql import functions as F
 
     it = (blocks_df.select("block_id", "part_id", "seq", "n_rows")
           .orderBy(F.asc("part_id"), F.asc("seq"))
           .toLocalIterator())
     budgets: dict = {}
+    to_skip = offset
     left = limit
     for r in it:
-        take = min(left, r["n_rows"])
-        budgets[r["block_id"]] = int(take)
+        nb = int(r["n_rows"])
+        if to_skip >= nb:
+            to_skip -= nb
+            continue
+        take = min(left, nb - to_skip)
+        budgets[r["block_id"]] = (int(to_skip), int(take))
+        to_skip = 0
         left -= take
         if left <= 0:
             break
@@ -152,7 +171,8 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
                   columns: Optional[List[str]] = None,
                   compat: bool = False,
-                  limit: Optional[int] = None) -> DataFrame:
+                  limit: Optional[int] = None,
+                  offset: int = 0) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns' payload/validity
@@ -165,22 +185,23 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     from a block are null-filled (the reference's indexed-optional-column
     forward/backward compatibility, re-expressed).
 
-    limit=n decodes only the FIRST n rows (blocks ordered by part_id,
-    seq) — the reference's take_n_finalize re-expressed distributedly:
-    a metadata-only pass picks the needed blocks + per-block row budgets,
-    the payload scan is filtered to those block_ids (an isin predicate
-    that reaches the parquet scan, so other blocks' payload bytes are
-    never read), and inside a partially-needed block each codec decodes
-    only the value prefix (rle/delta_rle cap run expansion, fsst/split
-    touch only the prefix's body bytes). Partial blocks skip checksum
-    verification (checksums cover whole columns).
+    limit=n (optionally with offset=m) decodes only rows
+    [m, m + n) of the table (blocks ordered by part_id, seq) — the
+    reference's take_n_finalize / lazy iteration re-expressed
+    distributedly: a metadata-only pass picks the needed blocks +
+    per-block (skip, take) windows, the payload scan is filtered to those
+    block_ids (an isin predicate that reaches the parquet scan, so other
+    blocks' payload bytes are never read), and inside a partially-needed
+    block each codec decodes only the value range (rle/delta_rle cap run
+    expansion, fsst/split touch only the range's body bytes). Partial
+    blocks skip checksum verification (checksums cover whole columns).
     """
     target = None
     budgets = None
     if limit is not None:
         from pyspark.sql import functions as F
 
-        budgets = _prefix_budgets(blocks_df, limit)
+        budgets = _prefix_budgets(blocks_df, limit, offset)
         blocks_df = blocks_df.where(
             F.col("block_id").isin(list(budgets.keys())))
     if schema is None:

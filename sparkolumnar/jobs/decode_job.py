@@ -27,7 +27,9 @@ def main(argv=None) -> None:
     ap.add_argument("--verify", action="store_true",
                     help="recompute canonical checksums while decoding")
     ap.add_argument("--limit", type=int, default=None,
-                    help="decode only the first N rows (partial decode)")
+                    help="decode only N rows (partial decode)")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="with --limit: skip this many rows first")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-decode")
@@ -41,7 +43,7 @@ def main(argv=None) -> None:
     blocks = spark.read.parquet(args.blocks)
     cols = args.columns.split(",") if args.columns else None
     out = decode_blocks(blocks, verify=args.verify, columns=cols,
-                        limit=args.limit)
+                        limit=args.limit, offset=args.offset)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 

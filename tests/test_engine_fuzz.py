@@ -164,7 +164,7 @@ def test_block_roundtrip_fuzz_containers(tbl):
         want = pa.array(cols[k], type=_CONT_PA[types[k]]).to_pylist()
         assert got == want, k
     if budget is not None:
-        part = decode_block_row(row, budget=budget)
+        part = decode_block_row(row, budget=(0, budget))
         assert part.num_rows == budget
         for k in cols:
             got = part.column(part.schema.get_field_index(k)).to_pylist()

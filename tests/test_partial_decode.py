@@ -111,7 +111,14 @@ def test_decode_blocks_limit(spark):
     from sparkolumnar.engine.decode import _prefix_budgets
     budgets = _prefix_budgets(blocks, 25)
     assert len(budgets) < n_blocks
-    assert sum(budgets.values()) == 25
+    assert sum(t for _, t in budgets.values()) == 25
+    # offset pagination: rows [30, 55) == full[30:55]
+    page = decode_blocks(blocks, limit=25, offset=30).collect()
+    full55 = decode_blocks(blocks).limit(55).collect()
+    assert page == full55[30:]
+    # offset past a whole block skips it entirely
+    big = _prefix_budgets(blocks, 5, offset=blocks.collect()[0]["n_rows"] + 3)
+    assert all(s >= 0 for s, _ in big.values())
 
 
 def test_decode_prefix_property_all_codecs():
