@@ -147,8 +147,9 @@ def _prefix_budgets(blocks_df: DataFrame, limit: int,
     once the window is covered."""
     from pyspark.sql import functions as F
 
-    it = (blocks_df.select("block_id", "part_id", "seq", "n_rows")
-          .orderBy(F.asc("part_id"), F.asc("seq"))
+    it = (blocks_df.select("block_id", "snapshot_id", "part_id", "seq",
+                           "n_rows")
+          .orderBy(F.asc("snapshot_id"), F.asc("part_id"), F.asc("seq"))
           .toLocalIterator())
     budgets: dict = {}
     to_skip = offset
