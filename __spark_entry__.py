@@ -262,6 +262,21 @@ def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard for all pairs of the first 8 docs
+    (vectorized shingle-set intersect; integer outputs so the DuckDB
+    recomputation — distinct substrings + list_intersect — is exact)."""
+    from sparkolumnar.pipeline import ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    a = docs.select(F.col("doc_id").alias("a"))
+    b = docs.select(F.col("doc_id").alias("b"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    out = ngram_jaccard_verify(docs, pairs, "text", "doc_id")
+    return (out.select("a", "b", "n_inter", "n_union")
+            .orderBy("a", "b"))
+
+
 def _q_decode_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial decode (take_n_finalize re-expressed): encode documents
     sorted by doc_id into one partition, then decode_blocks(limit=50) —
@@ -425,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_field_agg": _q_struct_field_agg,
         "minhash_wordgram_profile": _q_minhash_wordgram_profile,
         "decode_limit_preview": _q_decode_limit_preview,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -700,6 +716,22 @@ def oracle_sql() -> dict[str, str]:
         "decode_limit_preview": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY doc_id LIMIT 50
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 8),
+            s AS (SELECT doc_id,
+                         CASE WHEN length(text) >= 5 THEN list_distinct(
+                                  list_transform(range(1, length(text) - 3),
+                                                 i -> substr(text, i, 5)))
+                              ELSE [text] END AS sh
+                  FROM d)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+                   CAST(len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)) AS BIGINT)
+                       AS n_union
+            FROM s x, s y WHERE x.doc_id < y.doc_id
+            ORDER BY a, b
         """,
         "encode_roundtrip_events": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type

@@ -146,15 +146,20 @@ def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str,
         for pdf in batches:
             ha = _shingle_hashes(pdf["ta"], shingle)
             hb = _shingle_hashes(pdf["tb"], shingle)
-            jac = []
+            inters, unions, jac = [], [], []
             for x, y in zip(ha, hb):
                 inter = len(np.intersect1d(x, y, assume_unique=True))
                 union = len(x) + len(y) - inter
+                inters.append(inter)
+                unions.append(union)
                 jac.append(inter / union if union else 1.0)
             yield pd.DataFrame({"a": pdf["a"].values, "b": pdf["b"].values,
+                                "n_inter": np.array(inters, np.int64),
+                                "n_union": np.array(unions, np.int64),
                                 "jaccard": np.round(jac, 6)})
 
-    return joined.mapInPandas(fn, "a long, b long, jaccard double")
+    return joined.mapInPandas(
+        fn, "a long, b long, n_inter long, n_union long, jaccard double")
 
 
 def _token_hashes(text: str) -> np.ndarray:
