@@ -122,3 +122,58 @@ def test_streaming_decode(spark, tmp_path):
     rows = spark.sql("select * from decoded_stream").collect()
     assert len(rows) == 3000
     assert set(rows[0].asDict()) == {"url", "lang"}
+
+
+def test_watermarked_window_drops_late_events(spark, tmp_path):
+    """Watermark + tumbling window over event time, late data dropped:
+    run 1 ingests 10:00-10:09 events (append mode emits nothing — the
+    watermark has not passed any window end); a later file adds an 11:00
+    event (advances the watermark, finalizing the 10:xx windows) plus a
+    9:00 straggler beyond the 5-minute tolerance, which must be DROPPED.
+    Two availableNow runs share a checkpoint, so the watermark persists."""
+    import pandas as pd
+
+    from sparkolumnar.streaming import windowed_event_stats
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 10:00:00")
+
+    def write_file(name, ts_list):
+        pdf = pd.DataFrame({"ts": ts_list, "user_id": range(len(ts_list))})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+
+    write_file("f1", [base + pd.Timedelta(minutes=m) for m in
+                      (0, 0, 1, 5, 9)])
+
+    schema = "ts timestamp, user_id long"
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(src)))
+        agg = windowed_event_stats(stream, "ts", window="1 minute",
+                                   watermark="5 minutes")
+        q = (agg.writeStream.outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True)
+             .start(str(sink)))
+        q.awaitTermination(120)
+
+    run_once()
+    # run 2: a fresh event at 11:00 finalizes the 10:xx windows; a 9:00
+    # straggler is > 5 min late and must not appear anywhere
+    write_file("f2", [base + pd.Timedelta(hours=1),
+                      base - pd.Timedelta(hours=1)])
+    run_once()
+    out = spark.read.parquet(str(sink))
+    rows = {(r["window_start"].minute, r["n_events"])
+            for r in out.collect()}
+    assert (0, 2) in rows and (1, 1) in rows and (5, 1) in rows \
+        and (9, 1) in rows, rows
+    # no window for the 09:00 straggler, none (yet) for 11:00
+    hours = {r["window_start"].hour for r in out.collect()}
+    assert hours == {10}, hours
