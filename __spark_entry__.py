@@ -262,6 +262,20 @@ def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (§2.2): INTERSECT / EXCEPT over customer key sets
+    (customers with any order vs customers with an open 'O' order)."""
+    orders = _t(spark, sf_dir, "orders")
+    any_o = orders.select(F.col("o_custkey").alias("k")).distinct()
+    open_o = (orders.filter(F.col("o_orderstatus") == "O")
+              .select(F.col("o_custkey").alias("k")).distinct())
+    return spark.createDataFrame(
+        [(any_o.intersect(open_o).count(),
+          any_o.exceptAll(open_o).count(),
+          any_o.union(open_o).distinct().count())],
+        "n_both long, n_closed_only long, n_any long")
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard for all pairs of the first 8 docs
     (vectorized shingle-set intersect; integer outputs so the DuckDB
@@ -441,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_wordgram_profile": _q_minhash_wordgram_profile,
         "decode_limit_preview": _q_decode_limit_preview,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "set_ops_customers": _q_set_ops_customers,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -736,6 +751,18 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip_events": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type
             FROM events ORDER BY event_id
+        """,
+        "set_ops_customers": """
+            WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 b AS (SELECT DISTINCT o_custkey AS k FROM orders
+                       WHERE o_orderstatus = 'O')
+            SELECT (SELECT COUNT(*) FROM (SELECT k FROM a
+                                          INTERSECT SELECT k FROM b)) AS n_both,
+                   (SELECT COUNT(*) FROM (SELECT k FROM a
+                                          EXCEPT SELECT k FROM b))
+                       AS n_closed_only,
+                   (SELECT COUNT(*) FROM (SELECT k FROM a
+                                          UNION SELECT k FROM b)) AS n_any
         """,
         "simhash_profile": _simhash_oracle_sql(),
         "minhash_wordgram_profile": _minhash_wordgram_oracle_sql(),

@@ -25,7 +25,7 @@ from .blocks import (arrow_type_from_str, canonical_checksum, payload_field,
 def decode_block_row(row: dict, verify: bool = False,
                      columns: Optional[List[str]] = None,
                      target: Optional[pa.Schema] = None,
-                     budget: Optional[int] = None) -> pa.RecordBatch:
+                     budget: Optional[tuple] = None) -> pa.RecordBatch:
     """Decode one block row.
 
     target: optional reader schema for forward/backward compatibility,
