@@ -37,6 +37,11 @@ _META_FIELDS = T.StructType([
     T.StructField("bytes_in", T.LongType(), False),
     T.StructField("bytes_out", T.LongType(), False),
     T.StructField("checksum_in", T.StringType(), False),
+    # zone map (nullable): canonical-int64 min/max of the block's values
+    # for integer-like columns (ints, timestamps, dates, decimal<=18 as
+    # unscaled) — decode-side range predicates skip whole blocks on these
+    T.StructField("min_i64", T.LongType(), True),
+    T.StructField("max_i64", T.LongType(), True),
 ])
 
 _ARROW_META = pa.list_(pa.struct([
@@ -47,6 +52,8 @@ _ARROW_META = pa.list_(pa.struct([
     pa.field("bytes_in", pa.int64()),
     pa.field("bytes_out", pa.int64()),
     pa.field("checksum_in", pa.string()),
+    pa.field("min_i64", pa.int64()),
+    pa.field("max_i64", pa.int64()),
 ]))
 
 

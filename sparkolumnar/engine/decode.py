@@ -168,6 +168,24 @@ def _prefix_budgets(blocks_df: DataFrame, limit: int,
     return budgets
 
 
+def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
+    """Block-level predicate pushdown via zone maps: keep only blocks
+    whose [min_i64, max_i64] for `column` overlaps [lo, hi] (canonical
+    int64 — for timestamps pass epoch micros). Blocks without bounds
+    (non-integer columns, old tables) are kept — pruning is only ever
+    sound. The predicate runs on the metadata struct leaves, so the scan
+    reads no payload bytes for pruned blocks; exact row filtering remains
+    the caller's .filter on the decoded output."""
+    from pyspark.sql import functions as F
+
+    pred = F.exists(
+        F.col("columns"),
+        lambda c: (c["name"] == F.lit(column))
+        & (c["min_i64"].isNull()
+           | ((c["max_i64"] >= F.lit(lo)) & (c["min_i64"] <= F.lit(hi)))))
+    return blocks_df.where(pred)
+
+
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
                   columns: Optional[List[str]] = None,

@@ -63,6 +63,7 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         choice = select_encode(vals, mode=mode, plan=col_plan,
                                override=override)
         bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
+        zmin, zmax = _zone_minmax(vals)
         cols_meta.append({
             "name": field.name,
             "codec": choice.codec,
@@ -71,6 +72,8 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "bytes_in": int(bytes_in),
             "bytes_out": len(choice.payload) + len(validity),
             "checksum_in": checksum,
+            "min_i64": zmin,
+            "max_i64": zmax,
         })
         row[payload_field(field.name)] = choice.payload
         row[validity_field(field.name)] = validity if validity else None
@@ -85,6 +88,25 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         "columns": cols_meta,
     })
     return pa.RecordBatch.from_pylist([row], schema=arrow_blocks_schema(names))
+
+
+def _zone_minmax(vals: pa.Array):
+    """Per-block zone map bounds for integer-like columns (canonical int64
+    — same mapping as the codecs), else (None, None). Two vectorized
+    reductions per block; the decode-side range predicate prunes whole
+    blocks on these (engine/decode.zone_filter)."""
+    from ..codecs.core import INT, domain_of, to_int64
+    from ..codecs.nputil import CodecError
+
+    if len(vals) == 0:
+        return None, None
+    try:
+        if domain_of(vals.type) != INT:
+            return None, None
+        iv = to_int64(vals)
+    except (CodecError, OverflowError):
+        return None, None
+    return int(iv.min()), int(iv.max())
 
 
 def _raw_size(arr: pa.Array) -> int:

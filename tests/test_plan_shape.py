@@ -91,3 +91,42 @@ def test_plan_picks_fsst_on_clustered_input(spark):
     clustered = build_plan(pages.repartition(8).sortWithinPartitions("lang"))
     for col in ("text", "html", "url"):
         assert clustered.columns[col].codec == natural.columns[col].codec
+
+
+def test_zone_map_block_pruning(spark, tmp_path):
+    """Zone maps: a ts-range decode must skip blocks whose [min, max]
+    cannot overlap, read no payload bytes for them, and still return
+    exactly the rows an unpruned decode + filter returns."""
+    from sparkolumnar.engine import decode_blocks, encode_table, zone_filter
+    from sparkolumnar.engine.tableio import TableIO
+
+    # warc_ts increases with row id -> sorting gives disjoint block ranges
+    pages = (pages_df(spark, 20_000).coalesce(1)
+             .sortWithinPartitions("warc_ts"))
+    io = TableIO(spark, str(tmp_path / "zt"))
+    io.write_blocks(encode_table(pages, snapshot_id="z1", partitions=1))
+    blocks = io.read_blocks()
+    n_blocks = blocks.count()
+    assert n_blocks > 1
+    import datetime as dt
+
+    b = pages.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+
+    def us(d):  # naive timestamp -> canonical epoch micros (NTZ-as-UTC)
+        epoch = dt.datetime(1970, 1, 1)
+        return int((d - epoch).total_seconds() * 1_000_000)
+
+    lo_us = us(b["lo"])
+    hi_us = lo_us + (us(b["hi"]) - lo_us) // 10  # first ~10% of time
+    hi_dt = b["lo"] + dt.timedelta(microseconds=hi_us - lo_us)
+    pruned = zone_filter(blocks, "warc_ts", lo_us, hi_us)
+    assert 0 < pruned.count() < n_blocks  # real pruning happened
+    got = (decode_blocks(pruned)
+           .filter(F.col("warc_ts").between(b["lo"], hi_dt)))
+    want = (decode_blocks(blocks)
+            .filter(F.col("warc_ts").between(b["lo"], hi_dt)))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # the pruning predicate reads metadata leaves only (no payload bytes)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "columns" in plan
