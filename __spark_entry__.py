@@ -262,6 +262,34 @@ def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_zone_pruned_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning end-to-end: encode events time-sorted, then answer
+    a ts-range aggregate by (1) skipping blocks via per-block min/max
+    metadata (zone_filter — no payload decode for pruned blocks), (2)
+    decoding the survivors, (3) exact row filtering. Oracle = the same
+    range aggregate on the raw table."""
+    import datetime as dt
+
+    from sparkolumnar.engine import decode_blocks, encode_table, zone_filter
+
+    ev = (_t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+          .coalesce(1).sortWithinPartitions("ts"))
+    blocks = encode_table(ev, snapshot_id="zoneq")
+    lo_dt = ev.agg(F.min("ts")).collect()[0][0]
+    hi_dt = lo_dt + dt.timedelta(hours=1)
+    epoch = dt.datetime(1970, 1, 1)
+
+    def us(d):
+        return int((d - epoch).total_seconds() * 1_000_000)
+
+    pruned = zone_filter(blocks, "ts", us(lo_dt), us(hi_dt))
+    dec = decode_blocks(pruned).filter(F.col("ts").between(lo_dt, hi_dt))
+    return dec.select(F.count("*").alias("n_events"),
+                      F.countDistinct("user_id").alias("n_users"),
+                      F.min("event_id").alias("min_event_id"),
+                      F.max("event_id").alias("max_event_id"))
+
+
 def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (§2.2): INTERSECT / EXCEPT over customer key sets
     (customers with any order vs customers with an open 'O' order)."""
@@ -456,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_limit_preview": _q_decode_limit_preview,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_ops_customers": _q_set_ops_customers,
+        "zone_pruned_ts_range": _q_zone_pruned_ts_range,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -751,6 +780,16 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip_events": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type
             FROM events ORDER BY event_id
+        """,
+        "zone_pruned_ts_range": """
+            SELECT COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   MIN(event_id) AS min_event_id,
+                   MAX(event_id) AS max_event_id
+            FROM events
+            WHERE ts BETWEEN (SELECT MIN(ts) FROM events)
+                         AND (SELECT MIN(ts) FROM events)
+                             + INTERVAL 1 HOUR
         """,
         "set_ops_customers": """
             WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
