@@ -1,6 +1,7 @@
 """Distributed encode/decode engine."""
 
 from .blocks import blocks_schema  # noqa: F401
-from .decode import decode_blocks, schema_of_blocks, zone_filter  # noqa: F401
+from .decode import (decode_blocks, schema_of_blocks,  # noqa: F401
+                     zone_filter, zone_filter_eq)
 from .encode import encode_table  # noqa: F401
 from .selector import BALANCED, FAST, SIZE, select_encode  # noqa: F401

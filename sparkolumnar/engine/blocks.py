@@ -23,7 +23,7 @@ the cornerstone of exactly-once resume (engine/lineage.py).
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -42,6 +42,10 @@ _META_FIELDS = T.StructType([
     # unscaled) — decode-side range predicates skip whole blocks on these
     T.StructField("min_i64", T.LongType(), True),
     T.StructField("max_i64", T.LongType(), True),
+    # bloom sketch (nullable): 1024-bit / 4-hash membership filter over a
+    # string/binary column's distinct values (built when the block has
+    # <= _BLOOM_MAX_DISTINCT of them) — equality predicates skip blocks
+    T.StructField("bloom", T.ArrayType(T.LongType()), True),
 ])
 
 _ARROW_META = pa.list_(pa.struct([
@@ -54,6 +58,7 @@ _ARROW_META = pa.list_(pa.struct([
     pa.field("checksum_in", pa.string()),
     pa.field("min_i64", pa.int64()),
     pa.field("max_i64", pa.int64()),
+    pa.field("bloom", pa.list_(pa.int64())),
 ]))
 
 
@@ -168,6 +173,37 @@ def arrow_type_from_str(s: str) -> pa.DataType:
         kt, vt = _split_top(s[len("map<"):-1])
         return pa.map_(arrow_type_from_str(kt), arrow_type_from_str(vt))
     raise ValueError(f"cannot parse arrow type {s!r}")
+
+
+# --- bloom zone sketch -------------------------------------------------------
+
+_BLOOM_BITS = 1024       # 16 int64 words per (block, column)
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 2048  # beyond this the filter saturates; store None
+
+
+def bloom_positions(value: bytes) -> list:
+    """The _BLOOM_K bit positions of a value (sha256-derived, so the
+    driver-side probe and the executor-side build always agree)."""
+    d = hashlib.sha256(value).digest()
+    return [int.from_bytes(d[8 * i: 8 * i + 8], "big") % _BLOOM_BITS
+            for i in range(_BLOOM_K)]
+
+
+def bloom_of_values(values) -> Optional[list]:
+    """Bloom words for an iterable of distinct bytes values, or None when
+    there are too many for the filter to stay useful."""
+    words = [0] * _BLOOM_WORDS
+    n = 0
+    for v in values:
+        n += 1
+        if n > _BLOOM_MAX_DISTINCT:
+            return None
+        for pos in bloom_positions(v):
+            words[pos // 64] |= 1 << (pos % 64)
+    # reinterpret as signed int64 for the LongType metadata field
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 # --- canonical input checksums ----------------------------------------------

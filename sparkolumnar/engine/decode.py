@@ -186,6 +186,35 @@ def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     return blocks_df.where(pred)
 
 
+def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
+    """Block-level EQUALITY pushdown via the per-block bloom sketch: keep
+    only blocks whose bloom for `column` has all of the value's bits set
+    (or no bloom at all — pruning is only ever sound). Bit tests are plain
+    JVM shift/and expressions over the metadata array, so pruned blocks'
+    payload bytes are never read. Exact row filtering remains the
+    caller's .filter on the decoded output."""
+    from pyspark.sql import functions as F
+
+    from .blocks import bloom_positions
+
+    if isinstance(value, str):
+        value = value.encode("utf-8", "surrogatepass")
+    positions = bloom_positions(value)
+
+    def block_may_contain(c):
+        bits = None
+        for pos in positions:
+            bit = (F.shiftright(c["bloom"][pos // 64], pos % 64)
+                   .bitwiseAND(F.lit(1)) == 1)
+            bits = bit if bits is None else (bits & bit)
+        return c["bloom"].isNull() | bits
+
+    pred = F.exists(
+        F.col("columns"),
+        lambda c: (c["name"] == F.lit(column)) & block_may_contain(c))
+    return blocks_df.where(pred)
+
+
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
                   columns: Optional[List[str]] = None,

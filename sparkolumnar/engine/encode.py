@@ -74,6 +74,7 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "checksum_in": checksum,
             "min_i64": zmin,
             "max_i64": zmax,
+            "bloom": _zone_bloom(vals),
         })
         row[payload_field(field.name)] = choice.payload
         row[validity_field(field.name)] = validity if validity else None
@@ -107,6 +108,32 @@ def _zone_minmax(vals: pa.Array):
     except (CodecError, OverflowError):
         return None, None
     return int(iv.min()), int(iv.max())
+
+
+def _zone_bloom(vals: pa.Array):
+    """Per-block bloom sketch over a string/binary column's DISTINCT
+    values (equality pruning, engine/decode.zone_filter_eq); None for
+    other domains or when the block is too high-cardinality."""
+    from ..codecs.core import BIN, STR, domain_of
+    from ..codecs.nputil import CodecError
+    from .blocks import _BLOOM_MAX_DISTINCT, bloom_of_values
+
+    if len(vals) == 0:
+        return None
+    try:
+        if domain_of(vals.type) not in (STR, BIN):
+            return None
+    except CodecError:
+        return None
+    import pyarrow.compute as pc
+
+    distinct = pc.unique(vals)
+    if len(distinct) > _BLOOM_MAX_DISTINCT:
+        return None
+    return bloom_of_values(
+        v.as_py().encode("utf-8", "surrogatepass")
+        if isinstance(v.as_py(), str) else v.as_py()
+        for v in distinct)
 
 
 def _raw_size(arr: pa.Array) -> int:

@@ -130,3 +130,32 @@ def test_zone_map_block_pruning(spark, tmp_path):
     # the pruning predicate reads metadata leaves only (no payload bytes)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "columns" in plan
+
+
+def test_bloom_zone_eq_pruning(spark, tmp_path):
+    """Bloom sketch equality pruning: lang-clustered blocks, an equality
+    probe keeps only blocks that may contain the value, results match the
+    unpruned decode + filter exactly."""
+    from sparkolumnar.engine import (decode_blocks, encode_table,
+                                     zone_filter_eq)
+    from sparkolumnar.engine.tableio import TableIO
+
+    pages = (pages_df(spark, 20_000).coalesce(1)
+             .sortWithinPartitions("lang"))  # clusters langs into blocks
+    io = TableIO(spark, str(tmp_path / "bt"))
+    io.write_blocks(encode_table(pages, snapshot_id="b1", partitions=1))
+    blocks = io.read_blocks()
+    n_blocks = blocks.count()
+    assert n_blocks > 1
+    # a rare lang lives in few blocks; 'en' (l00) is the hot one
+    rare = (pages.groupBy("lang").count().orderBy("count")
+            .limit(1).collect()[0]["lang"])
+    pruned = zone_filter_eq(blocks, "lang", rare)
+    assert 0 < pruned.count() < n_blocks
+    got = decode_blocks(pruned).filter(F.col("lang") == rare)
+    want = decode_blocks(blocks).filter(F.col("lang") == rare)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # a value that exists nowhere prunes every bloom-carrying block
+    none = zone_filter_eq(blocks, "lang", "definitely-not-a-lang")
+    assert none.count() < n_blocks
