@@ -127,6 +127,15 @@ def _zone_bloom(vals: pa.Array):
         return None
     import pyarrow.compute as pc
 
+    # cheap gates before the full unique pass: blooms only pay off for
+    # categorical-ish columns (short values, low distinct ratio)
+    from ..codecs.core import str_buffers
+    data, _ = str_buffers(vals)
+    if len(data) > 64 * len(vals):  # long values: not categorical
+        return None
+    k = min(len(vals), 512)
+    if pc.count_distinct(vals.slice(0, k)).as_py() > 0.5 * k:
+        return None
     distinct = pc.unique(vals)
     if len(distinct) > _BLOOM_MAX_DISTINCT:
         return None
