@@ -30,6 +30,9 @@ def main(argv=None) -> None:
                     help="decode only N rows (partial decode)")
     ap.add_argument("--offset", type=int, default=0,
                     help="with --limit: skip this many rows first")
+    ap.add_argument("--eq", default=None, metavar="COL=VALUE",
+                    help="equality predicate: bloom zone sketches skip "
+                         "whole blocks, then the exact filter applies")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-decode")
@@ -42,8 +45,21 @@ def main(argv=None) -> None:
 
     blocks = spark.read.parquet(args.blocks)
     cols = args.columns.split(",") if args.columns else None
+    eq = None
+    if args.eq:
+        col, _, value = args.eq.partition("=")
+        if not _:
+            raise ValueError("--eq expects COL=VALUE")
+        from sparkolumnar.engine.decode import zone_filter_eq
+
+        blocks = zone_filter_eq(blocks, col, value)
+        if cols is not None and col not in cols:
+            cols = cols + [col]
+        eq = (col, value)
     out = decode_blocks(blocks, verify=args.verify, columns=cols,
                         limit=args.limit, offset=args.offset)
+    if eq is not None:
+        out = out.filter(out[eq[0]] == eq[1])
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 
