@@ -290,6 +290,25 @@ def _q_zone_pruned_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("event_id").alias("max_event_id"))
 
 
+def _q_bloom_pruned_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch equality pruning end-to-end: encode documents
+    lang-clustered, prune blocks with zone_filter_eq('lang','de'), decode
+    the survivors, exact-filter, aggregate. Oracle = the raw-table
+    equality aggregate."""
+    from sparkolumnar.engine import (decode_blocks, encode_table,
+                                     zone_filter_eq)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .coalesce(1).sortWithinPartitions("lang", "doc_id"))
+    blocks = encode_table(docs, snapshot_id="bloomq")
+    pruned = zone_filter_eq(blocks, "lang", "de")
+    dec = decode_blocks(pruned).filter(F.col("lang") == "de")
+    return dec.select(F.count("*").alias("n_docs"),
+                      F.sum("n_chars").alias("sum_chars"),
+                      F.min("doc_id").alias("min_doc_id"))
+
+
 def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (§2.2): INTERSECT / EXCEPT over customer key sets
     (customers with any order vs customers with an open 'O' order)."""
@@ -485,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_ops_customers": _q_set_ops_customers,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
+        "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -780,6 +800,12 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip_events": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type
             FROM events ORDER BY event_id
+        """,
+        "bloom_pruned_lang_count": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM documents WHERE lang = 'de'
         """,
         "zone_pruned_ts_range": """
             SELECT COUNT(*) AS n_events,

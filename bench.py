@@ -132,7 +132,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
 
     clock("pages_decode_verify",
           lambda: decode_blocks(blocks, verify=True)
-          .select(F.count("*")).collect(), repeats=3)
+          .select(F.count("*")).collect(), repeats=3, quiet=True)
     extras["decode_verify_gbps"] = round(
         raw / 1e9 / timings["pages_decode_verify"], 4)
 
@@ -140,7 +140,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     clock("pages_encode_fast",
           lambda: encode_table(pages, key="url", snapshot_id="bench_fast",
                                sort_within=True, mode="fast")
-          .select(F.sum(F.col("n_rows"))).collect(), repeats=2)
+          .select(F.sum(F.col("n_rows"))).collect(), repeats=2, quiet=True)
     extras["fast_encode_gbps"] = round(
         raw / 1e9 / timings["pages_encode_fast"], 4)
 
