@@ -42,6 +42,9 @@ _META_FIELDS = T.StructType([
     # unscaled) — decode-side range predicates skip whole blocks on these
     T.StructField("min_i64", T.LongType(), True),
     T.StructField("max_i64", T.LongType(), True),
+    # float zone map (nullable): min/max for float columns
+    T.StructField("min_f64", T.DoubleType(), True),
+    T.StructField("max_f64", T.DoubleType(), True),
     # bloom sketch (nullable): 1024-bit / 4-hash membership filter over a
     # string/binary column's distinct values (built when the block has
     # <= _BLOOM_MAX_DISTINCT of them) — equality predicates skip blocks
@@ -58,6 +61,8 @@ _ARROW_META = pa.list_(pa.struct([
     pa.field("checksum_in", pa.string()),
     pa.field("min_i64", pa.int64()),
     pa.field("max_i64", pa.int64()),
+    pa.field("min_f64", pa.float64()),
+    pa.field("max_f64", pa.float64()),
     pa.field("bloom", pa.list_(pa.int64())),
 ]))
 

@@ -170,19 +170,23 @@ def _prefix_budgets(blocks_df: DataFrame, limit: int,
 
 def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     """Block-level predicate pushdown via zone maps: keep only blocks
-    whose [min_i64, max_i64] for `column` overlaps [lo, hi] (canonical
-    int64 — for timestamps pass epoch micros). Blocks without bounds
-    (non-integer columns, old tables) are kept — pruning is only ever
-    sound. The predicate runs on the metadata struct leaves, so the scan
-    reads no payload bytes for pruned blocks; exact row filtering remains
-    the caller's .filter on the decoded output."""
+    whose per-block min/max for `column` overlaps [lo, hi]. Integer-like
+    columns use canonical-int64 bounds (for timestamps pass epoch
+    micros); float columns use float bounds (pass lo/hi as floats).
+    Blocks without bounds (unsupported domains, NaN-containing floats,
+    old tables) are kept — pruning is only ever sound. The predicate runs
+    on the metadata struct leaves, so the scan reads no payload bytes for
+    pruned blocks; exact row filtering remains the caller's .filter on
+    the decoded output."""
     from pyspark.sql import functions as F
 
+    use_float = isinstance(lo, float) or isinstance(hi, float)
+    mn, mx = ("min_f64", "max_f64") if use_float else ("min_i64", "max_i64")
     pred = F.exists(
         F.col("columns"),
         lambda c: (c["name"] == F.lit(column))
-        & (c["min_i64"].isNull()
-           | ((c["max_i64"] >= F.lit(lo)) & (c["min_i64"] <= F.lit(hi)))))
+        & (c[mn].isNull()
+           | ((c[mx] >= F.lit(lo)) & (c[mn] <= F.lit(hi)))))
     return blocks_df.where(pred)
 
 

@@ -63,7 +63,7 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         choice = select_encode(vals, mode=mode, plan=col_plan,
                                override=override)
         bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
-        zmin, zmax = _zone_minmax(vals)
+        zmin, zmax, fmin, fmax = _zone_minmax(vals)
         cols_meta.append({
             "name": field.name,
             "codec": choice.codec,
@@ -74,6 +74,8 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "checksum_in": checksum,
             "min_i64": zmin,
             "max_i64": zmax,
+            "min_f64": fmin,
+            "max_f64": fmax,
             "bloom": _zone_bloom(vals),
         })
         row[payload_field(field.name)] = choice.payload
@@ -99,15 +101,25 @@ def _zone_minmax(vals: pa.Array):
     from ..codecs.core import INT, domain_of, to_int64
     from ..codecs.nputil import CodecError
 
+    from ..codecs.core import F32, F64
+
     if len(vals) == 0:
-        return None, None
+        return None, None, None, None
     try:
-        if domain_of(vals.type) != INT:
-            return None, None
-        iv = to_int64(vals)
+        dom = domain_of(vals.type)
+        if dom == INT:
+            iv = to_int64(vals)
+            return int(iv.min()), int(iv.max()), None, None
+        if dom in (F64, F32):
+            import numpy as np
+
+            fv = vals.to_numpy(zero_copy_only=False)
+            if np.isnan(fv).any():  # NaN poisons ordering; skip bounds
+                return None, None, None, None
+            return None, None, float(fv.min()), float(fv.max())
     except (CodecError, OverflowError):
-        return None, None
-    return int(iv.min()), int(iv.max())
+        pass
+    return None, None, None, None
 
 
 def _zone_bloom(vals: pa.Array):

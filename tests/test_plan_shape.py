@@ -159,3 +159,22 @@ def test_bloom_zone_eq_pruning(spark, tmp_path):
     # a value that exists nowhere prunes every bloom-carrying block
     none = zone_filter_eq(blocks, "lang", "definitely-not-a-lang")
     assert none.count() < n_blocks
+
+
+def test_float_zone_map_pruning(spark, tmp_path):
+    from sparkolumnar.engine import decode_blocks, encode_table, zone_filter
+    from sparkolumnar.engine.tableio import TableIO
+
+    df = (spark.range(30_000)
+          .withColumn("v", (F.col("id") / 100.0))
+          .coalesce(1).sortWithinPartitions("v"))
+    io = TableIO(spark, str(tmp_path / "fz"))
+    io.write_blocks(encode_table(df, snapshot_id="f1", partitions=1))
+    blocks = io.read_blocks()
+    n_blocks = blocks.count()
+    assert n_blocks > 1
+    pruned = zone_filter(blocks, "v", 10.0, 20.0)
+    assert 0 < pruned.count() < n_blocks
+    got = decode_blocks(pruned).filter(F.col("v").between(10.0, 20.0))
+    want = df.filter(F.col("v").between(10.0, 20.0))
+    assert got.count() == want.count() > 0
