@@ -171,3 +171,35 @@ def test_block_roundtrip_fuzz_containers(tbl):
             want = pa.array(cols[k],
                             type=_CONT_PA[types[k]]).to_pylist()[:budget]
             assert got == want, k
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-2**62, 2**62)),
+                min_size=1, max_size=60),
+       st.lists(st.one_of(st.none(), st.sampled_from(
+           ["en", "de", "fr", "xx", "yy"])), min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_zone_and_bloom_metadata_invariants(ints, langs):
+    """Zone bounds must cover every value; the bloom must contain every
+    distinct string (no false negatives — pruning soundness)."""
+    from sparkolumnar.engine.blocks import bloom_positions
+
+    n = min(len(ints), len(langs))
+    ints, langs = ints[:n], langs[:n]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(ints, pa.int64()), pa.array(langs, pa.string())],
+        names=["v", "lang"])
+    block = encode_batch(batch, "zb", 0, 0)
+    meta = {m["name"]: m for m in block.to_pylist()[0]["columns"]}
+    vals = [v for v in ints if v is not None]
+    if vals:
+        assert meta["v"]["min_i64"] == min(vals)
+        assert meta["v"]["max_i64"] == max(vals)
+    else:
+        assert meta["v"]["min_i64"] is None
+    bloom = meta["lang"]["bloom"]
+    present = {s for s in langs if s is not None}
+    if bloom is not None and present:
+        words = [w & ((1 << 64) - 1) for w in bloom]
+        for s in present:
+            for pos in bloom_positions(s.encode()):
+                assert (words[pos // 64] >> (pos % 64)) & 1, (s, pos)
