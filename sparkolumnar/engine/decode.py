@@ -182,12 +182,15 @@ def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
 
     use_float = isinstance(lo, float) or isinstance(hi, float)
     mn, mx = ("min_f64", "max_f64") if use_float else ("min_i64", "max_i64")
-    pred = F.exists(
+    has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
+    ok = F.exists(
         F.col("columns"),
         lambda c: (c["name"] == F.lit(column))
         & (c[mn].isNull()
            | ((c[mx] >= F.lit(lo)) & (c[mn] <= F.lit(hi)))))
-    return blocks_df.where(pred)
+    # a column unknown to a block's metadata never prunes it (a typo'd
+    # name must not silently drop every block)
+    return blocks_df.where(~has | ok)
 
 
 def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
@@ -213,10 +216,12 @@ def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
             bits = bit if bits is None else (bits & bit)
         return c["bloom"].isNull() | bits
 
-    pred = F.exists(
+    has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
+    ok = F.exists(
         F.col("columns"),
         lambda c: (c["name"] == F.lit(column)) & block_may_contain(c))
-    return blocks_df.where(pred)
+    # unknown column names never prune (see zone_filter)
+    return blocks_df.where(~has | ok)
 
 
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,

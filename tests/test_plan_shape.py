@@ -178,3 +178,17 @@ def test_float_zone_map_pruning(spark, tmp_path):
     got = decode_blocks(pruned).filter(F.col("v").between(10.0, 20.0))
     want = df.filter(F.col("v").between(10.0, 20.0))
     assert got.count() == want.count() > 0
+
+
+def test_zone_filter_unknown_column_keeps_all(spark, tmp_path):
+    """A typo'd column name must not silently prune every block."""
+    from sparkolumnar.engine import encode_table, zone_filter, zone_filter_eq
+    from sparkolumnar.engine.tableio import TableIO
+
+    pages = pages_df(spark, 2000)
+    io = TableIO(spark, str(tmp_path / "uz"))
+    io.write_blocks(encode_table(pages, snapshot_id="u1", partitions=2))
+    blocks = io.read_blocks()
+    n = blocks.count()
+    assert zone_filter(blocks, "no_such_column", 0, 10).count() == n
+    assert zone_filter_eq(blocks, "no_such_column", "x").count() == n
