@@ -97,17 +97,40 @@ def decode_block_row(row: dict, verify: bool = False,
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
+_BASE_COLS = ("block_id", "snapshot_id", "part_id", "seq", "n_rows",
+              "columns")
+
+
 def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
                    target: Optional[pa.Schema] = None,
                    budgets: Optional[dict] = None):
+    """budgets (partial decode): {(snapshot_id, part_id, seq): (skip, take)}
+    — keyed by the physically-unique block coordinates, NOT block_id:
+    block_id is content-addressed, so two byte-identical batches in one
+    snapshot share one, and a block_id-keyed window would silently decode
+    duplicates with the wrong (overwritten) window."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            for row in b.to_pylist():
+            names = b.schema.names
+            # metadata columns go through to_pylist (small structs); the
+            # multi-MB payload/validity binaries are accessed zero-copy via
+            # Arrow buffers — to_pylist on those would copy every payload
+            # into a Python bytes object before decoding
+            meta_rows = b.select(
+                [n for n in names if n in _BASE_COLS]).to_pylist()
+            pay_cols = [(n, b.column(i)) for i, n in enumerate(names)
+                        if n not in _BASE_COLS]
+            for j, row in enumerate(meta_rows):
                 budget = None
                 if budgets is not None:
-                    budget = budgets.get(row["block_id"])
+                    budget = budgets.get(
+                        (row["snapshot_id"], row["part_id"], row["seq"]))
                     if budget is None:
                         continue
+                for name, col in pay_cols:
+                    s = col[j]
+                    row[name] = (memoryview(s.as_buffer())
+                                 if s.is_valid else None)
                 out = decode_block_row(row, verify=verify, columns=columns,
                                        target=target, budget=budget)
                 if out.num_rows:
@@ -141,14 +164,14 @@ def schema_of_blocks(blocks_df: DataFrame,
 def _prefix_budgets(blocks_df: DataFrame, limit: int,
                     offset: int = 0) -> dict:
     """Per-block (skip, take) row windows covering rows
-    [offset, offset + limit) in (part_id, seq) order. Metadata-only: the
-    driver scan reads block_id/part_id/seq/n_rows (payload columns pruned
+    [offset, offset + limit) in (part_id, seq) order, keyed by the unique
+    (snapshot_id, part_id, seq) coordinates. Metadata-only: the driver
+    scan reads snapshot_id/part_id/seq/n_rows (payload columns pruned
     away by the wide layout) and toLocalIterator stops pulling partitions
     once the window is covered."""
     from pyspark.sql import functions as F
 
-    it = (blocks_df.select("block_id", "snapshot_id", "part_id", "seq",
-                           "n_rows")
+    it = (blocks_df.select("snapshot_id", "part_id", "seq", "n_rows")
           .orderBy(F.asc("snapshot_id"), F.asc("part_id"), F.asc("seq"))
           .toLocalIterator())
     budgets: dict = {}
@@ -160,12 +183,35 @@ def _prefix_budgets(blocks_df: DataFrame, limit: int,
             to_skip -= nb
             continue
         take = min(left, nb - to_skip)
-        budgets[r["block_id"]] = (int(to_skip), int(take))
+        budgets[(r["snapshot_id"], int(r["part_id"]), int(r["seq"]))] = (
+            int(to_skip), int(take))
         to_skip = 0
         left -= take
         if left <= 0:
             break
     return budgets
+
+
+def _budget_range_pred(lo: tuple, hi: tuple):
+    """Scan predicate selecting blocks whose (snapshot_id, part_id, seq)
+    lies in the closed lexicographic range [lo, hi]. The selected window is
+    CONTIGUOUS in that order by construction (_prefix_budgets walks the
+    sorted block list), so a constant-size range comparison replaces a
+    potentially-huge isin literal — and its leaf comparisons push down to
+    the parquet scan no matter how many blocks the window spans."""
+    from pyspark.sql import functions as F
+
+    s, p, q = F.col("snapshot_id"), F.col("part_id"), F.col("seq")
+
+    def ge(t):
+        return ((s > t[0]) | ((s == t[0]) &
+                              ((p > t[1]) | ((p == t[1]) & (q >= t[2])))))
+
+    def le(t):
+        return ((s < t[0]) | ((s == t[0]) &
+                              ((p < t[1]) | ((p == t[1]) & (q <= t[2])))))
+
+    return ge(lo) & le(hi)
 
 
 def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
@@ -177,17 +223,29 @@ def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     old tables) are kept — pruning is only ever sound. The predicate runs
     on the metadata struct leaves, so the scan reads no payload bytes for
     pruned blocks; exact row filtering remains the caller's .filter on
-    the decoded output."""
+    the decoded output (or use decode_blocks(filters=) which does both).
+
+    lo=None / hi=None leave that side unbounded (one-sided predicates)."""
     from pyspark.sql import functions as F
 
     use_float = isinstance(lo, float) or isinstance(hi, float)
     mn, mx = ("min_f64", "max_f64") if use_float else ("min_i64", "max_i64")
+
+    def overlaps(c):
+        cond = None
+        if lo is not None:
+            cond = c[mx] >= F.lit(lo)
+        if hi is not None:
+            upper = c[mn] <= F.lit(hi)
+            cond = upper if cond is None else (cond & upper)
+        if cond is None:
+            return F.lit(True)
+        return c[mn].isNull() | cond
+
     has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
     ok = F.exists(
         F.col("columns"),
-        lambda c: (c["name"] == F.lit(column))
-        & (c[mn].isNull()
-           | ((c[mx] >= F.lit(lo)) & (c[mn] <= F.lit(hi)))))
+        lambda c: (c["name"] == F.lit(column)) & overlaps(c))
     # a column unknown to a block's metadata never prunes it (a typo'd
     # name must not silently drop every block)
     return blocks_df.where(~has | ok)
@@ -224,12 +282,132 @@ def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
     return blocks_df.where(~has | ok)
 
 
+def _canon_zone_value(value, arrow_type_str: str):
+    """Convert a Python predicate value to the canonical zone-map bound of
+    the column's arrow type — the exact int64 mapping the encoder's
+    _zone_minmax derives through codecs.core.to_int64 (timestamps in the
+    stored unit, date32 in days, decimals unscaled) or a float for float
+    columns. Returns None when the column's type carries no zone map
+    (strings/binary/bool/uint64/nested), meaning range pruning is
+    unavailable and only the exact post-filter applies."""
+    import datetime as dt
+    from decimal import Decimal
+
+    t = arrow_type_str
+    if t.startswith("timestamp["):
+        unit = t[len("timestamp["):-1].split(",")[0].strip()
+        if isinstance(value, dt.datetime):
+            epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                     if value.tzinfo is not None else dt.datetime(1970, 1, 1))
+            us = (value - epoch) // dt.timedelta(microseconds=1)
+        else:
+            us = int(value)  # already epoch micros
+        if unit == "ns":
+            return us * 1_000
+        return us // {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
+    if t == "date32[day]":
+        if isinstance(value, dt.date):
+            return (value - dt.date(1970, 1, 1)).days
+        return int(value)
+    if t == "date64[ms]":
+        if isinstance(value, dt.date):
+            return (value - dt.date(1970, 1, 1)).days * 86_400_000
+        return int(value)
+    if t.startswith("decimal128("):
+        p, s = t[len("decimal128("):-1].split(",")
+        if int(p) > 18:
+            return None
+        return int(Decimal(value).scaleb(int(s)).to_integral_value())
+    if t in ("int8", "int16", "int32", "int64",
+             "uint8", "uint16", "uint32"):
+        return int(value)
+    if t in ("float", "double"):
+        return float(value)
+    return None
+
+
+def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
+    """{column name: arrow type string} from one block's metadata
+    (driver-side, payload columns pruned away)."""
+    row = (blocks_df.selectExpr("columns.name as names",
+                                "columns.arrow_type as types")
+           .limit(1).collect())
+    if not row:
+        return {}
+    return dict(zip(row[0]["names"], row[0]["types"]))
+
+
+_FILTER_OPS = ("between", "=", "==", ">=", "<=", ">", "<")
+
+
+def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
+    """Block-level pruning for decode_blocks(filters=): every filter is
+    translated to its zone-map / bloom pushdown where the type supports
+    one (pruning is only ever sound — unsupported combinations simply
+    skip the pruning step and rely on the exact post-filter)."""
+    for flt in filters:
+        col, op, vals = flt[0], flt[1], flt[2:]
+        if op not in _FILTER_OPS:
+            raise ValueError(
+                f"unsupported filter op {op!r} (one of {_FILTER_OPS})")
+        if len(vals) != (2 if op == "between" else 1):
+            raise ValueError(f"filter {flt!r}: wrong number of values")
+        t = types.get(col)
+        if t is None:
+            continue  # column missing from metadata: never prune (typo safety)
+        if op in ("=", "=="):
+            if t in ("string", "large_string", "binary", "large_binary"):
+                blocks_df = zone_filter_eq(blocks_df, col, vals[0])
+                continue
+            v = _canon_zone_value(vals[0], t)
+            if v is not None:
+                blocks_df = zone_filter(blocks_df, col, v, v)
+            continue
+        lo = hi = None
+        if op == "between":
+            lo = _canon_zone_value(vals[0], t)
+            hi = _canon_zone_value(vals[1], t)
+        elif op in (">=", ">"):
+            lo = _canon_zone_value(vals[0], t)
+        elif op in ("<=", "<"):
+            hi = _canon_zone_value(vals[0], t)
+        # strict ops keep the closed zone bound (sound: may keep one
+        # boundary block too many, never drops a needed one)
+        if lo is not None or hi is not None:
+            blocks_df = zone_filter(blocks_df, col, lo, hi)
+    return blocks_df
+
+
+def _exact_filter_expr(filters):
+    """The row-exact predicate equivalent of `filters` (AND of all)."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for flt in filters:
+        col, op, vals = F.col(flt[0]), flt[1], flt[2:]
+        if op == "between":
+            e = col.between(vals[0], vals[1])
+        elif op in ("=", "=="):
+            e = col == vals[0]
+        elif op == ">=":
+            e = col >= vals[0]
+        elif op == "<=":
+            e = col <= vals[0]
+        elif op == ">":
+            e = col > vals[0]
+        else:
+            e = col < vals[0]
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   verify: bool = False,
                   columns: Optional[List[str]] = None,
                   compat: bool = False,
                   limit: Optional[int] = None,
-                  offset: int = 0) -> DataFrame:
+                  offset: int = 0,
+                  filters=None) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns' payload/validity
@@ -237,49 +415,114 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     columns' bytes (per-column payload fields make pruning a plain
     Catalyst projection).
 
+    filters: optional list of predicates, each a tuple
+        (column, op, value)            op in  = == >= <= > <
+        (column, "between", lo, hi)
+    ANDed together. Every predicate is applied EXACTLY on the decoded
+    rows, and — this is the point of passing it here instead of
+    .filter()ing the decoded output — the engine first prunes whole
+    blocks via the per-block zone maps (range/equality on integer-like
+    and float columns) and bloom sketches (equality on string/binary
+    columns), so pruned blocks' payload bytes are never read or decoded.
+    Timestamp/date/decimal values are converted to the canonical zone
+    bounds automatically; pass the natural Python values (datetime,
+    date, Decimal, int, float, str). At 100 TB this is the difference
+    between scanning 1% and 100% of the payloads; a .filter() above the
+    opaque decode UDF cannot prune anything.
+
     compat=True enables schema evolution against the provided `schema`:
     block columns unknown to the schema are ignored, schema columns missing
     from a block are null-filled (the reference's indexed-optional-column
     forward/backward compatibility, re-expressed).
 
     limit=n (optionally with offset=m) decodes only rows
-    [m, m + n) of the table (blocks ordered by part_id, seq) — the
-    reference's take_n_finalize / lazy iteration re-expressed
+    [m, m + n) of the table (blocks ordered by snapshot_id, part_id, seq)
+    — the reference's take_n_finalize / lazy iteration re-expressed
     distributedly: a metadata-only pass picks the needed blocks +
-    per-block (skip, take) windows, the payload scan is filtered to those
-    block_ids (an isin predicate that reaches the parquet scan, so other
-    blocks' payload bytes are never read), and inside a partially-needed
-    block each codec decodes only the value range (rle/delta_rle cap run
-    expansion, fsst/split touch only the range's body bytes). Partial
-    blocks skip checksum verification (checksums cover whole columns).
+    per-block (skip, take) windows keyed by the unique
+    (snapshot_id, part_id, seq) coordinates, the payload scan is filtered
+    to the window's contiguous coordinate range (a constant-size pushed
+    predicate, so other blocks' payload bytes are never read), and inside
+    a partially-needed block each codec decodes only the value range
+    (rle/delta_rle cap run expansion, fsst/split touch only the range's
+    body bytes). Partial edge blocks skip checksum verification
+    (checksums cover whole columns; whole blocks in the window are still
+    verified) — a warning is emitted when verify=True is combined with
+    limit=. When filters are also given, limit counts MATCHING rows:
+    the blocks are pruned and exact-filtered first, then limited.
     """
+    from pyspark.sql import functions as F
+
     target = None
     budgets = None
-    if limit is not None:
-        from pyspark.sql import functions as F
-
+    schema_src = blocks_df  # infer the schema before any pruning can
+    #                         empty the frame (limit past EOF, filters
+    #                         pruning everything) — empty result, not error
+    exact = None
+    if filters:
+        types = _blocks_arrow_types(blocks_df)
+        blocks_df = _apply_block_filters(blocks_df, filters, types)
+        exact = _exact_filter_expr(filters)
+    if limit is not None and exact is None:
         budgets = _prefix_budgets(blocks_df, limit, offset)
-        blocks_df = blocks_df.where(
-            F.col("block_id").isin(list(budgets.keys())))
+        if budgets:
+            keys = list(budgets)  # insertion order == sorted block order
+            blocks_df = blocks_df.where(_budget_range_pred(keys[0], keys[-1]))
+        else:
+            blocks_df = blocks_df.where(F.lit(False))
+        if verify:
+            import warnings
+
+            warnings.warn(
+                "decode_blocks(limit=) with verify=True: partially-decoded "
+                "edge blocks skip checksum verification (checksums cover "
+                "whole columns); whole blocks in the window are verified",
+                stacklevel=2)
     if schema is None:
-        schema = schema_of_blocks(blocks_df, columns)
+        schema = schema_of_blocks(schema_src, columns)
     elif compat:
         from pyspark.sql.pandas.types import to_arrow_type
 
         target = pa.schema([pa.field(f.name, to_arrow_type(f.dataType))
                             for f in schema.fields])
+    # projection: filter columns must be decoded for the exact predicate;
+    # add them to the decode set, then drop them after filtering
+    out_cols = None
+    dec_columns = columns
+    if exact is not None and target is not None:
+        missing = [f[0] for f in filters
+                   if f[0] not in {fl.name for fl in target}]
+        if missing:
+            raise ValueError(
+                f"compat decode with filters: filter columns {missing} "
+                f"must be part of the provided schema")
+    if exact is not None and columns is not None:
+        fcols = [f[0] for f in filters]
+        missing = [c for c in fcols if c not in columns]
+        if missing:
+            out_cols = list(columns)
+            dec_columns = list(columns) + missing
+            schema = schema_of_blocks(schema_src, dec_columns)
     wanted = None
-    if columns is not None:
-        wanted = list(columns)
+    if dec_columns is not None:
+        wanted = list(dec_columns)
     elif compat and target is not None:
         wanted = [f.name for f in target]
     if wanted is not None:
-        base = ["block_id", "snapshot_id", "part_id", "seq", "n_rows",
-                "columns"]
+        base = list(_BASE_COLS)
         have = set(blocks_df.columns)
         keep = base + [f for c in wanted
                        for f in (payload_field(c), validity_field(c))
                        if f in have]
         blocks_df = blocks_df.select(*keep)
-    return blocks_df.mapInArrow(
-        make_decode_fn(verify, columns, target, budgets), schema)
+    out = blocks_df.mapInArrow(
+        make_decode_fn(verify, dec_columns, target, budgets), schema)
+    if exact is not None:
+        out = out.where(exact)
+        if out_cols is not None:
+            out = out.select(*out_cols)
+        if limit is not None:
+            if offset:
+                out = out.offset(offset)
+            out = out.limit(limit)
+    return out

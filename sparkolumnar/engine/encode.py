@@ -29,15 +29,21 @@ from pyspark.sql import DataFrame, functions as F
 from .blocks import (arrow_blocks_schema, arrow_type_to_str, block_id_of,
                      blocks_schema, canonical_checksum, payload_field,
                      validity_field)
-from .selector import BALANCED, select_encode
+from .selector import BALANCED, FAST, select_encode
 
 DEFAULT_SALT = 0x5CA1AB1E
 
 
 def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
                  seq: int, mode: str = BALANCED, plan=None,
-                 overrides=None) -> pa.RecordBatch:
-    """Encode one Arrow batch into a single blocks-table row."""
+                 overrides=None, sketches: bool = True) -> pa.RecordBatch:
+    """Encode one Arrow batch into a single blocks-table row.
+
+    sketches=False skips the per-column zone-map/bloom statistics — the
+    fast mode's contract is raw encode throughput, so it must not pay for
+    pruning metadata it was not asked for (the stats cost a couple of
+    vectorized reductions per column plus, for categorical strings, a
+    distinct pass; measurable at fast-mode codec speeds)."""
     from ..codecs import get_codec  # ensure registry loaded on executors
 
     names: List[str] = []
@@ -63,7 +69,11 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         choice = select_encode(vals, mode=mode, plan=col_plan,
                                override=override)
         bytes_in = _raw_size(vals) + (n_nulls and (n + 7) // 8 or 0)
-        zmin, zmax, fmin, fmax = _zone_minmax(vals)
+        if sketches:
+            zmin, zmax, fmin, fmax = _zone_minmax(vals)
+            bloom = _zone_bloom(vals)
+        else:
+            zmin = zmax = fmin = fmax = bloom = None
         cols_meta.append({
             "name": field.name,
             "codec": choice.codec,
@@ -76,7 +86,7 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "max_i64": zmax,
             "min_f64": fmin,
             "max_f64": fmax,
-            "bloom": _zone_bloom(vals),
+            "bloom": bloom,
         })
         row[payload_field(field.name)] = choice.payload
         row[validity_field(field.name)] = validity if validity else None
@@ -168,7 +178,7 @@ def _raw_size(arr: pa.Array) -> int:
 
 def make_encode_fn(snapshot_id: str, mode: str,
                    skip_parts: Optional[Set[int]] = None, plan=None,
-                   overrides=None):
+                   overrides=None, sketches: bool = True):
     skip = skip_parts or set()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -180,7 +190,7 @@ def make_encode_fn(snapshot_id: str, mode: str,
             if batch.num_rows == 0:
                 continue
             yield encode_batch(batch, snapshot_id, pid, seq, mode, plan=plan,
-                               overrides=overrides)
+                               overrides=overrides, sketches=sketches)
 
     return fn
 
@@ -190,7 +200,8 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
                  snapshot_id: str = "", mode: str = BALANCED,
                  skip_parts: Optional[Set[int]] = None,
                  salt: int = DEFAULT_SALT, plan=None,
-                 overrides=None) -> DataFrame:
+                 overrides=None, cluster_by=None,
+                 sketches: Optional[bool] = None) -> DataFrame:
     """Encode `df` into a blocks DataFrame (one row per block).
 
     key: column to shuffle/sort by (e.g. "url"); hashing the key with a
@@ -203,10 +214,31 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     and sharpens FSST symbol tables on url/html, at the cost of
     randomizing warc_ts order (DoD pays ~4 B/value instead of <2).
 
+    cluster_by: column name (or list of names) to RANGE-cluster the table
+    by before encoding: repartitionByRange + sortWithinPartitions, so
+    same-range rows land in the same blocks. This is the production
+    layout lever that makes zone maps / blooms prune at scale — a
+    time-range or lang-equality probe then skips all but a few blocks —
+    and it parallelizes across the cluster (unlike a single-partition
+    sort). Mutually exclusive with key=.
+
+    sketches: build per-block zone-map/bloom pruning metadata. Default:
+    on for size/balanced modes, off for mode="fast" (whose contract is
+    raw throughput); pass True/False to force either way.
+
     overrides: {column: codec} forces codecs per column (the reference's
     per-field strategy attribute, applied at runtime).
     """
-    if key is not None:
+    if sketches is None:
+        sketches = mode != FAST
+    if cluster_by is not None:
+        if key is not None:
+            raise ValueError("cluster_by= and key= are mutually exclusive")
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = (df.repartitionByRange(p, *[F.col(c) for c in cols])
+              .sortWithinPartitions(*cols))
+    elif key is not None:
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         df = df.repartition(p, F.xxhash64(F.col(key), F.lit(salt)))
         if sort_within:
@@ -214,5 +246,6 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     elif partitions:
         df = df.repartition(partitions)
     return df.mapInArrow(
-        make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides),
+        make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides,
+                       sketches),
         blocks_schema([f.name for f in df.schema.fields]))

@@ -82,6 +82,11 @@ def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
     if len(full_data) > _PRICE_BYTES:
         cut = max(1, int(np.searchsorted(full_offsets, _PRICE_BYTES)))
         arr = arr.slice(0, min(cut, len(arr)))
+    # logical size of the (possibly sliced) pricing window: buffers() on a
+    # slice returns the full parent buffers, which would understate the
+    # recorded ratio for columns larger than _PRICE_BYTES
+    data, offsets = str_buffers(arr)
+    raw = len(data) + offsets.nbytes
     sizes: Dict[str, int] = {"split": len(get_codec("split").encode(arr))}
     if len(arr) > 1:
         from ..codecs.rle_family import rle_size_binary
@@ -92,7 +97,6 @@ def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
         pass
     symbols: Optional[List[bytes]] = None
     if mode != FAST:
-        data, offsets = str_buffers(arr)
         symbols = fsst_mod.build_table(
             data, offsets, rounds=_JOB_FSST_ROUNDS,
             sample_bytes=_JOB_FSST_SAMPLE)
@@ -101,7 +105,7 @@ def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
                 data, offsets, symbols=symbols))
     best = min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]
     cp = ColumnPlan(codec=best,
-                    sample_ratio=sizes[best] / max(1, _raw_bytes(arr)))
+                    sample_ratio=sizes[best] / max(1, raw))
     if best == "fsst":
         cp.fsst_symbols = symbols
     return cp

@@ -6,9 +6,10 @@ Usage:
       [--columns url,text] [--verify] [--limit N]
 
 --limit N decodes only the first N rows (blocks ordered by part_id, seq):
-the payload scan is filtered to the needed block_ids and partially-needed
-blocks prefix-decode (the reference's take_n_finalize) — a preview read
-never materializes the whole table's payloads.
+the payload scan is filtered to the needed blocks' coordinate range and
+partially-needed blocks prefix-decode (the reference's take_n_finalize) —
+a preview read never materializes the whole table's payloads. Combined
+with --eq, the limit counts MATCHING rows (filter first, then limit).
 """
 
 from __future__ import annotations
@@ -27,11 +28,13 @@ def main(argv=None) -> None:
     ap.add_argument("--verify", action="store_true",
                     help="recompute canonical checksums while decoding")
     ap.add_argument("--limit", type=int, default=None,
-                    help="decode only N rows (partial decode)")
+                    help="decode only N rows (partial decode); with --eq, "
+                         "N MATCHING rows (the limit applies after the "
+                         "exact filter)")
     ap.add_argument("--offset", type=int, default=0,
                     help="with --limit: skip this many rows first")
     ap.add_argument("--eq", default=None, metavar="COL=VALUE",
-                    help="equality predicate: bloom zone sketches skip "
+                    help="equality predicate: zone/bloom sketches skip "
                          "whole blocks, then the exact filter applies")
     args = ap.parse_args(argv)
 
@@ -45,21 +48,15 @@ def main(argv=None) -> None:
 
     blocks = spark.read.parquet(args.blocks)
     cols = args.columns.split(",") if args.columns else None
-    eq = None
+    filters = None
     if args.eq:
-        col, _, value = args.eq.partition("=")
-        if not _:
+        col, sep, value = args.eq.partition("=")
+        if not sep:
             raise ValueError("--eq expects COL=VALUE")
-        from sparkolumnar.engine.decode import zone_filter_eq
-
-        blocks = zone_filter_eq(blocks, col, value)
-        if cols is not None and col not in cols:
-            cols = cols + [col]
-        eq = (col, value)
+        filters = [(col, "=", value)]
     out = decode_blocks(blocks, verify=args.verify, columns=cols,
-                        limit=args.limit, offset=args.offset)
-    if eq is not None:
-        out = out.filter(out[eq[0]] == eq[1])
+                        limit=args.limit, offset=args.offset,
+                        filters=filters)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 

@@ -7,8 +7,10 @@ fingerprinting) and multimodal column plumbing."""
 from .dedup import (exact_dedup, minhash_signatures, minhash_neardup_pairs,  # noqa: F401
                     minhash_wordgram_signatures, ngram_jaccard_verify,
                     simhash64_md5, simhash_buckets)
-from .multimodal import (attach_media_meta, decode_and_featurize,  # noqa: F401
-                         frame_sample, media_embeddings)
+from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
+                         decode_and_featurize, decode_bmp, decode_wav,
+                         encode_bmp, encode_wav, frame_sample, image_stats,
+                         media_embeddings)
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          ivf_build, ivf_query, ivf_topk)
 from .textstats import fingerprint, lang_id, quality_score, token_stats  # noqa: F401

@@ -103,10 +103,15 @@ def test_decode_blocks_limit(spark):
     rows = lim.collect()
     assert len(rows) == 25
     assert rows == full
-    # the payload scan is filtered by block_id (reaches the parquet scan)
+    # the payload scan is filtered by the window's contiguous
+    # (snapshot_id, part_id, seq) range — a constant-size predicate that
+    # reaches the scan no matter how many blocks the window spans: the
+    # snapshot_id/part_id legs prune whole parquet partitions
+    # (PartitionFilters) and the seq leg pushes into the row-group scan
     plan = lim._jdf.queryExecution().executedPlan().toString()
-    assert "block_id" in plan and ("PushedFilters: [In(block_id" in plan
-                                   or "isnotnull(block_id" in plan), plan
+    assert ("PartitionFilters" in plan and "snapshot_id" in plan
+            and "part_id" in plan), plan
+    assert "seq" in plan, plan
     # fewer blocks scanned than exist
     from sparkolumnar.engine.decode import _prefix_budgets
     budgets = _prefix_budgets(blocks, 25)
