@@ -263,27 +263,23 @@ def _q_struct_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zone_pruned_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map pruning end-to-end: encode events time-sorted, then answer
-    a ts-range aggregate by (1) skipping blocks via per-block min/max
-    metadata (zone_filter — no payload decode for pruned blocks), (2)
-    decoding the survivors, (3) exact row filtering. Oracle = the same
-    range aggregate on the raw table."""
+    """Zone-map pruning end-to-end with the PRODUCTION layout recipe:
+    encode events range-clustered on ts (encode_table cluster_by= —
+    repartitionByRange + sort, parallel across the cluster, no
+    single-partition sort), then answer a ts-range aggregate through
+    decode_blocks(filters=): per-block min/max metadata skips blocks
+    before any payload decode, the exact row filter applies internally.
+    Oracle = the same range aggregate on the raw table."""
     import datetime as dt
 
-    from sparkolumnar.engine import decode_blocks, encode_table, zone_filter
+    from sparkolumnar.engine import decode_blocks, encode_table
 
-    ev = (_t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-          .coalesce(1).sortWithinPartitions("ts"))
-    blocks = encode_table(ev, snapshot_id="zoneq")
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    blocks = encode_table(ev, cluster_by="ts", partitions=4,
+                          snapshot_id="zoneq")
     lo_dt = ev.agg(F.min("ts")).collect()[0][0]
     hi_dt = lo_dt + dt.timedelta(hours=1)
-    epoch = dt.datetime(1970, 1, 1)
-
-    def us(d):
-        return int((d - epoch).total_seconds() * 1_000_000)
-
-    pruned = zone_filter(blocks, "ts", us(lo_dt), us(hi_dt))
-    dec = decode_blocks(pruned).filter(F.col("ts").between(lo_dt, hi_dt))
+    dec = decode_blocks(blocks, filters=[("ts", "between", lo_dt, hi_dt)])
     return dec.select(F.count("*").alias("n_events"),
                       F.countDistinct("user_id").alias("n_users"),
                       F.min("event_id").alias("min_event_id"),
@@ -291,22 +287,101 @@ def _q_zone_pruned_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_pruned_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-sketch equality pruning end-to-end: encode documents
-    lang-clustered, prune blocks with zone_filter_eq('lang','de'), decode
-    the survivors, exact-filter, aggregate. Oracle = the raw-table
+    """Bloom-sketch equality pruning end-to-end, production recipe:
+    documents range-clustered on (lang, doc_id) via cluster_by=, equality
+    answered through decode_blocks(filters=[("lang", "=", "de")]) — the
+    per-block bloom sketches skip non-'de' blocks before any payload
+    decode, the exact filter applies internally. Oracle = the raw-table
     equality aggregate."""
-    from sparkolumnar.engine import (decode_blocks, encode_table,
-                                     zone_filter_eq)
+    from sparkolumnar.engine import decode_blocks, encode_table
 
-    docs = (_t(spark, sf_dir, "documents")
-            .select("doc_id", "lang", "n_chars")
-            .coalesce(1).sortWithinPartitions("lang", "doc_id"))
-    blocks = encode_table(docs, snapshot_id="bloomq")
-    pruned = zone_filter_eq(blocks, "lang", "de")
-    dec = decode_blocks(pruned).filter(F.col("lang") == "de")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    blocks = encode_table(docs, cluster_by=["lang", "doc_id"], partitions=4,
+                          snapshot_id="bloomq")
+    dec = decode_blocks(blocks, filters=[("lang", "=", "de")])
     return dec.select(F.count("*").alias("n_docs"),
                       F.sum("n_chars").alias("sum_chars"),
                       F.min("doc_id").alias("min_doc_id"))
+
+
+def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end: per document, synthesize a
+    deterministic uncompressed 24-bit BMP whose dimensions and channel
+    values are pure functions of doc_id, run it through the pure-numpy
+    BMP parser (pipeline.multimodal.decode_bmp — actual header parse,
+    stride/padding handling, BGR->RGB, bottom-up rows) inside
+    image_stats, and aggregate the DECODED properties per lang. The
+    oracle recomputes width/height/pixel-sum arithmetically from doc_id,
+    so any decoder defect (wrong stride, channel order, row order,
+    truncation) breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.pipeline import image_stats
+    from sparkolumnar.pipeline.multimodal import encode_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                w = 4 + s % 13
+                h = 3 + (s * 7) % 11
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    img[:, :, c] = (s + c) % 251
+                media.append(encode_bmp(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "lang": pdf["lang"].values,
+                                "media": media})
+
+    withm = docs.mapInPandas(synth, "doc_id long, lang string, media binary")
+    st = image_stats(withm, "media")
+    return (st.groupBy("lang")
+            .agg(F.sum(F.col("width").cast("long")).alias("sum_width"),
+                 F.sum(F.col("height").cast("long")).alias("sum_height"),
+                 F.sum("px_sum").alias("sum_px"),
+                 F.count("*").alias("n_imgs"))
+            .orderBy("lang"))
+
+
+def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per document, synthesize a
+    deterministic 16-bit PCM WAV (RIFF chunk layout) whose sample count
+    and values are pure functions of doc_id, decode it with the
+    pure-numpy RIFF/WAV parser (decode_wav) inside audio_stats, and
+    aggregate the decoded sample statistics. Oracle recomputes them
+    arithmetically."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.pipeline import audio_stats
+    from sparkolumnar.pipeline.multimodal import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                n = 16 + s % 32
+                i = np.arange(n, dtype=np.int64)
+                samples = ((s * 31 + i * 13) % 4096 - 2048).astype(np.int16)
+                media.append(encode_wav(samples, rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "media": media})
+
+    withm = docs.mapInPandas(synth, "doc_id long, media binary")
+    st = audio_stats(withm, "media")
+    return st.select(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").alias("sum_samples"),
+        F.sum("sample_sum").alias("sum_amp"),
+        F.min(F.col("sample_rate").cast("long")).alias("min_rate"),
+        F.max(F.col("sample_rate").cast("long")).alias("max_rate"))
 
 
 def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,15 +434,24 @@ def _q_decode_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate profile over documents."""
-    from sparkolumnar.pipeline import minhash_neardup_pairs
+    """MinHash-LSH near-dup candidate profile over documents, via the
+    deterministic md5 word-gram signature banding
+    (minhash_wordgram_neardup_pairs) — every step recomputed bit-for-bit
+    by the DuckDB oracle. The faster numpy universal-hash production path
+    (minhash_neardup_pairs, with its hot-bucket safety valve) shares the
+    algorithmic shape and keeps its own accuracy/blowup unit-test gates.
+    Integer outputs (pair count, matching-component sums) so the
+    cross-engine compare is exact."""
+    from sparkolumnar.pipeline import minhash_wordgram_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(docs, "text", "doc_id",
-                                  n_hashes=64, bands=16, threshold=0.5)
+    pairs = minhash_wordgram_neardup_pairs(docs, "text", "doc_id",
+                                           n_hashes=8, bands=4)
     return pairs.select(
         F.count("*").alias("n_candidate_pairs"),
-        F.coalesce(F.round(F.avg("est_jaccard"), 4), F.lit(0.0)).alias("avg_est_jaccard"))
+        F.coalesce(F.sum("n_match"), F.lit(0)).cast("long").alias("sum_match"),
+        F.coalesce(F.sum((F.col("n_match") >= 4).cast("long")), F.lit(0))
+        .cast("long").alias("n_ge_half"))
 
 
 def _q_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,16 +495,25 @@ def _q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-vs-exact recall@5 on the embeddings table, over a PERSISTED
     index: ivf_build writes centroids + a cell-partitioned corpus once,
-    ivf_query probes only the nprobe cells (partition-pruned scan)."""
+    ivf_query probes only the nprobe cells (partition-pruned scan).
+    Centroids are the first 8 corpus vectors (deterministic), so cell
+    assignment, probing, in-cell top-k and the recall itself are all
+    recomputed exactly by the DuckDB oracle."""
     import tempfile
+
+    import numpy as np
 
     from sparkolumnar.pipeline import brute_force_topk, ivf_build, ivf_query
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    cent_rows = (emb.filter(F.col("vec_id") < 8)
+                 .select("vec_id", "embedding").collect())
+    cent = np.vstack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in sorted(cent_rows, key=lambda r: r["vec_id"])])
     path = tempfile.mkdtemp(prefix="sparkolumnar_ivf_")
-    ivf_build(emb, path, n_clusters=8)
+    ivf_build(emb, path, centroids=cent)
     approx = ivf_query(spark, path, queries, k=5, nprobe=4).select(
         "query_id", "neighbor_id")
     hits = exact.intersect(approx).count()
@@ -503,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_limit_preview": _q_decode_limit_preview,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_ops_customers": _q_set_ops_customers,
+        "media_decode_stats": _q_media_decode_stats,
+        "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
@@ -555,13 +650,13 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _minhash_wordgram_oracle_sql(n_hashes: int = 8) -> str:
+def _minhash_sig_cte(n_hashes: int = 8) -> str:
+    """Shared DuckDB CTE chain recomputing minhash_wordgram_signatures
+    bit-for-bit, ending at m(doc_id, h0..h{n-1})."""
     mins = ",\n                   ".join(
         f"MIN(CASE WHEN i = {k} THEN h END) AS h{k}"
         for k in range(n_hashes))
-    sig = " || ',' || ".join(f"h{k}::VARCHAR" for k in range(n_hashes))
-    return f"""
-        WITH t AS (
+    return f"""t AS (
             SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
         ), s AS (
             SELECT doc_id,
@@ -583,12 +678,110 @@ def _minhash_wordgram_oracle_sql(n_hashes: int = 8) -> str:
             SELECT doc_id,
                    {mins}
             FROM hh GROUP BY doc_id
-        )
+        )"""
+
+
+def _minhash_wordgram_oracle_sql(n_hashes: int = 8) -> str:
+    sig = " || ',' || ".join(f"h{k}::VARCHAR" for k in range(n_hashes))
+    return f"""
+        WITH {_minhash_sig_cte(n_hashes)}
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT ({sig})) AS n_distinct_sig,
                COUNT(DISTINCT h0) AS n_distinct_h0,
                MIN(h0) AS min_h0
         FROM m
+    """
+
+
+def _minhash_neardup_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """Recomputes minhash_wordgram_neardup_pairs: band the signatures,
+    equi-join per band, dedup pairs, count matching components."""
+    rows = n_hashes // bands
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {ks} FROM m".format(
+            b=b, ks=", ".join(
+                f"h{b * rows + r} AS k{r}" for r in range(rows)))
+        for b in range(bands))
+    on = " AND ".join(f"x.k{r} = y.k{r}" for r in range(rows))
+    n_match = " + ".join(
+        f"CASE WHEN ma.h{k} = mb.h{k} THEN 1 ELSE 0 END"
+        for k in range(n_hashes))
+    return f"""
+        WITH {_minhash_sig_cte(n_hashes)},
+        bands AS (
+            {band_rows}
+        ), p AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND {on} AND x.doc_id < y.doc_id
+        ), scored AS (
+            SELECT p.a, p.b, ({n_match}) AS n_match
+            FROM p JOIN m ma ON ma.doc_id = p.a
+                   JOIN m mb ON mb.doc_id = p.b
+        )
+        SELECT COUNT(*) AS n_candidate_pairs,
+               CAST(COALESCE(SUM(n_match), 0) AS BIGINT) AS sum_match,
+               CAST(COALESCE(SUM(CASE WHEN n_match >= {n_hashes // 2}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_ge_half
+        FROM scored
+    """
+
+
+def _ivf_recall_oracle_sql(k: int = 5, n_clusters: int = 8,
+                           nprobe: int = 4, n_queries: int = 10) -> str:
+    """Recomputes _q_ivf_recall exactly: centroids are the first
+    n_clusters corpus vectors, cell assignment / probe order / in-cell
+    top-k are cosine with (desc cosine, asc id) tie order — the same
+    deterministic ordering the numpy path uses."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < {n_clusters}
+        ), q AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {n_queries}
+        ), exact AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+            FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                             DESC, e.vec_id) <= {k}
+        ), assign AS (
+            SELECT e.vec_id, e.embedding,
+                   (SELECT cid FROM c
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec)
+                                 DESC, cid
+                    LIMIT 1) AS cell
+            FROM embeddings e
+        ), probe AS (
+            SELECT q.vec_id AS query_id, c.cid AS cell
+            FROM q, c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, c.cvec)
+                             DESC, c.cid) <= {nprobe}
+        ), approx AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probe p
+                 JOIN assign a ON a.cell = p.cell
+                 JOIN q ON q.vec_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.query_id
+                ORDER BY list_cosine_similarity(q.embedding, a.embedding)
+                             DESC, a.vec_id) <= {k}
+        ), hit AS (
+            SELECT query_id, neighbor_id FROM exact
+            INTERSECT
+            SELECT query_id, neighbor_id FROM approx
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                     / GREATEST((SELECT COUNT(*) FROM exact), 1), 4)
+                   AS recall
     """
 
 
@@ -829,7 +1022,30 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT k FROM a
                                           UNION SELECT k FROM b)) AS n_any
         """,
+        "media_decode_stats": """
+            SELECT lang,
+                   CAST(SUM(4 + doc_id % 13) AS BIGINT) AS sum_width,
+                   CAST(SUM(3 + (doc_id * 7) % 11) AS BIGINT) AS sum_height,
+                   CAST(SUM((4 + doc_id % 13) * (3 + (doc_id * 7) % 11) *
+                            ((doc_id % 251) + ((doc_id + 1) % 251)
+                             + ((doc_id + 2) % 251))) AS BIGINT) AS sum_px,
+                   COUNT(*) AS n_imgs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "audio_decode_stats": """
+            SELECT COUNT(*) AS n_clips,
+                   CAST(SUM(16 + doc_id % 32) AS BIGINT) AS sum_samples,
+                   CAST(SUM(list_sum(list_transform(
+                            range(0, CAST(16 + doc_id % 32 AS BIGINT)),
+                            i -> (doc_id * 31 + i * 13) % 4096 - 2048)))
+                        AS BIGINT) AS sum_amp,
+                   CAST(8000 AS BIGINT) AS min_rate,
+                   CAST(8000 AS BIGINT) AS max_rate
+            FROM documents
+        """,
         "simhash_profile": _simhash_oracle_sql(),
         "minhash_wordgram_profile": _minhash_wordgram_oracle_sql(),
+        "minhash_neardup": _minhash_neardup_oracle_sql(),
+        "ivf_recall": _ivf_recall_oracle_sql(),
         "lang_id_distribution": _lang_id_oracle_sql(),
     }

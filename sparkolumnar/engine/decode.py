@@ -378,6 +378,34 @@ def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
     return blocks_df
 
 
+def _partition_prepass(pruned_df: DataFrame) -> DataFrame:
+    """Metadata pre-pass turning block-level pruning into PARTITION
+    pruning: one driver-small job over the metadata leaves (payload
+    columns pruned away by the wide layout) finds the lexicographic
+    (snapshot_id, part_id) range that still holds surviving blocks, and
+    the payload scan is additionally bounded to that range. The blocks
+    table is written partitioned by (snapshot_id, part_id)
+    (engine/tableio.py), so this predicate prunes whole DIRECTORIES at
+    the scan — with a range-clustered encode (encode_table cluster_by=)
+    a narrow time-range probe then never lists, opens, or reads the
+    payload bytes of the other partitions. Sound for any filter: the
+    range only ever over-approximates the surviving set, and the
+    block-level zone/bloom predicate still applies inside it."""
+    from pyspark.sql import functions as F
+
+    row = (pruned_df
+           .agg(F.min(F.struct("snapshot_id", "part_id")).alias("lo"),
+                F.max(F.struct("snapshot_id", "part_id")).alias("hi"))
+           .collect()[0])
+    if row["lo"] is None:  # every block pruned
+        return pruned_df.where(F.lit(False))
+    lo, hi = row["lo"], row["hi"]
+    s, p = F.col("snapshot_id"), F.col("part_id")
+    ge = (s > lo[0]) | ((s == lo[0]) & (p >= lo[1]))
+    le = (s < hi[0]) | ((s == hi[0]) & (p <= hi[1]))
+    return pruned_df.where(ge & le)
+
+
 def _exact_filter_expr(filters):
     """The row-exact predicate equivalent of `filters` (AND of all)."""
     from pyspark.sql import functions as F
@@ -407,7 +435,8 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   compat: bool = False,
                   limit: Optional[int] = None,
                   offset: int = 0,
-                  filters=None) -> DataFrame:
+                  filters=None,
+                  prepass: bool = True) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns' payload/validity
@@ -428,7 +457,12 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     bounds automatically; pass the natural Python values (datetime,
     date, Decimal, int, float, str). At 100 TB this is the difference
     between scanning 1% and 100% of the payloads; a .filter() above the
-    opaque decode UDF cannot prune anything.
+    opaque decode UDF cannot prune anything. prepass=True (default) adds
+    a metadata-only pre-pass that bounds the payload scan to the
+    surviving (snapshot_id, part_id) range — directory-level partition
+    pruning on range-clustered tables (see _partition_prepass); pass
+    prepass=False to keep the decode fully lazy (no driver job at plan
+    time).
 
     compat=True enables schema evolution against the provided `schema`:
     block columns unknown to the schema are ignored, schema columns missing
@@ -462,6 +496,8 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     if filters:
         types = _blocks_arrow_types(blocks_df)
         blocks_df = _apply_block_filters(blocks_df, filters, types)
+        if prepass:
+            blocks_df = _partition_prepass(blocks_df)
         exact = _exact_filter_expr(filters)
     if limit is not None and exact is None:
         budgets = _prefix_budgets(blocks_df, limit, offset)

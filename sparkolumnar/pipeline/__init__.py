@@ -5,6 +5,7 @@ analysis (language-id heuristic, quality scoring, token stats,
 fingerprinting) and multimodal column plumbing."""
 
 from .dedup import (exact_dedup, minhash_signatures, minhash_neardup_pairs,  # noqa: F401
+                    minhash_wordgram_neardup_pairs,
                     minhash_wordgram_signatures, ngram_jaccard_verify,
                     simhash64_md5, simhash_buckets)
 from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401

@@ -253,6 +253,50 @@ def minhash_wordgram_signatures(df: DataFrame, text_col: str, id_col: str,
     return ex.groupBy(id_col).agg(*mins)
 
 
+def minhash_wordgram_neardup_pairs(df: DataFrame, text_col: str,
+                                   id_col: str, n_hashes: int = 8,
+                                   bands: int = 4) -> DataFrame:
+    """LSH-banded near-dup candidates over the DETERMINISTIC md5 word-gram
+    signatures (minhash_wordgram_signatures) — the oracle-checkable twin
+    of minhash_neardup_pairs: every step (signatures, band keys, the band
+    self-join, the matching-component estimate) is recomputable bit-for-
+    bit in SQL. Same scale shape as the production path: band rows carry
+    (id, band, band-key) only, the only shuffle is the equi-join on the
+    band key, pairs dedup across bands before the signatures rejoin.
+
+    Returns (a, b, n_match, est_jaccard) with a < b; n_match = how many
+    of the n_hashes signature components match (integer, so downstream
+    aggregates stay exactly cross-engine-comparable), est_jaccard =
+    n_match / n_hashes."""
+    rows = n_hashes // bands
+    sigs = minhash_wordgram_signatures(df, text_col, id_col, n_hashes)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+    banded = (sigs.select(F.col(id_col), sig_arr.alias("sig"))
+              .select(F.col(id_col), "sig",
+                      F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+                      .alias("band"))
+              .withColumn("key", F.slice("sig", F.col("band") * rows + 1,
+                                         rows))
+              .select(id_col, "band", "key"))
+    left = banded.select(F.col(id_col).alias("a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "key")
+    pairs = (left.join(right, ["band", "key"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b")
+             .dropDuplicates(["a", "b"]))
+    sig_a = sigs.select(F.col(id_col).alias("a"), sig_arr.alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("b"), sig_arr.alias("sig_b"))
+    pairs = pairs.join(sig_a, "a").join(sig_b, "b")
+    matches = F.size(F.filter(F.zip_with(
+        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    return (pairs
+            .withColumn("n_match", matches.cast("long"))
+            .withColumn("est_jaccard",
+                        F.col("n_match") / F.lit(float(n_hashes)))
+            .select("a", "b", "n_match", "est_jaccard"))
+
+
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc + its 4 16-bit bands for candidate bucketing.
 

@@ -20,7 +20,7 @@
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -161,7 +161,8 @@ def _topk_merge(partials: DataFrame, k: int) -> DataFrame:
 
 def ivf_build(df: DataFrame, path: str, n_clusters: int = 16,
               id_col: str = "vec_id", emb_col: str = "embedding",
-              sample_rows: int = 10_000, seed: int = 7) -> np.ndarray:
+              sample_rows: int = 10_000, seed: int = 7,
+              centroids: Optional[np.ndarray] = None) -> np.ndarray:
     """Fit centroids on a distributed sample, assign every row to its
     nearest cell in ONE pass, and persist the index:
 
@@ -170,10 +171,21 @@ def ivf_build(df: DataFrame, path: str, n_clusters: int = 16,
                           cell via repartition-by-cell), so a query pass
                           scans only its probed cells (partition pruning)
 
-    Returns the centroid matrix."""
+    centroids: optional pre-fitted/deterministic centroid matrix
+    (n_clusters x dim) — skips the sample + k-means fit. Besides reusing
+    an external fit, this is what makes the index SQL-recomputable for
+    the correctness oracle (e.g. centroids = the first n_clusters corpus
+    vectors: cell assignment and probing become plain cosine argmax,
+    expressible in DuckDB).
+
+    Returns the (normalized) centroid matrix."""
     spark = df.sparkSession
-    sample = _distributed_sample(df, emb_col, sample_rows)
-    cent = _normalize(_kmeans_fit(sample, n_clusters, seed=seed))
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+        n_clusters = len(cent)
+    else:
+        sample = _distributed_sample(df, emb_col, sample_rows)
+        cent = _normalize(_kmeans_fit(sample, n_clusters, seed=seed))
     bc = spark.sparkContext.broadcast(cent)
     emb_t = df.schema[emb_col].dataType.simpleString()
 
