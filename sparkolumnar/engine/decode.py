@@ -338,6 +338,7 @@ def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
 
 
 _FILTER_OPS = ("between", "=", "==", ">=", "<=", ">", "<")
+_PREPASS_MAX_PARTS = 4096  # isin cap before degrading to a min/max range
 
 
 def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
@@ -389,21 +390,38 @@ def _partition_prepass(pruned_df: DataFrame) -> DataFrame:
     the scan — with a range-clustered encode (encode_table cluster_by=)
     a narrow time-range probe then never lists, opens, or reads the
     payload bytes of the other partitions. Sound for any filter: the
-    range only ever over-approximates the surviving set, and the
-    block-level zone/bloom predicate still applies inside it."""
+    partition set only ever over-approximates the surviving blocks, and
+    the block-level zone/bloom predicate still applies inside it.
+
+    The surviving partitions are enumerated exactly (an isin on the
+    partition columns, bounded by the number of physical partitions, not
+    blocks); beyond _PREPASS_MAX_PARTS the pre-pass degrades to the
+    lexicographic (snapshot_id, part_id) min/max range so the predicate
+    stays constant-size."""
     from pyspark.sql import functions as F
 
-    row = (pruned_df
-           .agg(F.min(F.struct("snapshot_id", "part_id")).alias("lo"),
-                F.max(F.struct("snapshot_id", "part_id")).alias("hi"))
-           .collect()[0])
-    if row["lo"] is None:  # every block pruned
+    rows = (pruned_df.select("snapshot_id", "part_id").distinct()
+            .limit(_PREPASS_MAX_PARTS + 1).collect())
+    if not rows:  # every block pruned
         return pruned_df.where(F.lit(False))
-    lo, hi = row["lo"], row["hi"]
     s, p = F.col("snapshot_id"), F.col("part_id")
-    ge = (s > lo[0]) | ((s == lo[0]) & (p >= lo[1]))
-    le = (s < hi[0]) | ((s == hi[0]) & (p <= hi[1]))
-    return pruned_df.where(ge & le)
+    if len(rows) > _PREPASS_MAX_PARTS:
+        row = (pruned_df
+               .agg(F.min(F.struct("snapshot_id", "part_id")).alias("lo"),
+                    F.max(F.struct("snapshot_id", "part_id")).alias("hi"))
+               .collect()[0])
+        lo, hi = row["lo"], row["hi"]
+        ge = (s > lo[0]) | ((s == lo[0]) & (p >= lo[1]))
+        le = (s < hi[0]) | ((s == hi[0]) & (p <= hi[1]))
+        return pruned_df.where(ge & le)
+    by_snap: dict = {}
+    for r in rows:
+        by_snap.setdefault(r["snapshot_id"], []).append(r["part_id"])
+    pred = None
+    for snap, parts in by_snap.items():
+        e = (s == snap) & p.isin(parts)
+        pred = e if pred is None else (pred | e)
+    return pruned_df.where(pred)
 
 
 def _exact_filter_expr(filters):

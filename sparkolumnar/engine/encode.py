@@ -176,6 +176,27 @@ def _raw_size(arr: pa.Array) -> int:
     return total
 
 
+def _cluster_bucket_boundaries(df: DataFrame, col: str,
+                               n_buckets: int) -> list:
+    """Deterministic quantile boundaries for cluster_by bucketing:
+    sorted evenly-spaced picks from the engine's cross-partition sample
+    (deterministic for a fixed input file listing — the resume
+    invariant), deduplicated. Returns <= n_buckets - 1 values; rows
+    bucket as sum(value > boundary)."""
+    from .plan import sample_table
+
+    tbl = sample_table(df.select(col))
+    vals = sorted(v for v in tbl.column(0).to_pylist() if v is not None)
+    if not vals:
+        return []
+    out: list = []
+    for k in range(1, n_buckets):
+        b = vals[min(len(vals) - 1, k * len(vals) // n_buckets)]
+        if not out or b != out[-1]:
+            out.append(b)
+    return out
+
+
 def make_encode_fn(snapshot_id: str, mode: str,
                    skip_parts: Optional[Set[int]] = None, plan=None,
                    overrides=None, sketches: bool = True):
@@ -215,12 +236,24 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     randomizing warc_ts order (DoD pays ~4 B/value instead of <2).
 
     cluster_by: column name (or list of names) to RANGE-cluster the table
-    by before encoding: repartitionByRange + sortWithinPartitions, so
-    same-range rows land in the same blocks. This is the production
-    layout lever that makes zone maps / blooms prune at scale — a
-    time-range or lang-equality probe then skips all but a few blocks —
-    and it parallelizes across the cluster (unlike a single-partition
-    sort). Mutually exclusive with key=.
+    by before encoding, so same-range rows land in the same blocks. This
+    is the production layout lever that makes zone maps / blooms prune at
+    scale — a time-range or lang-equality probe then skips all but a few
+    blocks — and it parallelizes across the cluster (unlike a
+    single-partition sort). Mutually exclusive with key=.
+
+    Implementation note: NOT Spark's repartitionByRange — its range
+    boundaries come from a per-RDD-seeded sample, so two runs over the
+    same snapshot can draw different boundaries, which would break the
+    exactly-once resume protocol (a resumed run must reproduce partition
+    k's exact contents). Instead the boundaries are quantiles of the
+    engine's own deterministic cross-partition sample (plan.sample_table)
+    on the first cluster column, rows are bucketed with plain JVM
+    comparisons, and buckets are hash-shuffled — fully deterministic for
+    a fixed input snapshot. Several buckets per partition (4x) keep the
+    bucket->partition hash assignment balanced; blocks stay range-tight
+    because rows are still sorted by the cluster columns inside each
+    partition.
 
     sketches: build per-block zone-map/bloom pruning metadata. Default:
     on for size/balanced modes, off for mode="fast" (whose contract is
@@ -236,8 +269,15 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
             raise ValueError("cluster_by= and key= are mutually exclusive")
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        df = (df.repartitionByRange(p, *[F.col(c) for c in cols])
-              .sortWithinPartitions(*cols))
+        bounds = _cluster_bucket_boundaries(df, cols[0],
+                                            n_buckets=min(max(4 * p, p), 256))
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col(cols[0]) > F.lit(b)).cast("int")
+        df = (df.withColumn("__cluster_bucket", bucket)
+              .repartition(p, F.col("__cluster_bucket"))
+              .sortWithinPartitions(*cols)
+              .drop("__cluster_bucket"))
     elif key is not None:
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         df = df.repartition(p, F.xxhash64(F.col(key), F.lit(salt)))

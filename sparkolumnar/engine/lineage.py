@@ -63,11 +63,19 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
                partitions: Optional[int] = None, sort_within: bool = True,
                run_id: str = "r0",
                only_parts: Optional[set] = None,
-               plan="auto", overrides=None) -> EncodeJobResult:
+               plan="auto", overrides=None,
+               cluster_by=None) -> EncodeJobResult:
     """Checkpointed encode of input_df into io's blocks table.
 
     only_parts restricts this run to a subset of partitions (used by tests
     to simulate a job killed partway through).
+
+    cluster_by: range-cluster the layout on these column(s) instead of
+    hash-shuffling on `key` (encode_table cluster_by=) — the zone-map/
+    bloom pruning layout. Resume safety is the same as the hash path:
+    Spark's range partitioner samples deterministically for a fixed input
+    file listing, and snapshot_id IS the file-listing hash, so partition
+    k's contents are reproducible for a given snapshot.
     """
     snap = snapshot_id or snapshot_of_input(input_df)
     if plan == "auto":
@@ -78,10 +86,11 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
     skip = set(done)
     if only_parts is not None:
         skip |= {i for i in range(p) if i not in only_parts}
-    blocks = encode_table(input_df, key=key, partitions=p,
+    blocks = encode_table(input_df, key=None if cluster_by else key,
+                          partitions=p,
                           sort_within=sort_within, snapshot_id=snap,
                           mode=mode, skip_parts=skip, plan=plan,
-                          overrides=overrides)
+                          overrides=overrides, cluster_by=cluster_by)
     io.write_blocks(blocks)
     # derive checkpoint rows from what actually landed (metadata-only read)
     landed = io.read_blocks()

@@ -3,7 +3,8 @@
 Usage:
   spark-submit --py-files sparkolumnar.zip -m sparkolumnar.jobs.encode_job \
       --input /path/to/pages_parquet --output /path/to/engine_dir \
-      [--key url] [--mode balanced] [--partitions N] [--no-sort]
+      [--key url] [--mode balanced] [--partitions N] [--no-sort] \
+      [--cluster-by ts]
 
 Resumable: re-running with the same input snapshot skips partitions that
 are already checkpointed (exactly-once output).
@@ -25,6 +26,11 @@ def main(argv=None) -> None:
     ap.add_argument("--mode", default="balanced",
                     choices=["size", "balanced", "fast"])
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cluster-by", default=None,
+                    help="range-cluster the layout on these comma-separated "
+                         "columns (repartitionByRange + sort) instead of "
+                         "hash-shuffling on --key; makes zone-map/bloom "
+                         "pruning effective for range/equality decode")
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--run-id", default="cli")
     ap.add_argument("--overrides", default=None,
@@ -47,10 +53,11 @@ def main(argv=None) -> None:
     overrides = None
     if args.overrides:
         overrides = dict(kv.split("=", 1) for kv in args.overrides.split(","))
+    cluster_by = args.cluster_by.split(",") if args.cluster_by else None
     res = encode_job(spark, df, io, key=args.key, mode=args.mode,
                      partitions=args.partitions,
                      sort_within=not args.no_sort, run_id=args.run_id,
-                     overrides=overrides)
+                     overrides=overrides, cluster_by=cluster_by)
     print(json.dumps({
         "snapshot_id": res.snapshot_id,
         "parts_done_before": res.parts_done_before,
