@@ -32,7 +32,12 @@ def build_spark(cpus: str):
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # 32k-row Arrow batches: the mapInArrow jobs are JVM<->Python IPC
+        # bound (a NOOP python pass over the same shuffled plan costs ~90%
+        # of the fast-encode wall — measured in BENCH/BASELINE.md), so
+        # fewer/larger IPC messages directly buy throughput; codec working
+        # sets stay cache-friendly because fsst/split chunk internally
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
@@ -100,6 +105,12 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
         timings[name] = round(best, 3)
         return out
 
+    # partitions = cores for the python-UDF stages: each extra wave of
+    # tasks re-pays per-task Arrow IPC setup, and with ~6 KB rows the
+    # shuffle is never the constraint (plumbing floor measured in
+    # BENCH/BASELINE.md "IPC floor" section)
+    ncpu = int(spark.sparkContext.defaultParallelism)
+
     # ---- pages fixture (generated once, cached parquet) ----
     pages = pages_df(spark, pages_rows)
     raw = pages.select(
@@ -115,7 +126,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     def do_encode():
         nonlocal blocks
         b = encode_table(pages, key="url", snapshot_id="bench",
-                         sort_within=True, plan=plan)
+                         sort_within=True, plan=plan, partitions=ncpu)
         (b.write.mode("overwrite").option("compression", "uncompressed")
          .parquet("/tmp/sparkolumnar_bench_blocks"))
         blocks = spark.read.parquet("/tmp/sparkolumnar_bench_blocks")
@@ -132,15 +143,16 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
 
     clock("pages_decode_verify",
           lambda: decode_blocks(blocks, verify=True)
-          .select(F.count("*")).collect(), repeats=3, quiet=True)
+          .select(F.count("*")).collect(), repeats=4, quiet=True)
     extras["decode_verify_gbps"] = round(
         raw / 1e9 / timings["pages_decode_verify"], 4)
 
     # reference-equivalent codec set (no FSST/dict): the raw-throughput mode
     clock("pages_encode_fast",
           lambda: encode_table(pages, key="url", snapshot_id="bench_fast",
-                               sort_within=True, mode="fast")
-          .select(F.sum(F.col("n_rows"))).collect(), repeats=2, quiet=True)
+                               sort_within=True, mode="fast",
+                               partitions=ncpu)
+          .select(F.sum(F.col("n_rows"))).collect(), repeats=4, quiet=True)
     extras["fast_encode_gbps"] = round(
         raw / 1e9 / timings["pages_encode_fast"], 4)
 

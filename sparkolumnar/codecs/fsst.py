@@ -529,6 +529,11 @@ def fsst_decode(payload: bytes, n: int, k: int = -1,
     enc_off = np.concatenate([[0], np.cumsum(enc_lens)]).astype(np.int64)
     # decode in string-aligned ~CHUNK_BYTES chunks (cache-resident working
     # set; same reason as the encoder's chunking)
+    ml = max(1, int(sym_lens.max()) if n_sym else 1)
+    sym8 = np.zeros((256, ml), dtype=np.uint8)
+    for i in range(n_sym):  # <= 255 tiny copies, built once per payload
+        sym8[i, : int(sym_lens[i])] = buf[int(sym_starts[i]):
+                                          int(sym_starts[i] + sym_lens[i])]
     data_parts = []
     len_parts = []
     s = 0
@@ -536,7 +541,7 @@ def fsst_decode(payload: bytes, n: int, k: int = -1,
         e = int(np.searchsorted(enc_off, enc_off[s] + CHUNK_BYTES, "left"))
         e = max(s + 1, min(e, n))
         d, ls = _decode_chunk(buf, pos, enc_off[s:e + 1], n_sym,
-                              sym_lens, sym_starts)
+                              sym_lens, sym8)
         data_parts.append(d)
         len_parts.append(ls)
         s = e
@@ -550,7 +555,7 @@ def fsst_decode(payload: bytes, n: int, k: int = -1,
 
 
 def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
-                  n_sym: int, sym_lens: np.ndarray, sym_starts: np.ndarray):
+                  n_sym: int, sym_lens: np.ndarray, sym8: np.ndarray):
     """Decode the strings whose encoded bytes span
     buf[e_base+enc_off[0] : e_base+enc_off[-1]]; returns (out_bytes,
     out_len_per_string)."""
@@ -592,17 +597,19 @@ def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
     cum[0] = 0
     cum[1:] = np.cumsum(out_len, dtype=np.int64)
     str_out_lens = cum[rel_off[1:]] - cum[rel_off[:-1]]
-    # assemble: pieces in byte order; sources: symbol area (within buf) for
-    # codes, E itself for literals (sparse override)
-    p_idx = np.flatnonzero(out_len > 0)
-    starts256 = np.zeros(256, dtype=np.int64)
-    starts256[:n_sym] = sym_starts[:n_sym]
-    p_starts = starts256[E[p_idx]]
-    p_lens = out_len[p_idx].astype(np.int64)
+    # assemble via the (256, max_sym_len) symbol matrix: one row gather
+    # PER CODE BYTE (the code itself is the index — the <=2 KiB table
+    # stays cache-resident), literals override byte 0 of their row,
+    # marker rows keep zero bytes, then a row-width keep mask extracts
+    # exactly out_len bytes per row. No per-output-byte index arrays and
+    # no code-position extraction at all (~3x less memory traffic than
+    # the generic variable-length gather this replaced).
+    ml = sym8.shape[1]
+    mat = sym8[E]
     if len(literals):
-        pos = np.searchsorted(p_idx, literals)
-        p_starts[pos] = e_base + lo + literals
-    return gather_chunks(buf, p_starts, p_lens), str_out_lens
+        mat[literals, 0] = E[literals]
+    keep = np.arange(ml, dtype=np.int8)[None, :] < out_len[:, None]
+    return mat[keep], str_out_lens
 
 
 class FsstCodec(Codec):

@@ -13,7 +13,7 @@ import pyarrow as pa
 from .core import (BIN, BOOL, F32, F64, INT, STR, Codec, domain_of,
                    from_int64, from_str_buffers, register, str_buffers,
                    to_int64)
-from .nputil import (CodecError, gather_chunks, interleave_chunks,
+from .nputil import (CodecError, gather_chunks, interleave_sorted,
                      uvarint_decode, uvarint_encode, uvarint_size,
                      zigzag_decode, zigzag_encode)
 
@@ -42,9 +42,8 @@ def plain_encode_binary(arr: pa.Array) -> bytes:
     pre = uvarint_encode(lens.astype(np.uint64))
     pre_arr = np.frombuffer(pre, dtype=np.uint8)
     pre_sizes = uvarint_size(lens.astype(np.uint64))
-    pre_starts = np.cumsum(pre_sizes) - pre_sizes
-    body = interleave_chunks(pre_arr, pre_starts, pre_sizes,
-                             data, offsets[:-1], lens)
+    # value slices cover data contiguously in order -> mask interleave
+    body = interleave_sorted(pre_arr, pre_sizes, data, offsets[:-1], lens)
     return head + body.tobytes()
 
 

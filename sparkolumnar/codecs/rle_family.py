@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 from .. import refmodel as rm
 from .core import (BIN, BOOL, F32, F64, INT, STR, Codec, from_int64,
                    from_str_buffers, register, str_buffers, to_int64)
-from .nputil import (CodecError, gather_chunks, interleave_chunks, orbit,
+from .nputil import (CodecError, gather_chunks, interleave_sorted, orbit,
                      repeat_offsets, run_segments, run_starts_from_neq,
                      uvarint_decode, uvarint_encode, uvarint_size,
                      zigzag_decode, zigzag_encode)
@@ -61,10 +61,11 @@ def _encode_groups(headers: np.ndarray, first_run: np.ndarray,
     hz = zigzag_encode(headers)
     h_lens = uvarint_size(hz)
     h_bytes = np.frombuffer(uvarint_encode(hz), dtype=np.uint8)
-    h_starts = np.cumsum(h_lens) - h_lens
     v_starts = val_offsets[first_run]
     v_ends = val_offsets[np.append(first_run[1:], len(val_offsets) - 1)]
-    out = interleave_chunks(h_bytes, h_starts, h_lens,
+    # group value spans are sorted, contiguous slices of val_bytes and the
+    # header varints are already a contiguous stream -> mask interleave
+    out = interleave_sorted(h_bytes, h_lens,
                             val_bytes, v_starts, v_ends - v_starts)
     return out.tobytes()
 
@@ -171,8 +172,9 @@ def rle_encode_binary(arr: pa.Array) -> bytes:
     lz = rep_lens.astype(np.uint64)
     pre_lens = uvarint_size(lz)
     pre_bytes = np.frombuffer(uvarint_encode(lz), dtype=np.uint8)
-    pre_starts = np.cumsum(pre_lens) - pre_lens
-    vbytes = interleave_chunks(pre_bytes, pre_starts, pre_lens,
+    # representative slices are sorted + disjoint in data (one per run,
+    # in payload order) -> mask interleave, no per-byte index arrays
+    vbytes = interleave_sorted(pre_bytes, pre_lens,
                                data, rep_starts, rep_lens)
     piece_sizes = pre_lens + rep_lens
     voff = np.append(np.cumsum(piece_sizes) - piece_sizes, len(vbytes))

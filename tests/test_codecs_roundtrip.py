@@ -188,3 +188,46 @@ def test_int_candidate_sizes_exact(xs):
         assert est == real, (name, est, real, xs[:8])
     # delta_rle/dod only ever missing on i64-overflowing deltas
     assert "plain" in sizes and "rle" in sizes and "for_bitpack" in sizes
+
+
+def test_slices_mask_matches_generic_gather():
+    """gather_slices_sorted / interleave_sorted must equal the generic
+    per-byte index implementations for every sorted-disjoint slice shape
+    (touching, empty, unsorted gaps, tail gap)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from sparkolumnar.codecs.nputil import (gather_chunks,
+                                            gather_slices_sorted,
+                                            interleave_chunks,
+                                            interleave_sorted)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 9)),
+                    max_size=30),
+           st.integers(0, 2 ** 32 - 1))
+    def inner(pieces, seed):
+        rng = np.random.default_rng(seed)
+        # build sorted disjoint slices: gaps then lengths
+        starts, lens, pos = [], [], 0
+        for gap, ln in pieces:
+            pos += gap
+            starts.append(pos)
+            lens.append(ln)
+            pos += ln
+        src = rng.integers(0, 256, pos + 5, dtype=np.uint8)
+        starts = np.array(starts, dtype=np.int64)
+        lens = np.array(lens, dtype=np.int64)
+        got = gather_slices_sorted(src, starts, lens)
+        want = gather_chunks(src, starts, lens)
+        assert got.tobytes() == want.tobytes()
+        # interleave with a contiguous prefix stream
+        a_lens = rng.integers(0, 4, len(lens)).astype(np.int64)
+        a_bytes = rng.integers(0, 256, int(a_lens.sum()), dtype=np.uint8)
+        a_starts = np.cumsum(a_lens) - a_lens
+        got_i = interleave_sorted(a_bytes, a_lens, src, starts, lens)
+        want_i = interleave_chunks(a_bytes, a_starts, a_lens,
+                                   src, starts, lens)
+        assert got_i.tobytes() == want_i.tobytes()
+
+    inner()
