@@ -385,17 +385,24 @@ def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators (§2.2): INTERSECT / EXCEPT over customer key sets
-    (customers with any order vs customers with an open 'O' order)."""
+    """Set operators (§2.2): INTERSECT / EXCEPT / UNION over customer key
+    sets (customers with any order vs customers with an open 'O' order).
+    The three set results are tagged and unioned so ONE Spark job
+    computes all three counts (not three separate actions)."""
     orders = _t(spark, sf_dir, "orders")
     any_o = orders.select(F.col("o_custkey").alias("k")).distinct()
     open_o = (orders.filter(F.col("o_orderstatus") == "O")
               .select(F.col("o_custkey").alias("k")).distinct())
-    return spark.createDataFrame(
-        [(any_o.intersect(open_o).count(),
-          any_o.exceptAll(open_o).count(),
-          any_o.union(open_o).distinct().count())],
-        "n_both long, n_closed_only long, n_any long")
+    tagged = (any_o.intersect(open_o).select(F.lit("n_both").alias("tag"))
+              .unionAll(any_o.exceptAll(open_o)
+                        .select(F.lit("n_closed_only").alias("tag")))
+              .unionAll(any_o.union(open_o).distinct()
+                        .select(F.lit("n_any").alias("tag"))))
+    return (tagged.groupBy().pivot(
+        "tag", ["n_both", "n_closed_only", "n_any"]).count()
+        .select(F.col("n_both").cast("long"),
+                F.col("n_closed_only").cast("long"),
+                F.col("n_any").cast("long")))
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

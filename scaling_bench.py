@@ -30,7 +30,7 @@ def run_at(cpus: int, rows: int, mode: str) -> dict:
              .appName(f"sparkolumnar-scale-{cpus}")
              .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
              .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
@@ -53,7 +53,8 @@ def run_at(cpus: int, rows: int, mode: str) -> dict:
         for trial in range(2):
             t0 = time.time()
             (encode_table(pages, key="url", snapshot_id=f"s{cpus}_{trial}",
-                          sort_within=True, plan=plan, mode=mode)
+                          sort_within=True, plan=plan, mode=mode,
+                          partitions=cpus)
              .select(F.sum("n_rows")).collect())
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
