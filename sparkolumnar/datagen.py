@@ -111,10 +111,35 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42,
                         row_group: int = 50_000, n_files: int = 8) -> str:
     """Materialize the pages fixture as a parquet directory (what the real
     job would read from an Iceberg/parquet table). Deterministic; safe to
-    cache between test runs."""
+    cache between test runs.
+
+    A manifest pins (n_rows, seed, n_files): calling again with DIFFERENT
+    parameters on the same path wipes and rebuilds instead of mixing file
+    layouts (per-file skip with a changed n_files would silently leave a
+    directory containing duplicated row ranges)."""
+    import json
+    import shutil
+
     import pyarrow.parquet as pq
 
+    manifest = os.path.join(path, "_MANIFEST.json")
+    want = {"n_rows": n_rows, "seed": seed, "row_group": row_group,
+            "n_files": n_files}
+    if os.path.isdir(path):
+        have = None
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as f:
+                    have = json.load(f)
+            except (OSError, ValueError):
+                have = None
+        if have != want:
+            shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
+    if not os.path.exists(manifest):
+        with open(manifest + ".tmp", "w") as f:
+            json.dump(want, f)
+        os.replace(manifest + ".tmp", manifest)
     per_file = [(i * n_rows // n_files, (i + 1) * n_rows // n_files)
                 for i in range(n_files)]
     for fi, (lo_f, hi_f) in enumerate(per_file):

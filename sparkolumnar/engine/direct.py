@@ -1,0 +1,269 @@
+"""Scan-in-UDF / write-in-UDF direct paths: the IPC-floor answer.
+
+Measured on this host (BENCH/BASELINE.md "IPC floor"): a NOOP python
+mapInArrow over the fast-encode plan costs ~90% of the whole job — the
+table bytes pay the JVM->Python Arrow IPC serialization on the way in and
+the encoded payloads pay it again on the way out. At 100 TB that double
+serialization is the dominant cost the engine controls.
+
+The direct paths remove BOTH crossings for shuffle-free jobs: Spark
+distributes only the parquet FILE LIST (driver-small rows), and each task
+
+  * opens its files with pyarrow directly (no JVM scan, no IPC-in),
+  * encodes/decodes batches with the same codec engine,
+  * writes its output parquet file itself (no IPC-out, no JVM writer),
+
+returning only per-partition metadata to the driver. This is the right
+shape whenever the job needs no row shuffle: encode in storage order
+(or on an input that is already clustered), decode-to-parquet. The
+shuffled layouts (key= / cluster_by=) inherently require row transport
+and keep the mapInArrow path.
+
+Exactly-once: the task's output file name is a pure function of
+(snapshot_id, part_id); writes go to a temp file + os.replace (atomic on
+posix), so a retried task idempotently overwrites its own output, and the
+checkpoint protocol is the same as engine/lineage.py — file groups are
+the partitions. The blocks files land inside TableIO's hive layout
+(blocks/snapshot_id=<s>/part_id=<p>/) WITHOUT the two partition columns
+in the file, exactly as Spark writes them, so read_blocks()/decode_blocks
+see one coherent table regardless of which path produced each partition.
+
+At real scale the local-path file access generalizes: pyarrow.dataset
+speaks s3/hdfs/gcs through fsspec/Arrow filesystems; only _local_path's
+scheme handling would grow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .blocks import arrow_blocks_schema
+from .encode import encode_batch
+from .selector import BALANCED
+from .tableio import TableIO
+
+DEFAULT_BATCH_ROWS = 32768
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    return uri
+
+
+def list_parquet_files(spark: SparkSession, input_path: str) -> List[str]:
+    """Sorted parquet file list of a path (the unit of direct-encode
+    partitioning; sorted => part ids are deterministic => resume-safe)."""
+    return sorted(_local_path(f)
+                  for f in spark.read.parquet(input_path).inputFiles())
+
+
+def _snapshot_of_files(files: Sequence[str]) -> str:
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+    return h.hexdigest()[:16]
+
+
+def _atomic_write_parquet(table: pa.Table, target: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    tmp = target + ".inprogress"
+    # payloads are already entropy-coded: parquet re-compression is pure
+    # waste (same rationale as TableIO.write_blocks)
+    pq.write_table(table, tmp, compression="none")
+    os.replace(tmp, target)
+
+
+def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
+                        snapshot_id: Optional[str] = None,
+                        mode: str = BALANCED, plan="auto",
+                        files_per_task: int = 1,
+                        batch_rows: int = DEFAULT_BATCH_ROWS,
+                        columns: Optional[List[str]] = None,
+                        run_id: str = "direct",
+                        only_parts: Optional[set] = None) -> dict:
+    """Checkpointed direct encode: parquet files -> blocks table, with the
+    scan, the codec work AND the blocks write all inside the task (zero
+    table bytes over JVM<->Python IPC). One part = `files_per_task` input
+    files; resume skips committed parts exactly like lineage.encode_job.
+
+    Returns {"snapshot_id", "parts_done_before", "parts_encoded",
+    "n_blocks", "n_rows", "bytes_in", "bytes_out"}.
+    """
+    files = list_parquet_files(spark, input_path)
+    if columns is None:
+        first_schema = spark.read.parquet(input_path).schema
+        col_names = [f.name for f in first_schema.fields]
+    else:
+        col_names = list(columns)
+    snap = snapshot_id or _snapshot_of_files(files)
+    if plan == "auto":
+        from .plan import build_plan
+
+        df = spark.read.parquet(input_path)
+        if columns is not None:
+            df = df.select(*columns)
+        plan = build_plan(df, mode=mode)
+    groups = [files[i:i + files_per_task]
+              for i in range(0, len(files), files_per_task)]
+    done = io.committed_parts(snap)
+    pending = [(pid, grp) for pid, grp in enumerate(groups)
+               if pid not in done
+               and (only_parts is None or pid in only_parts)]
+    result = {"snapshot_id": snap, "parts_done_before": len(done),
+              "parts_encoded": 0, "n_blocks": 0, "n_rows": 0,
+              "bytes_in": 0, "bytes_out": 0}
+    if not pending:
+        return result
+    blocks_root = io.blocks_path
+    file_schema = pa.schema(
+        [f for f in arrow_blocks_schema(col_names)
+         if f.name not in ("snapshot_id", "part_id")])
+    meta_schema = pa.schema([
+        pa.field("part_id", pa.int32()), pa.field("n_blocks", pa.int64()),
+        pa.field("n_rows", pa.int64()), pa.field("bytes_in", pa.int64()),
+        pa.field("bytes_out", pa.int64()), pa.field("task_sec", pa.float64())])
+
+    def work(batches):
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for row in b.to_pylist():
+                _t0 = _time.time()
+                pid, paths = int(row["part_id"]), row["paths"]
+                out_batches = []
+                n_rows = bytes_in = bytes_out = 0
+                seq = 0
+                for path in paths:
+                    pf = pq.ParquetFile(path)
+                    for batch in pf.iter_batches(batch_size=batch_rows,
+                                                 columns=columns):
+                        if batch.num_rows == 0:
+                            continue
+                        enc = encode_batch(batch, snap, pid, seq, mode,
+                                           plan=plan)
+                        seq += 1
+                        n_rows += batch.num_rows
+                        meta = enc.column("columns")[0].as_py()
+                        bytes_in += sum(c["bytes_in"] for c in meta)
+                        bytes_out += sum(c["bytes_out"] for c in meta)
+                        out_batches.append(
+                            enc.select([f.name for f in file_schema]))
+                    pf.close()
+                target = os.path.join(
+                    blocks_root, f"snapshot_id={snap}", f"part_id={pid}",
+                    f"direct-{snap}-{pid}.parquet")
+                _atomic_write_parquet(
+                    pa.Table.from_batches(out_batches, schema=file_schema),
+                    target)
+                yield pa.RecordBatch.from_pylist([{
+                    "part_id": pid, "n_blocks": seq, "n_rows": n_rows,
+                    "bytes_in": bytes_in, "bytes_out": bytes_out,
+                    "task_sec": _time.time() - _t0,
+                }], schema=meta_schema)
+
+    rows = [(pid, grp) for pid, grp in pending]
+    # round-robin repartition: exactly-even one-row-per-task placement
+    # (hashing part_id would collide ~37% of groups onto shared tasks)
+    fdf = (spark.createDataFrame(rows, "part_id int, paths array<string>")
+           .repartition(len(rows)))
+    meta = fdf.mapInArrow(
+        work, "part_id int, n_blocks long, n_rows long, bytes_in long, "
+              "bytes_out long, task_sec double").collect()
+    cp = spark.createDataFrame(
+        [(snap, r["part_id"], r["n_blocks"], r["n_rows"], r["bytes_in"],
+          r["bytes_out"], run_id, "committed") for r in meta],
+        "snapshot_id string, part_id int, n_blocks long, n_rows long, "
+        "bytes_in long, bytes_out long, run_id string, status string")
+    io.append_checkpoint(cp)
+    for r in meta:
+        result["parts_encoded"] += 1
+        result["n_blocks"] += r["n_blocks"]
+        result["n_rows"] += r["n_rows"]
+        result["bytes_in"] += r["bytes_in"]
+        result["bytes_out"] += r["bytes_out"]
+    return result
+
+
+def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
+                        columns: Optional[List[str]] = None,
+                        verify: bool = False,
+                        files_per_task: int = 1) -> dict:
+    """Direct decode-to-parquet: each task reads its blocks files with
+    pyarrow, decodes (reusing the engine's make_decode_fn — including
+    verify's canonical-sha256 recomputation), and writes its output
+    parquet file itself. The decoded table bytes never cross JVM<->Python
+    IPC nor the JVM parquet writer — the counterpart of the measured
+    decode floor, where shipping decoded rows back for a count was most
+    of the wall. Output files are one per task (part-<id>.parquet),
+    overwritten idempotently on retry."""
+    from .decode import make_decode_fn
+
+    files = sorted(_local_path(f)
+                   for f in io.read_blocks().inputFiles())
+    groups = [files[i:i + files_per_task]
+              for i in range(0, len(files), files_per_task)]
+    meta_schema = pa.schema([pa.field("part_id", pa.int32()),
+                             pa.field("n_rows", pa.int64())])
+    os.makedirs(output_path, exist_ok=True)
+
+    def work(batches):
+        import pyarrow.parquet as pq
+
+        from .blocks import payload_field, validity_field
+
+        fn = make_decode_fn(verify=verify, columns=columns)
+        for b in batches:
+            for row in b.to_pylist():
+                pid, paths = int(row["part_id"]), row["paths"]
+                out_batches = []
+                n = 0
+                for path in paths:
+                    pf = pq.ParquetFile(path)
+                    read_cols = None
+                    if columns is not None:
+                        # projection reaches the pyarrow scan: unrequested
+                        # columns' payload bytes are never read from disk
+                        have = set(pf.schema_arrow.names)
+                        read_cols = (
+                            [c for c in ("block_id", "seq", "n_rows",
+                                         "columns") if c in have]
+                            + [f for c in columns
+                               for f in (payload_field(c),
+                                         validity_field(c)) if f in have])
+                    for out in fn(pf.iter_batches(columns=read_cols)):
+                        out_batches.append(out)
+                        n += out.num_rows
+                    pf.close()
+                if out_batches:
+                    import pyarrow.parquet as _pq
+
+                    target = os.path.join(output_path,
+                                          f"part-{pid:05d}.parquet")
+                    tmp = target + ".inprogress"
+                    _pq.write_table(
+                        pa.Table.from_batches(out_batches), tmp,
+                        compression="snappy")
+                    os.replace(tmp, target)
+                yield pa.RecordBatch.from_pylist(
+                    [{"part_id": pid, "n_rows": n}], schema=meta_schema)
+
+    rows = list(enumerate(groups))
+    fdf = (spark.createDataFrame(rows, "part_id int, paths array<string>")
+           .repartition(len(rows)))
+    meta = fdf.mapInArrow(work, "part_id int, n_rows long").collect()
+    return {"n_rows": sum(r["n_rows"] for r in meta),
+            "n_parts": len(meta)}

@@ -36,6 +36,12 @@ def main(argv=None) -> None:
     ap.add_argument("--eq", default=None, metavar="COL=VALUE",
                     help="equality predicate: zone/bloom sketches skip "
                          "whole blocks, then the exact filter applies")
+    ap.add_argument("--direct", action="store_true",
+                    help="write-in-UDF direct decode: tasks read blocks "
+                         "files with pyarrow and write the decoded "
+                         "parquet themselves — decoded bytes never cross "
+                         "JVM<->Python IPC. Incompatible with "
+                         "--limit/--offset/--eq")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-decode")
@@ -46,8 +52,22 @@ def main(argv=None) -> None:
 
     from sparkolumnar.engine.decode import decode_blocks
 
-    blocks = spark.read.parquet(args.blocks)
     cols = args.columns.split(",") if args.columns else None
+    if args.direct:
+        if args.limit is not None or args.eq:
+            raise ValueError("--direct does not combine with "
+                             "--limit/--offset/--eq (use the IPC path)")
+        import os
+
+        from sparkolumnar.engine.direct import decode_files_direct
+        from sparkolumnar.engine.tableio import TableIO
+
+        io = TableIO(spark, os.path.dirname(args.blocks.rstrip("/")))
+        res = decode_files_direct(spark, io, args.output, columns=cols,
+                                  verify=args.verify)
+        print(json.dumps({"rows": res["n_rows"]}))
+        return
+    blocks = spark.read.parquet(args.blocks)
     filters = None
     if args.eq:
         col, sep, value = args.eq.partition("=")

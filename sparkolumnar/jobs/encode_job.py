@@ -32,6 +32,12 @@ def main(argv=None) -> None:
                          "hash-shuffling on --key; makes zone-map/bloom "
                          "pruning effective for range/equality decode")
     ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--direct", action="store_true",
+                    help="scan-in-UDF direct encode (storage order, no "
+                         "shuffle): tasks read the parquet files with "
+                         "pyarrow and write blocks files themselves — "
+                         "zero table bytes over JVM<->Python IPC. "
+                         "Incompatible with --key/--cluster-by ordering")
     ap.add_argument("--run-id", default="cli")
     ap.add_argument("--overrides", default=None,
                     help="per-column codec overrides, e.g. 'ts=dod,lang=dict' "
@@ -54,6 +60,18 @@ def main(argv=None) -> None:
     if args.overrides:
         overrides = dict(kv.split("=", 1) for kv in args.overrides.split(","))
     cluster_by = args.cluster_by.split(",") if args.cluster_by else None
+    if args.direct:
+        if cluster_by or overrides:
+            raise ValueError(
+                "--direct is a storage-order encode: it cannot shuffle "
+                "(--cluster-by) and does not take --overrides yet")
+        from sparkolumnar.engine.direct import encode_files_direct
+
+        d = encode_files_direct(spark, args.input, io, mode=args.mode,
+                                run_id=args.run_id)
+        d["ratio"] = (d["bytes_out"] / d["bytes_in"]) if d["bytes_in"] else None
+        print(json.dumps(d))
+        return
     res = encode_job(spark, df, io, key=args.key, mode=args.mode,
                      partitions=args.partitions,
                      sort_within=not args.no_sort, run_id=args.run_id,

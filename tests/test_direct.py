@@ -1,0 +1,135 @@
+"""Direct (scan-in-UDF / write-in-UDF) encode and decode paths: zero table
+bytes over JVM<->Python IPC, same blocks table, same exactly-once
+protocol, bit-identical round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkolumnar.datagen import pages_df
+from sparkolumnar.engine import (decode_blocks, decode_files_direct,
+                                 encode_files_direct)
+from sparkolumnar.engine.tableio import TableIO
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    cache = str(tmp_path_factory.mktemp("pages_direct"))
+    pages_df(spark, N_ROWS, cache_dir=cache)
+    import glob
+    assert len(glob.glob(cache + "/*/*.parquet") + glob.glob(cache + "/*.parquet")) >= 2
+    return cache
+
+
+def _pages_path(pages_dir):
+    import glob
+    import os
+    # pages_df caches under <dir>/<n>; find the parquet dir
+    hits = [p for p in glob.glob(pages_dir + "/*") if os.path.isdir(p)]
+    return hits[0] if hits else pages_dir
+
+
+def test_direct_encode_roundtrip_and_resume(spark, pages_dir, tmp_path):
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "t"))
+    r1 = encode_files_direct(spark, src, io, run_id="r1")
+    assert r1["parts_encoded"] >= 2  # one part per input file
+    assert r1["n_rows"] == N_ROWS
+    assert 0 < r1["bytes_out"] < r1["bytes_in"]
+
+    # the direct-written files form a normal blocks table
+    blocks = io.read_blocks()
+    assert blocks.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+    assert blocks.select("snapshot_id").distinct().count() == 1
+    dec = decode_blocks(blocks, verify=True)
+    raw = spark.read.parquet(src)
+    assert dec.count() == N_ROWS
+    assert dec.select("url", "text").exceptAll(
+        raw.select("url", "text")).count() == 0
+
+    # resume: same snapshot -> nothing re-encoded
+    r2 = encode_files_direct(spark, src, io, run_id="r2")
+    assert r2["parts_done_before"] == r1["parts_encoded"]
+    assert r2["parts_encoded"] == 0
+    assert blocks.count() == io.read_blocks().count()
+
+
+def test_direct_encode_kill_and_resume(spark, pages_dir, tmp_path):
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "tk"))
+    r1 = encode_files_direct(spark, src, io, run_id="r1", only_parts={0})
+    assert r1["parts_encoded"] == 1
+    r2 = encode_files_direct(spark, src, io, run_id="r2")
+    assert r2["parts_done_before"] == 1 and r2["parts_encoded"] >= 1
+    blocks = io.read_blocks()
+    assert blocks.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+    dec = decode_blocks(blocks, verify=True)
+    raw = spark.read.parquet(src)
+    assert dec.select("url", "text").exceptAll(
+        raw.select("url", "text")).count() == 0
+
+
+def test_direct_decode_to_parquet(spark, pages_dir, tmp_path):
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "td"))
+    encode_files_direct(spark, src, io)
+    out = str(tmp_path / "decoded")
+    res = decode_files_direct(spark, io, out, verify=True)
+    assert res["n_rows"] == N_ROWS
+    got = spark.read.parquet(out)
+    raw = spark.read.parquet(src)
+    assert got.count() == N_ROWS
+    assert got.exceptAll(raw).count() == 0
+    # projection variant: only requested columns decoded and written
+    out2 = str(tmp_path / "decoded2")
+    res2 = decode_files_direct(spark, io, out2, columns=["url", "lang"])
+    assert res2["n_rows"] == N_ROWS
+    got2 = spark.read.parquet(out2)
+    assert sorted(got2.columns) == ["lang", "url"]
+    assert got2.exceptAll(raw.select("url", "lang")).count() == 0
+
+
+def test_direct_blocks_interoperate_with_spark_written(spark, pages_dir,
+                                                       tmp_path):
+    """A table where one snapshot was direct-written and another was
+    written by the Spark path reads as one coherent blocks table."""
+    from sparkolumnar.engine import encode_table
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "tmix"))
+    encode_files_direct(spark, src, io, snapshot_id="snapA")
+    raw = spark.read.parquet(src)
+    io.write_blocks(encode_table(raw, snapshot_id="snapB", partitions=2))
+    blocks = io.read_blocks()
+    assert blocks.select("snapshot_id").distinct().count() == 2
+    both = decode_blocks(blocks, verify=True)
+    assert both.count() == 2 * N_ROWS
+    one = decode_blocks(blocks.where(F.col("snapshot_id") == "snapA"),
+                        verify=True)
+    assert one.select("url", "text").exceptAll(
+        raw.select("url", "text")).count() == 0
+
+
+def test_datagen_manifest_prevents_layout_mixing(tmp_path):
+    """Rebuilding the pages fixture with a different n_files must wipe the
+    directory, never mix layouts (a mixed dir silently duplicates rows)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sparkolumnar.datagen import write_pages_parquet
+
+    p = str(tmp_path / "pg")
+    write_pages_parquet(p, 1000, n_files=2)
+    assert len(glob.glob(p + "/*.parquet")) == 2
+    write_pages_parquet(p, 1000, n_files=5)
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) == 5
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 1000
+    # same params: no rebuild (file mtimes preserved)
+    import os
+    before = {f: os.path.getmtime(f) for f in files}
+    write_pages_parquet(p, 1000, n_files=5)
+    assert {f: os.path.getmtime(f) for f in files} == before
