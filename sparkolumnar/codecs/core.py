@@ -89,6 +89,11 @@ def to_int64(arr: pa.Array) -> np.ndarray:
         if np.any(hi != (lo >> np.int64(63))):
             raise CodecError("decimal unscaled value exceeds int64")
         return lo.astype(np.int64, copy=True)
+    if pa.types.is_date32(typ):
+        # pyarrow has no direct date32->int64 cast; hop through int32
+        # (the canonical value is days since epoch either way)
+        arr = arr.cast(pa.int32())
+        typ = arr.type
     if typ != pa.int64():
         arr = arr.cast(pa.int64())
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -103,6 +108,8 @@ def from_int64(vals: np.ndarray, typ: pa.DataType) -> pa.Array:
         return pa.Array.from_buffers(
             typ, len(vals), [None, pa.py_buffer(pairs.tobytes())])
     out = pa.array(vals, type=pa.int64())
+    if pa.types.is_date32(typ):
+        return out.cast(pa.int32()).cast(typ)  # no direct int64->date32
     if typ != pa.int64():
         out = out.cast(typ)
     return out

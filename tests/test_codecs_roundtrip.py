@@ -231,3 +231,30 @@ def test_slices_mask_matches_generic_gather():
         assert got_i.tobytes() == want_i.tobytes()
 
     inner()
+
+
+def test_date32_roundtrip_all_int_codecs():
+    """date32 rides the canonical int64 path via an int32 hop (pyarrow has
+    no direct date32<->int64 cast — a latent break until round 3: the
+    driver tables store timestamps, so no test had ever encoded a real
+    date32 column end-to-end)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from sparkolumnar.codecs import get_codec
+    from sparkolumnar.engine.selector import select_encode
+
+    days = [dt.date(1969, 12, 31), dt.date(1970, 1, 1), dt.date(2020, 2, 29)]
+    arr = pa.array(days * 50 + [dt.date(2000, 1, 1) + dt.timedelta(days=i)
+                                for i in range(100)])
+    for codec in ("plain", "rle", "delta_rle", "for_bitpack", "dod"):
+        try:
+            p = get_codec(codec).encode(arr)
+        except Exception:
+            continue
+        got = get_codec(codec).decode(p, len(arr), arr.type)
+        assert got.to_pylist() == arr.to_pylist(), codec
+    ch = select_encode(arr)
+    got = get_codec(ch.codec).decode(ch.payload, len(arr), arr.type)
+    assert got.to_pylist() == arr.to_pylist()

@@ -118,3 +118,71 @@ def test_filters_unknown_column_never_prunes_blocks(spark, clustered_blocks):
     types = _blocks_arrow_types(blocks)
     kept = _apply_block_filters(blocks, [("nope", "=", "x")], types).count()
     assert kept == blocks.count()
+
+
+def test_filters_date_decimal_float_types(spark):
+    """Canonical zone-bound conversion per type: date32 (days), decimal
+    (unscaled), double (float bounds), plus exact post-filters — results
+    must equal plain decode + filter for every op."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pandas as pd
+
+    rows = []
+    base = dt.date(2020, 1, 1)
+    for i in range(4000):
+        rows.append((i, base + dt.timedelta(days=i % 365),
+                     Decimal(i) / Decimal(100), float(i) * 0.5 - 1000.0))
+    pdf = pd.DataFrame(rows, columns=["k", "d", "dec", "x"])
+    df = spark.createDataFrame(pdf, "k long, d date, dec decimal(12,2), x double")
+    blocks = encode_table(df, cluster_by="k", partitions=2,
+                          snapshot_id="typed")
+    blocks = blocks.cache()
+
+    cases = [
+        ("d", "between", base + dt.timedelta(days=10),
+         base + dt.timedelta(days=40)),
+        ("d", ">=", base + dt.timedelta(days=300)),
+        ("dec", "between", Decimal("1.50"), Decimal("7.25")),
+        ("dec", "<=", Decimal("0.99")),
+        ("x", "between", -10.0, 42.5),
+        ("x", ">", 900.0),
+        ("k", "=", 1234),
+    ]
+    for flt in cases:
+        got = decode_blocks(blocks, filters=[flt])
+        col, op, vals = flt[0], flt[1], list(flt[2:])
+        c = F.col(col)
+        want_pred = {"between": lambda: c.between(*vals),
+                     ">=": lambda: c >= vals[0],
+                     "<=": lambda: c <= vals[0],
+                     ">": lambda: c > vals[0],
+                     "=": lambda: c == vals[0]}[op]()
+        want = decode_blocks(blocks).filter(want_pred)
+        assert got.count() == want.count(), flt
+        assert got.exceptAll(want).count() == 0, flt
+
+
+def test_filters_property_random_int_ranges(spark):
+    """Property: for random int ranges over a clustered table, filters=
+    equals plain decode+filter exactly (pruning is always sound)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    vals = rng.integers(-1000, 1000, 6000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(6000), "v": vals}), "k long, v long")
+    blocks = encode_table(df, cluster_by="v", partitions=2,
+                          snapshot_id="prop").cache()
+    full = {r["k"] for r in decode_blocks(blocks).collect()}
+    assert len(full) == 6000
+    for _ in range(8):
+        lo, hi = sorted(int(x) for x in rng.integers(-1100, 1100, 2))
+        got = {r["k"] for r in
+               decode_blocks(blocks, filters=[("v", "between", lo, hi)])
+               .collect()}
+        want = {int(k) for k, v in zip(np.arange(6000), vals)
+                if lo <= v <= hi}
+        assert got == want, (lo, hi)
