@@ -304,6 +304,22 @@ def _q_bloom_pruned_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("doc_id").alias("min_doc_id"))
 
 
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-3-gram (boilerplate) profile per lang — the
+    repetition quality signal for corpus filtering, integer-exact."""
+    from sparkolumnar.pipeline import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    st = repetition_stats(docs)
+    return (st.groupBy("lang")
+            .agg(F.sum("n_shingles").alias("sum_shingles"),
+                 F.sum("n_repeated").alias("sum_repeated"),
+                 F.sum((F.col("n_repeated") > 0).cast("long"))
+                 .alias("n_docs_with_repeats"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("lang"))
+
+
 def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode end-to-end: per document, synthesize a
     deterministic uncompressed 24-bit BMP whose dimensions and channel
@@ -603,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_limit_preview": _q_decode_limit_preview,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_ops_customers": _q_set_ops_customers,
+        "repetition_profile": _q_repetition_profile,
         "media_decode_stats": _q_media_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
@@ -1029,6 +1046,31 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT k FROM a
                                           UNION SELECT k FROM b)) AS n_any
         """,
+        "repetition_profile": """
+            WITH t AS (
+                SELECT lang, {toks} AS toks FROM documents
+            ), s AS (
+                SELECT lang,
+                       CASE WHEN len(toks) >= 3 THEN
+                                list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' '
+                                         || toks[i+2])
+                            WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+                            ELSE [''] END AS sh
+                FROM t
+            ), c AS (
+                SELECT lang, len(sh) AS n_sh,
+                       len(sh) - len(list_distinct(sh)) AS n_rep
+                FROM s
+            )
+            SELECT lang,
+                   CAST(SUM(n_sh) AS BIGINT) AS sum_shingles,
+                   CAST(SUM(n_rep) AS BIGINT) AS sum_repeated,
+                   CAST(SUM(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_with_repeats,
+                   COUNT(*) AS n_docs
+            FROM c GROUP BY lang ORDER BY lang
+        """.format(toks=_TOKS_SQL),
         "media_decode_stats": """
             SELECT lang,
                    CAST(SUM(4 + doc_id % 13) AS BIGINT) AS sum_width,

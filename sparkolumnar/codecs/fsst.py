@@ -605,7 +605,13 @@ def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
     # no code-position extraction at all (~3x less memory traffic than
     # the generic variable-length gather this replaced).
     ml = sym8.shape[1]
-    mat = sym8[E]
+    if ml == 8:
+        # one uint64 gather per code instead of an 8-byte row gather
+        # (~20% less index traffic; the table view is free)
+        mat = (sym8.view(np.uint64).ravel()[E]
+               .view(np.uint8).reshape(len(E), 8))
+    else:
+        mat = sym8[E]
     if len(literals):
         mat[literals, 0] = E[literals]
     keep = np.arange(ml, dtype=np.int8)[None, :] < out_len[:, None]

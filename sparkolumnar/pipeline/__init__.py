@@ -14,4 +14,5 @@ from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
                          media_embeddings)
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          ivf_build, ivf_query, ivf_topk)
-from .textstats import fingerprint, lang_id, quality_score, token_stats  # noqa: F401
+from .textstats import (fingerprint, lang_id, quality_score,  # noqa: F401
+                        repetition_stats, token_stats)

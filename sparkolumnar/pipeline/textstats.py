@@ -148,3 +148,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return (df.withColumn("fp_md5", F.md5(norm))
             .withColumn("fp64", F.xxhash64(norm)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition/boilerplate signal per document: word-3-gram shingle
+    count vs DISTINCT shingle count (their gap counts repeated 3-grams —
+    the standard duplicate-n-gram quality feature for web-scale corpus
+    filtering). Entirely JVM expressions (tokenize -> shingle transform ->
+    array_distinct), whole-stage codegen, SQL-reproducible bit-for-bit;
+    same shingle construction as the minhash word-gram family
+    (pipeline/dedup.py)."""
+    from .dedup import _TOKS_EXPR
+
+    toks = F.expr(_TOKS_EXPR.format(col=text_col))
+    sh = F.expr(
+        "CASE WHEN size(__toks) >= 3 THEN "
+        "  transform(sequence(0, size(__toks) - 3),"
+        "            i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))"
+        " WHEN size(__toks) >= 1 THEN array(concat_ws(' ', __toks))"
+        " ELSE array('') END")
+    out = (df.withColumn("__toks", toks)
+           .withColumn("__sh", sh)
+           .withColumn("n_shingles", F.size("__sh").cast("long"))
+           .withColumn("n_distinct_shingles",
+                       F.size(F.array_distinct("__sh")).cast("long"))
+           .withColumn("n_repeated",
+                       (F.col("n_shingles")
+                        - F.col("n_distinct_shingles")).cast("long"))
+           .drop("__toks", "__sh"))
+    return out
