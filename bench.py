@@ -67,6 +67,40 @@ def _host_probe() -> float:
     return time.time() - t0
 
 
+# The single-core probe misses degraded MULTI-core phases (vCPU steal /
+# shared-bandwidth contention can leave one thread at full speed while 8+
+# threads crawl — observed: the same bench measured 2.1 s and 5.5 s for
+# one query 20 minutes apart behind a green single-core probe). The
+# parallel probe times 8 concurrent numpy workers (GIL released) and
+# gates on the wall: anchor ~0.40 s in a quiet window on this host.
+_PARALLEL_ANCHOR_SEC = 0.40
+_PROBE_ARRAYS = []
+
+
+def _host_probe_parallel(nthreads: int = 8) -> float:
+    import threading
+
+    import numpy as np
+
+    if not _PROBE_ARRAYS:
+        _PROBE_ARRAYS.extend(
+            np.arange(4_000_000, dtype=np.int64) for _ in range(nthreads))
+
+    def w(a):
+        for _ in range(3):
+            b = np.cumsum(a)
+            idx = (b % 4_000_000).astype(np.int64)
+            a ^= a[idx]
+
+    th = [threading.Thread(target=w, args=(a,)) for a in _PROBE_ARRAYS]
+    t0 = time.time()
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    return time.time() - t0
+
+
 _WAIT_BUDGET = [240.0]  # total seconds of quiet-waiting across the bench
 
 
@@ -74,9 +108,13 @@ def wait_for_quiet_host(max_wait: float = 120.0) -> float:
     t0 = time.time()
     deadline = t0 + min(max_wait, _WAIT_BUDGET[0])
     best = _host_probe()
-    while best > 1.8 * _PROBE_ANCHOR_SEC and time.time() < deadline:
+    best_p = _host_probe_parallel()
+    while ((best > 1.8 * _PROBE_ANCHOR_SEC
+            or best_p > 1.8 * _PARALLEL_ANCHOR_SEC)
+           and time.time() < deadline):
         time.sleep(8)
         best = min(best, _host_probe())
+        best_p = min(best_p, _host_probe_parallel())
     _WAIT_BUDGET[0] = max(0.0, _WAIT_BUDGET[0] - (time.time() - t0))
     return best
 
@@ -194,6 +232,7 @@ def main():
         probe = wait_for_quiet_host()
         timings, extras = run_bench(spark, sf_dir)
         extras["host_probe_sec"] = round(probe, 3)
+        extras["host_probe_par_sec"] = round(_host_probe_parallel(), 3)
         sf = sf_dir.rstrip("/").split("sf")[-1]
         out = {
             "metric": "pages encode+decode wall (text+html GB/s in extras)",
