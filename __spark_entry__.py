@@ -304,6 +304,28 @@ def _q_bloom_pruned_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("doc_id").alias("min_doc_id"))
 
 
+def _q_hyperplane_lsh_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane cosine LSH over the embeddings table —
+    signatures on FLOOR-quantized integer projections so the DuckDB
+    oracle recomputes every bit, band collision pair, and hamming
+    distance exactly."""
+    from sparkolumnar.pipeline import (hyperplane_lsh_signatures,
+                                       hyperplane_neardup_pairs)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = hyperplane_lsh_signatures(emb)
+    pairs = hyperplane_neardup_pairs(emb)
+    a = sigs.agg(F.countDistinct("simhash").alias("n_distinct_sig"),
+                 F.countDistinct("band0").alias("n_band0"))
+    b = pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.coalesce(F.sum("hamming"), F.lit(0)).cast("long")
+        .alias("sum_hamming"),
+        F.coalesce(F.sum((F.col("hamming") <= 4).cast("long")), F.lit(0))
+        .cast("long").alias("n_close_pairs"))
+    return a.crossJoin(b)
+
+
 def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate word-3-gram (boilerplate) profile per lang — the
     repetition quality signal for corpus filtering, integer-exact."""
@@ -620,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_ops_customers": _q_set_ops_customers,
         "repetition_profile": _q_repetition_profile,
+        "hyperplane_lsh_profile": _q_hyperplane_lsh_profile,
         "media_decode_stats": _q_media_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
@@ -806,6 +829,47 @@ def _ivf_recall_oracle_sql(k: int = 5, n_clusters: int = 8,
                ROUND((SELECT COUNT(*) FROM hit) * 1.0
                      / GREATEST((SELECT COUNT(*) FROM exact), 1), 4)
                    AS recall
+    """
+
+
+def _hyperplane_oracle_sql(n_bits: int = 16, dim: int = 64) -> str:
+    """Recomputes hyperplane_lsh_signatures / hyperplane_neardup_pairs
+    bit-for-bit: integer-quantized projections (floor(x * 2^20)) against
+    the same deterministic ±1 pattern, 4-band collision join, hamming
+    via bit_count."""
+    def bit(j):
+        return (f"CASE WHEN list_sum(list_transform(range({dim}), k -> "
+                f"CAST(floor(embedding[k+1] * 1048576) AS BIGINT) * "
+                f"CASE WHEN ({j} * 1009 + k * 613) % 2027 < 1013 "
+                f"THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END")
+
+    packed = " + ".join(f"({bit(j)}) * {1 << j}" for j in range(n_bits))
+    bpb = n_bits // 4
+    mask = (1 << bpb) - 1
+    band_rows = "\n                UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (simhash // {1 << (b * bpb)}) & {mask}"
+        f" AS k, simhash FROM sig" for b in range(4))
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, CAST({packed} AS BIGINT) AS simhash
+            FROM embeddings
+        ), bands AS (
+            {band_rows}
+        ), p AS (
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+                   x.simhash AS sa, y.simhash AS sb
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.k = y.k AND x.vec_id < y.vec_id
+        ), h AS (
+            SELECT a, b, bit_count(xor(sa, sb)) AS hamming FROM p
+        )
+        SELECT (SELECT COUNT(DISTINCT simhash) FROM sig) AS n_distinct_sig,
+               (SELECT COUNT(DISTINCT simhash & {mask}) FROM sig) AS n_band0,
+               COUNT(*) AS n_candidate_pairs,
+               CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming,
+               CAST(COALESCE(SUM(CASE WHEN hamming <= 4 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_close_pairs
+        FROM h
     """
 
 
@@ -1097,4 +1161,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_neardup_oracle_sql(),
         "ivf_recall": _ivf_recall_oracle_sql(),
         "lang_id_distribution": _lang_id_oracle_sql(),
+        "hyperplane_lsh_profile": _hyperplane_oracle_sql(),
     }

@@ -13,6 +13,7 @@ from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
                          encode_bmp, encode_wav, frame_sample, image_stats,
                          media_embeddings)
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
+                         hyperplane_lsh_signatures, hyperplane_neardup_pairs,
                          ivf_build, ivf_query, ivf_topk)
 from .textstats import (fingerprint, lang_id, quality_score,  # noqa: F401
                         repetition_stats, token_stats)

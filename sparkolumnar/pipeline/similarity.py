@@ -309,3 +309,80 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _hyperplane_sign(j: int, k: int) -> int:
+    """Deterministic balanced ±1 pattern (Rademacher-style hyperplanes):
+    pure integer arithmetic so a SQL oracle reproduces it exactly."""
+    return 1 if (j * 1009 + k * 613) % 2027 < 1013 else -1
+
+
+def hyperplane_lsh_signatures(df: DataFrame, emb_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              n_bits: int = 16,
+                              dim: int = 64) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) signatures, the classic
+    cosine LSH: bit j = sign of the projection of the embedding onto a
+    fixed ±1 hyperplane. Projections are computed on FLOOR-quantized
+    integer components (floor(x * 2^20)) with JVM expressions only, so
+    the whole signature is bit-exactly reproducible in SQL — no float
+    summation-order hazard between engines — while preserving the LSH
+    property (quantization error ~1e-6 of the component scale).
+
+    Returns (id, simhash, band0..band3) with 4 bands of n_bits/4 bits:
+    vectors within small angle collide in >=1 band with high probability.
+    Scale shape: pure per-row expressions + the band equi-join, no
+    driver data, no Python workers."""
+    q = F.transform(F.col(emb_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1048576.0))
+                    .cast("long"))
+    df = df.select(F.col(id_col), q.alias("__q"))
+    bit_cols = []
+    for j in range(n_bits):
+        signs = F.array(*[F.lit(_hyperplane_sign(j, k)).cast("long")
+                          for k in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col("__q"), signs, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+                        .cast("long").alias(f"b{j}"))
+    sig = df.select(F.col(id_col), *bit_cols)
+    packed = None
+    for j in range(n_bits):
+        term = F.shiftleft(F.col(f"b{j}"), j)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    out = sig.select(F.col(id_col), packed.alias("simhash"))
+    bits_per_band = n_bits // 4
+    mask = (1 << bits_per_band) - 1
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftright(F.col("simhash"), band * bits_per_band)
+            .bitwiseAND(F.lit(mask)))
+    return out
+
+
+def hyperplane_neardup_pairs(df: DataFrame, emb_col: str = "embedding",
+                             id_col: str = "vec_id", n_bits: int = 16,
+                             dim: int = 64) -> DataFrame:
+    """Candidate near-dup pairs via hyperplane-LSH banding: ids sharing a
+    band value are candidates (a < b, deduped across bands), with the
+    hamming distance of their full signatures attached (integer — exact
+    cross-engine compare). The production post-step is exact cosine on
+    the candidates only (cosine_neardup_pairs shape)."""
+    sigs = hyperplane_lsh_signatures(df, emb_col, id_col, n_bits, dim)
+    pairs = None
+    for band in range(4):
+        left = sigs.select(F.col(id_col).alias("a"),
+                           F.col("simhash").alias("sig_a"),
+                           F.col(f"band{band}").alias("k"))
+        right = sigs.select(F.col(id_col).alias("b"),
+                            F.col("simhash").alias("sig_b"),
+                            F.col(f"band{band}").alias("k"))
+        p = (left.join(right, "k").filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b"))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.dropDuplicates(["a", "b"])
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham.cast("long"))
+            .select("a", "b", "hamming"))

@@ -261,3 +261,33 @@ def test_media_embedding_to_ann_pipeline(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         media_embeddings(df, "img", "k", fake=False).collect()
+
+
+def test_hyperplane_lsh_duplicates_and_noise(spark):
+    """Identical embeddings share all bands (hamming 0); a perturbed copy
+    stays close in hamming; unrelated random vectors are farther on
+    average. Deterministic across runs (fixed integer hyperplanes)."""
+    import numpy as np
+
+    from sparkolumnar.pipeline import (hyperplane_lsh_signatures,
+                                       hyperplane_neardup_pairs)
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.01, size=64)
+    rows = [(0, base.tolist()), (1, base.tolist()), (2, near.tolist())]
+    rows += [(10 + i, rng.normal(size=64).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = {r["vec_id"]: r["simhash"]
+            for r in hyperplane_lsh_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_near <= 2
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in hyperplane_neardup_pairs(df).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs or (2, 0) in pairs  # near-dup collides
+    # determinism
+    sigs2 = {r["vec_id"]: r["simhash"]
+             for r in hyperplane_lsh_signatures(df).collect()}
+    assert sigs == sigs2
