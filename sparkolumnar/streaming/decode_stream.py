@@ -16,18 +16,42 @@ from ..engine.decode import make_decode_fn, schema_of_blocks
 def decode_stream(spark: SparkSession, blocks_path: str,
                   schema: Optional[T.StructType] = None,
                   verify: bool = False,
-                  columns: Optional[List[str]] = None) -> DataFrame:
+                  columns: Optional[List[str]] = None,
+                  filters=None) -> DataFrame:
     """Streaming DataFrame of decoded rows from a blocks directory.
 
     The decoded-output schema must be known up front for a stream; it is
     inferred from the existing blocks (or pass `schema`).
+
+    filters: same predicate list as decode_blocks(filters=) — the
+    zone-map/bloom block pruning is a STATELESS where() on metadata
+    leaves, so it composes with the micro-batch engine unchanged: pruned
+    blocks of every arriving file are dropped before their payloads reach
+    the decode UDF, and the exact row filter applies after. (The
+    partition prepass is a driver-side metadata job and does not apply to
+    a stream.)
     """
     static = spark.read.parquet(blocks_path)
+    out_cols = None
+    if filters and columns is not None:
+        missing = [f[0] for f in filters if f[0] not in columns]
+        if missing:  # filter columns must be decoded; dropped after
+            out_cols = list(columns)
+            columns = list(columns) + missing
     if schema is None:
         schema = schema_of_blocks(static, columns)
     stream = (spark.readStream.schema(static.schema)
               .option("maxFilesPerTrigger", 16)
               .parquet(blocks_path))
+    exact = None
+    if filters:
+        from ..engine.decode import (_apply_block_filters,
+                                     _blocks_arrow_types,
+                                     _exact_filter_expr)
+
+        types = _blocks_arrow_types(static)
+        stream = _apply_block_filters(stream, filters, types)
+        exact = _exact_filter_expr(filters)
     if columns is not None:
         from ..engine.blocks import payload_field, validity_field
 
@@ -38,4 +62,9 @@ def decode_stream(spark: SparkSession, blocks_path: str,
                        for f in (payload_field(c), validity_field(c))
                        if f in have]
         stream = stream.select(*keep)
-    return stream.mapInArrow(make_decode_fn(verify, columns), schema)
+    out = stream.mapInArrow(make_decode_fn(verify, columns), schema)
+    if exact is not None:
+        out = out.where(exact)
+        if out_cols is not None:
+            out = out.select(*out_cols)
+    return out

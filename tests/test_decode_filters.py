@@ -186,3 +186,23 @@ def test_filters_property_random_int_ranges(spark):
         want = {int(k) for k, v in zip(np.arange(6000), vals)
                 if lo <= v <= hi}
         assert got == want, (lo, hi)
+
+
+def test_filters_with_nulls(spark):
+    """Nullable column: zone bounds cover only non-null values; pruning
+    must stay sound and the exact filter must apply SQL null semantics
+    (nulls never match)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": range(5000),
+        "v": [None if i % 7 == 0 else i for i in range(5000)],
+    })
+    df = spark.createDataFrame(pdf, "k long, v long")
+    blocks = encode_table(df, cluster_by="k", partitions=2,
+                          snapshot_id="nulls").cache()
+    got = decode_blocks(blocks, filters=[("v", "between", 100, 200)])
+    want = decode_blocks(blocks).filter(F.col("v").between(100, 200))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert got.filter(F.col("v").isNull()).count() == 0

@@ -177,3 +177,32 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     # no window for the 09:00 straggler, none (yet) for 11:00
     hours = {r["window_start"].hour for r in out.collect()}
     assert hours == {10}, hours
+
+
+def test_streaming_decode_with_filters(spark, tmp_path):
+    """decode_stream(filters=): zone/bloom pruning + exact filtering under
+    the micro-batch engine — streamed matching rows equal the batch
+    decode_blocks(filters=) result, and the filter column is dropped from
+    a projection that did not ask for it."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import decode_blocks
+    from sparkolumnar.streaming import decode_stream
+
+    pages = pages_df(spark, 3000, cache_dir=str(tmp_path / "pgf"))
+    io = TableIO(spark, str(tmp_path / "sinkf"))
+    io.write_blocks(encode_table(pages, cluster_by=["lang", "url"],
+                                 partitions=4, snapshot_id="sf"))
+    out = decode_stream(spark, io.blocks_path, columns=["url"],
+                        filters=[("lang", "=", "en")])
+    q = (out.writeStream.format("memory").queryName("dec_filtered")
+         .option("checkpointLocation", str(tmp_path / "ckf"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dec_filtered").collect()
+    assert rows and set(rows[0].asDict()) == {"url"}
+    want = decode_blocks(io.read_blocks(),
+                         filters=[("lang", "=", "en")]).select("url")
+    assert len(rows) == want.count()
+    assert {r["url"] for r in rows} == {r["url"] for r in want.collect()}
