@@ -199,19 +199,21 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     docs_plan = build_plan(docs)
     clock("documents_encode",
           lambda: encode_table(docs, key="doc_id", snapshot_id="bench_docs",
-                               sort_within=True, plan=docs_plan)
+                               sort_within=True, plan=docs_plan,
+                               partitions=ncpu)
           .select(F.sum(F.col("n_rows"))).collect(), repeats=2)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev_plan = build_plan(events)
     clock("events_encode",
-          lambda: encode_table(events, snapshot_id="bench_ev", plan=ev_plan)
+          lambda: encode_table(events, snapshot_id="bench_ev", plan=ev_plan,
+                               partitions=ncpu)
           .select(F.sum(F.col("n_rows"))).collect(), repeats=2)
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     clock("lineitem_encode",
           lambda: encode_table(lineitem.select(
               "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
               "l_returnflag", "l_linestatus", "l_shipdate"),
-              snapshot_id="bench_li")
+              snapshot_id="bench_li", partitions=ncpu)
           .select(F.sum(F.col("n_rows"))).collect(), repeats=2)
 
     return timings, extras
