@@ -41,7 +41,7 @@ from typing import List, Optional, Sequence
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from .blocks import arrow_blocks_schema
 from .encode import encode_batch
