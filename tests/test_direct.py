@@ -133,3 +133,32 @@ def test_datagen_manifest_prevents_layout_mixing(tmp_path):
     before = {f: os.path.getmtime(f) for f in files}
     write_pages_parquet(p, 1000, n_files=5)
     assert {f: os.path.getmtime(f) for f in files} == before
+
+
+def test_direct_encoded_blocks_support_filters_pruning(spark, pages_dir,
+                                                       tmp_path):
+    """Direct-written blocks carry the same zone/bloom sketches, so
+    decode_blocks(filters=) prunes them too — including the partition
+    prepass over the direct-written snapshot_id=/part_id= directories
+    (the fixture's storage order IS warc_ts order, so file-per-part
+    encoding yields disjoint time ranges per partition)."""
+    import datetime as dt
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "tf"))
+    encode_files_direct(spark, src, io)
+    blocks = io.read_blocks()
+    raw = spark.read.parquet(src)
+    b = raw.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+    hi = b["lo"] + (b["hi"] - b["lo"]) / 10
+    got = decode_blocks(blocks, filters=[("warc_ts", "between", b["lo"], hi)])
+    want = raw.filter(F.col("warc_ts").between(b["lo"], hi))
+    assert got.count() == want.count() > 0
+    assert got.select("url").exceptAll(want.select("url")).count() == 0
+    # pruning actually happened at the block level
+    from sparkolumnar.engine.decode import (_apply_block_filters,
+                                            _blocks_arrow_types)
+    types = _blocks_arrow_types(blocks)
+    surviving = _apply_block_filters(
+        blocks, [("warc_ts", "between", b["lo"], hi)], types).count()
+    assert surviving < blocks.count()
