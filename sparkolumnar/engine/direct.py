@@ -78,7 +78,11 @@ def _atomic_write_parquet(table: pa.Table, target: str) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(target), exist_ok=True)
-    tmp = target + ".inprogress"
+    # dot-prefixed temp name: Spark/pyarrow dataset readers IGNORE hidden
+    # files, so a task that dies mid-write can never leave a half-written
+    # file that a later scan would try to parse (a plain suffix would)
+    tmp = os.path.join(os.path.dirname(target),
+                       "." + os.path.basename(target) + ".inprogress")
     # payloads are already entropy-coded: parquet re-compression is pure
     # waste (same rationale as TableIO.write_blocks)
     pq.write_table(table, tmp, compression="none")
@@ -253,7 +257,9 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
 
                     target = os.path.join(output_path,
                                           f"part-{pid:05d}.parquet")
-                    tmp = target + ".inprogress"
+                    tmp = os.path.join(
+                        output_path,
+                        f".part-{pid:05d}.parquet.inprogress")
                     _pq.write_table(
                         pa.Table.from_batches(out_batches), tmp,
                         compression="snappy")
@@ -267,3 +273,97 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     meta = fdf.mapInArrow(work, "part_id int, n_rows long").collect()
     return {"n_rows": sum(r["n_rows"] for r in meta),
             "n_parts": len(meta)}
+
+
+def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
+                              partitions: Optional[int] = None,
+                              sort_within: bool = False,
+                              snapshot_id: str = "", mode: str = BALANCED,
+                              plan=None, overrides=None, cluster_by=None,
+                              skip_parts=None,
+                              sketches: Optional[bool] = None):
+    """HYBRID encode: the Spark plan still owns the layout (salted-hash
+    shuffle / deterministic range clustering — row transport that a
+    scan-in-UDF path cannot do), but each task WRITES its partition's
+    blocks file itself and returns only metadata rows. Compared to
+    encode_table + io.write_blocks this removes the IPC-out leg (the
+    encoded payloads never travel back to the JVM) and the JVM parquet
+    writer — roughly half the remaining serialization of the
+    write-inclusive encode job (see BENCH/BASELINE.md "IPC floor").
+
+    Exactly-once matches TableIO's dynamic partition overwrite: the
+    output file name is a pure function of (snapshot_id, partitionId),
+    the write is temp+atomic-rename, and any stale files of the same
+    partition directory (artifacts of a crashed, never-checkpointed
+    attempt) are removed before the rename.
+
+    Returns a driver-small metadata DataFrame
+    (part_id, n_blocks, n_rows, bytes_in, bytes_out); call .collect()
+    (or aggregate) to run the job. The blocks land in io.blocks_path and
+    read back through io.read_blocks() like any other snapshot.
+    """
+    import pyarrow.parquet  # noqa: F401  (fail fast on driver if missing)
+
+    from pyspark import TaskContext
+
+    from .encode import layout_for_encode, make_encode_fn
+    from .selector import FAST
+
+    if sketches is None:
+        sketches = mode != FAST
+    df = layout_for_encode(df, key=key, partitions=partitions,
+                           sort_within=sort_within, cluster_by=cluster_by)
+    col_names = [f.name for f in df.schema.fields]
+    file_schema = pa.schema(
+        [f for f in arrow_blocks_schema(col_names)
+         if f.name not in ("snapshot_id", "part_id")])
+    file_names = [f.name for f in file_schema]
+    blocks_root = io.blocks_path
+    snap = snapshot_id
+    inner = make_encode_fn(snap, mode, skip_parts, plan, overrides, sketches)
+
+    def work(batches):
+        import pyarrow.parquet as pq
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        part_dir = os.path.join(blocks_root, f"snapshot_id={snap}",
+                                f"part_id={pid}")
+        target = os.path.join(part_dir, f"direct-{snap}-{pid}.parquet")
+        tmp = os.path.join(part_dir, f".direct-{snap}-{pid}.inprogress")
+        writer = None
+        n_blocks = n_rows = bytes_in = bytes_out = 0
+        for enc in inner(batches):
+            if writer is None:
+                os.makedirs(part_dir, exist_ok=True)
+                writer = pq.ParquetWriter(tmp, file_schema,
+                                          compression="none")
+            writer.write_table(
+                pa.Table.from_batches([enc.select(file_names)]))
+            n_blocks += 1
+            n_rows += enc.column("n_rows")[0].as_py()
+            meta = enc.column("columns")[0].as_py()
+            bytes_in += sum(c["bytes_in"] for c in meta)
+            bytes_out += sum(c["bytes_out"] for c in meta)
+        if writer is not None:
+            writer.close()
+            # dynamic-overwrite semantics: clear stale files of THIS
+            # partition (only a crashed, never-checkpointed attempt can
+            # have left any), then publish atomically
+            for f in os.listdir(part_dir):
+                if f != os.path.basename(tmp) and not f.startswith("."):
+                    os.unlink(os.path.join(part_dir, f))
+            os.replace(tmp, target)
+            yield pa.RecordBatch.from_pylist([{
+                "part_id": pid, "n_blocks": n_blocks, "n_rows": n_rows,
+                "bytes_in": bytes_in, "bytes_out": bytes_out,
+            }], schema=pa.schema([
+                pa.field("part_id", pa.int32()),
+                pa.field("n_blocks", pa.int64()),
+                pa.field("n_rows", pa.int64()),
+                pa.field("bytes_in", pa.int64()),
+                pa.field("bytes_out", pa.int64())]))
+
+    return df.mapInArrow(
+        work, "part_id int, n_blocks long, n_rows long, bytes_in long, "
+              "bytes_out long")

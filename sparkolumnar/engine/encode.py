@@ -264,6 +264,22 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     """
     if sketches is None:
         sketches = mode != FAST
+    df = layout_for_encode(df, key=key, partitions=partitions,
+                           sort_within=sort_within, salt=salt,
+                           cluster_by=cluster_by)
+    return df.mapInArrow(
+        make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides,
+                       sketches),
+        blocks_schema([f.name for f in df.schema.fields]))
+
+
+def layout_for_encode(df: DataFrame, key: Optional[str] = None,
+                      partitions: Optional[int] = None,
+                      sort_within: bool = False, salt: int = DEFAULT_SALT,
+                      cluster_by=None) -> DataFrame:
+    """The physical layout step shared by every encode entry point:
+    salted-hash shuffle (key=), deterministic range clustering
+    (cluster_by=), or plain repartition."""
     if cluster_by is not None:
         if key is not None:
             raise ValueError("cluster_by= and key= are mutually exclusive")
@@ -285,7 +301,4 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
             df = df.sortWithinPartitions(key)
     elif partitions:
         df = df.repartition(partitions)
-    return df.mapInArrow(
-        make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides,
-                       sketches),
-        blocks_schema([f.name for f in df.schema.fields]))
+    return df

@@ -162,3 +162,29 @@ def test_direct_encoded_blocks_support_filters_pruning(spark, pages_dir,
     surviving = _apply_block_filters(
         blocks, [("warc_ts", "between", b["lo"], hi)], types).count()
     assert surviving < blocks.count()
+
+
+def test_hybrid_direct_write_encode(spark, pages_dir, tmp_path):
+    """encode_table_direct_write: Spark layout (url-hash shuffle + sort),
+    task-side blocks write — table must round-trip bit-identically and
+    read back as a normal blocks table."""
+    from sparkolumnar.engine.direct import encode_table_direct_write
+
+    src = _pages_path(pages_dir)
+    raw = spark.read.parquet(src)
+    io = TableIO(spark, str(tmp_path / "th"))
+    meta = encode_table_direct_write(raw, io, key="url", partitions=4,
+                                     sort_within=True,
+                                     snapshot_id="hyb").collect()
+    assert len(meta) == 4
+    assert sum(r["n_rows"] for r in meta) == N_ROWS
+    assert sum(r["bytes_out"] for r in meta) < sum(r["bytes_in"] for r in meta)
+    blocks = io.read_blocks()
+    assert blocks.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+    dec = decode_blocks(blocks, verify=True)
+    assert dec.select("url", "text").exceptAll(
+        raw.select("url", "text")).count() == 0
+    # re-running the same snapshot overwrites idempotently (no dupes)
+    encode_table_direct_write(raw, io, key="url", partitions=4,
+                              sort_within=True, snapshot_id="hyb").collect()
+    assert io.read_blocks().agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
