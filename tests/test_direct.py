@@ -188,3 +188,35 @@ def test_hybrid_direct_write_encode(spark, pages_dir, tmp_path):
     encode_table_direct_write(raw, io, key="url", partitions=4,
                               sort_within=True, snapshot_id="hyb").collect()
     assert io.read_blocks().agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+
+
+def test_inprogress_leftovers_are_invisible_and_cleaned(spark, pages_dir,
+                                                        tmp_path):
+    """A task killed mid-write leaves only a dot-prefixed temp file:
+    scans must ignore it, and a successful re-run of the same partition
+    must clean stale artifacts (dynamic-overwrite semantics)."""
+    import os
+
+    from sparkolumnar.engine.direct import encode_table_direct_write
+
+    src = _pages_path(pages_dir)
+    raw = spark.read.parquet(src)
+    io = TableIO(spark, str(tmp_path / "tc2"))
+    encode_table_direct_write(raw, io, key="url", partitions=2,
+                              snapshot_id="cc").collect()
+    part_dir = os.path.join(io.blocks_path, "snapshot_id=cc", "part_id=0")
+    # simulate a crashed attempt: a half-written temp + a stale visible file
+    with open(os.path.join(part_dir, ".direct-cc-0.inprogress"), "wb") as f:
+        f.write(b"garbage not parquet")
+    stale = os.path.join(part_dir, "stale-old-attempt.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"")  # zero-byte parquet would break a scan if read
+    # the dot-file is invisible; the stale empty .parquet WOULD break the
+    # scan - a re-run of the snapshot must remove it
+    encode_table_direct_write(raw, io, key="url", partitions=2,
+                              snapshot_id="cc").collect()
+    assert not os.path.exists(stale)
+    blocks = io.read_blocks()
+    assert blocks.agg(F.sum("n_rows")).collect()[0][0] == N_ROWS
+    dec = decode_blocks(blocks, verify=True)
+    assert dec.count() == N_ROWS
