@@ -304,6 +304,73 @@ def _q_bloom_pruned_lang_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("doc_id").alias("min_doc_id"))
 
 
+def _q_lang_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list pruning end-to-end: documents range-clustered on
+    (lang, doc_id), then decode_blocks(filters=[("lang", "in", [...])])
+    — each listed value is probed against the per-block bloom sketches
+    and prefix zone bounds, surviving blocks unioned, before any payload
+    decode; the exact isin filter applies internally. Oracle = the raw
+    IN aggregate."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    blocks = encode_table(docs, cluster_by=["lang", "doc_id"], partitions=4,
+                          snapshot_id="inq")
+    dec = decode_blocks(blocks, filters=[("lang", "in", ["de", "fr"])])
+    return (dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("lang"))
+
+
+def _q_source_range_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-prefix zone maps + OR-of-conjunctions end-to-end:
+    documents range-clustered on source (a string key, like url at
+    production scale), queried with
+    (source BETWEEN 'src2' AND 'src39~') OR (lang = 'zh' AND
+    n_chars > 600) — the first branch prunes on the truncated-prefix
+    min/max bounds, the second on bloom + int zone maps, and a block
+    survives if EITHER branch admits it. Oracle = the same disjunction
+    on the raw table."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang",
+                                                 "n_chars")
+    blocks = encode_table(docs, cluster_by=["source", "doc_id"],
+                          partitions=4, snapshot_id="strq")
+    dec = decode_blocks(blocks, filters=[
+        [("source", "between", "src2", "src39~")],
+        [("lang", "=", "zh"), ("n_chars", ">", 600)],
+    ])
+    return dec.select(F.count("*").alias("n_docs"),
+                      F.countDistinct("source").alias("n_sources"),
+                      F.sum("n_chars").alias("sum_chars"),
+                      F.min("doc_id").alias("min_doc_id"),
+                      F.max("doc_id").alias("max_doc_id"))
+
+
+def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: banded md5 word-gram minhash candidate
+    pairs (the bit-exactly-oracled minhash_wordgram_neardup_pairs)
+    resolved into connected components by iterative min-label
+    propagation, with min-id survivor selection — (doc_id, group_id,
+    keep) for every document, singletons included. The DuckDB oracle
+    recomputes the pairs AND the components (recursive CTE reachability,
+    group_id = min reachable id)."""
+    from sparkolumnar.pipeline import (dedup_groups,
+                                       minhash_wordgram_neardup_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_wordgram_neardup_pairs(docs, "text", "doc_id",
+                                           n_hashes=8, bands=4)
+    out = dedup_groups(pairs.select("a", "b"), docs.select("doc_id"),
+                       id_col="doc_id")
+    return (out.select("doc_id", "group_id",
+                       F.col("keep").cast("long").alias("keep"))
+            .orderBy("doc_id"))
+
+
 def _q_hyperplane_lsh_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane cosine LSH over the embeddings table —
     signatures on FLOOR-quantized integer projections so the DuckDB
@@ -371,6 +438,51 @@ def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in range(3):
                     img[:, :, c] = (s + c) % 251
                 media.append(encode_bmp(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "lang": pdf["lang"].values,
+                                "media": media})
+
+    withm = docs.mapInPandas(synth, "doc_id long, lang string, media binary")
+    st = image_stats(withm, "media")
+    return (st.groupBy("lang")
+            .agg(F.sum(F.col("width").cast("long")).alias("sum_width"),
+                 F.sum(F.col("height").cast("long")).alias("sum_height"),
+                 F.sum("px_sum").alias("sum_px"),
+                 F.count("*").alias("n_imgs"))
+            .orderBy("lang"))
+
+
+def _q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: per document, synthesize
+    a deterministic 8-bit PNG (RGB or RGBA by doc_id parity, scanline
+    filter type cycling through None/Sub/Up/Average/Paeth by row), run
+    it through the pure-zlib+numpy PNG parser (decode_png: CRC-checked
+    chunk walk, inflate, per-filter unfiltering) inside image_stats, and
+    aggregate the DECODED properties per lang. Pixel values are pure
+    functions of (doc_id, y, x, channel), so the oracle recomputes the
+    decoded sums arithmetically — any unfilter/inflate/chunk defect
+    breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.pipeline import image_stats
+    from sparkolumnar.pipeline.multimodal import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                w = 4 + s % 13
+                h = 3 + (s * 7) % 11
+                ch = 3 + s % 2
+                y, x, c = np.ogrid[:h, :w, :ch]
+                img = ((s * 3 + y * 7 + x * 11 + c * 5) % 256
+                       ).astype(np.uint8)
+                filters = [(s + yy) % 5 for yy in range(h)]
+                media.append(encode_png(img, row_filters=filters))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                 "lang": pdf["lang"].values,
                                 "media": media})
@@ -644,9 +756,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "hyperplane_lsh_profile": _q_hyperplane_lsh_profile,
         "media_decode_stats": _q_media_decode_stats,
+        "png_decode_stats": _q_png_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
+        "lang_in_filter": _q_lang_in_filter,
+        "source_range_or_filter": _q_source_range_or_filter,
+        "neardup_groups": _q_neardup_groups,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -772,6 +888,43 @@ def _minhash_neardup_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS n_ge_half
         FROM scored
+    """
+
+
+def _neardup_groups_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """Recomputes _q_neardup_groups: the banded md5 word-gram candidate
+    pairs (same CTE chain as the minhash_neardup oracle), then connected
+    components via recursive-CTE reachability — walk(id, r) enumerates
+    every node r reachable from id over the undirected pair edges, and
+    group_id = MIN(r), which equals the component minimum the Spark
+    min-label propagation converges to. keep = (group_id == id), the
+    min-id survivor rule."""
+    rows = n_hashes // bands
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {ks} FROM m".format(
+            b=b, ks=", ".join(
+                f"h{b * rows + r} AS k{r}" for r in range(rows)))
+        for b in range(bands))
+    on = " AND ".join(f"x.k{r} = y.k{r}" for r in range(rows))
+    return f"""
+        WITH RECURSIVE {_minhash_sig_cte(n_hashes)},
+        bands AS (
+            {band_rows}
+        ), p AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND {on} AND x.doc_id < y.doc_id
+        ), ed AS (
+            SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+        ), walk(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.id, ed.b FROM walk w JOIN ed ON ed.a = w.r
+        )
+        SELECT id AS doc_id, MIN(r) AS group_id,
+               CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM walk GROUP BY id ORDER BY doc_id
     """
 
 
@@ -1088,6 +1241,24 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS min_doc_id
             FROM documents WHERE lang = 'de'
         """,
+        "lang_in_filter": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM documents WHERE lang IN ('de', 'fr')
+            GROUP BY lang ORDER BY lang
+        """,
+        "source_range_or_filter": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id
+            FROM documents
+            WHERE (source BETWEEN 'src2' AND 'src39~')
+               OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "neardup_groups": _neardup_groups_oracle_sql(),
         "zone_pruned_ts_range": """
             SELECT COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users,
@@ -1144,6 +1315,30 @@ def oracle_sql() -> dict[str, str]:
                              + ((doc_id + 2) % 251))) AS BIGINT) AS sum_px,
                    COUNT(*) AS n_imgs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "png_decode_stats": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       4 + doc_id % 13 AS w,
+                       3 + (doc_id * 7) % 11 AS h,
+                       3 + doc_id % 2 AS ch
+                FROM documents
+            ), px AS (
+                SELECT d.doc_id, d.lang, d.w, d.h,
+                       SUM((d.doc_id * 3 + y.y * 7 + x.x * 11 + c.c * 5)
+                           % 256) AS s
+                FROM d
+                JOIN (SELECT unnest(range(13)) AS y) y ON y.y < d.h
+                JOIN (SELECT unnest(range(16)) AS x) x ON x.x < d.w
+                JOIN (SELECT unnest(range(4)) AS c) c ON c.c < d.ch
+                GROUP BY d.doc_id, d.lang, d.w, d.h
+            )
+            SELECT lang,
+                   CAST(SUM(w) AS BIGINT) AS sum_width,
+                   CAST(SUM(h) AS BIGINT) AS sum_height,
+                   CAST(SUM(s) AS BIGINT) AS sum_px,
+                   COUNT(*) AS n_imgs
+            FROM px GROUP BY lang ORDER BY lang
         """,
         "audio_decode_stats": """
             SELECT COUNT(*) AS n_clips,

@@ -49,6 +49,14 @@ _META_FIELDS = T.StructType([
     # string/binary column's distinct values (built when the block has
     # <= _BLOOM_MAX_DISTINCT of them) — equality predicates skip blocks
     T.StructField("bloom", T.ArrayType(T.LongType()), True),
+    # string/binary zone map (nullable): truncated-prefix bounds.
+    # min_bin <= every value (plain prefix truncation is a lower bound);
+    # max_bin >= every value (the max's prefix is INCREMENTED when
+    # truncated, so it stays an upper bound — parquet's column-index
+    # truncation rule). Range predicates on url-like keys prune on these;
+    # max_bin alone may be null when the increment overflows (all-0xff).
+    T.StructField("min_bin", T.BinaryType(), True),
+    T.StructField("max_bin", T.BinaryType(), True),
 ])
 
 _ARROW_META = pa.list_(pa.struct([
@@ -64,6 +72,8 @@ _ARROW_META = pa.list_(pa.struct([
     pa.field("min_f64", pa.float64()),
     pa.field("max_f64", pa.float64()),
     pa.field("bloom", pa.list_(pa.int64())),
+    pa.field("min_bin", pa.binary()),
+    pa.field("max_bin", pa.binary()),
 ]))
 
 
@@ -209,6 +219,38 @@ def bloom_of_values(values) -> Optional[list]:
             words[pos // 64] |= 1 << (pos % 64)
     # reinterpret as signed int64 for the LongType metadata field
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+# --- string/binary prefix zone bounds ----------------------------------------
+
+# 32 bytes: urls share long scheme+host prefixes ("https://host.example/
+# p/…"), so a 16-byte cut would leave every same-host url with identical
+# bounds and zero range pruning; 32 reaches into the path for realistic
+# hosts (parquet's column-index truncation default is 64). Cost: <=64 B
+# per (block, column) of metadata.
+_ZONE_PREFIX_BYTES = 32
+
+
+def prefix_lower(b: bytes, k: int = _ZONE_PREFIX_BYTES) -> bytes:
+    """Truncated lower bound: a prefix compares <= the full value in
+    bytewise (unsigned) order — which for utf-8 matches the string's
+    code-point order, and matches Spark's BinaryType comparison."""
+    return b[:k]
+
+
+def prefix_upper(b: bytes, k: int = _ZONE_PREFIX_BYTES):
+    """Truncated UPPER bound: when the value is cut, increment the last
+    non-0xff prefix byte (dropping the tail) so the result compares >=
+    the full value. Returns None when no such bound exists (prefix is
+    all 0xff) — that side of the zone map is then unbounded."""
+    if len(b) <= k:
+        return b
+    p = bytearray(b[:k])
+    for i in range(len(p) - 1, -1, -1):
+        if p[i] != 0xFF:
+            p[i] += 1
+            return bytes(p[: i + 1])
+    return None
 
 
 # --- canonical input checksums ----------------------------------------------

@@ -165,19 +165,57 @@ def _prefix_budgets(blocks_df: DataFrame, limit: int,
                     offset: int = 0) -> dict:
     """Per-block (skip, take) row windows covering rows
     [offset, offset + limit) in (part_id, seq) order, keyed by the unique
-    (snapshot_id, part_id, seq) coordinates. Metadata-only: the driver
-    scan reads snapshot_id/part_id/seq/n_rows (payload columns pruned
-    away by the wide layout) and toLocalIterator stops pulling partitions
-    once the window is covered."""
+    (snapshot_id, part_id, seq) coordinates.
+
+    Distributed two-level scheme — the driver never walks per-block
+    metadata outside the window (a toLocalIterator over every block
+    preceding a large offset would make the driver the bottleneck at
+    ~10^8 blocks):
+
+      1. one metadata-only job aggregates row counts per
+         (snapshot_id, part_id) — driver rows ∝ physical partitions,
+         not blocks (payload columns pruned away by the wide layout);
+      2. the driver prefix-sums the sorted partition counts to find the
+         contiguous partition range overlapping the row window;
+      3. a second job, bounded to exactly that partition range by a
+         constant-size pushed predicate, fetches only the window
+         partitions' block coordinates for the exact per-block split.
+    """
     from pyspark.sql import functions as F
 
-    it = (blocks_df.select("snapshot_id", "part_id", "seq", "n_rows")
-          .orderBy(F.asc("snapshot_id"), F.asc("part_id"), F.asc("seq"))
-          .toLocalIterator())
+    per_part = (blocks_df.groupBy("snapshot_id", "part_id")
+                .agg(F.sum("n_rows").alias("rows")).collect())
+    per_part.sort(key=lambda r: (r["snapshot_id"], int(r["part_id"])))
+    needed = []
+    rows_before = 0  # rows in partitions preceding the first needed one
+    cum = 0
+    for r in per_part:
+        n = int(r["rows"])
+        if cum + n <= offset:
+            cum += n
+            rows_before = cum
+            continue
+        needed.append((r["snapshot_id"], int(r["part_id"])))
+        cum += n
+        if cum >= offset + limit:
+            break
+    if not needed:
+        return {}
+    # the needed partitions are CONTIGUOUS in (snapshot_id, part_id)
+    # order, so a lexicographic range predicate selects them exactly,
+    # stays constant-size, and pushes down to the metadata scan
+    s, p = F.col("snapshot_id"), F.col("part_id")
+    (s0, p0), (s1, p1) = needed[0], needed[-1]
+    ge = (s > s0) | ((s == s0) & (p >= p0))
+    le = (s < s1) | ((s == s1) & (p <= p1))
+    blk = (blocks_df.where(ge & le)
+           .select("snapshot_id", "part_id", "seq", "n_rows").collect())
+    blk.sort(key=lambda r: (r["snapshot_id"], int(r["part_id"]),
+                            int(r["seq"])))
     budgets: dict = {}
-    to_skip = offset
+    to_skip = offset - rows_before
     left = limit
-    for r in it:
+    for r in blk:
         nb = int(r["n_rows"])
         if to_skip >= nb:
             to_skip -= nb
@@ -214,6 +252,89 @@ def _budget_range_pred(lo: tuple, hi: tuple):
     return ge(lo) & le(hi)
 
 
+def _col_cond(column: str, per_elem):
+    """Block-keep condition: the metadata element for `column` satisfies
+    per_elem(c). A column unknown to a block's metadata never prunes it
+    (a typo'd name must not silently drop every block)."""
+    from pyspark.sql import functions as F
+
+    has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
+    ok = F.exists(
+        F.col("columns"),
+        lambda c: (c["name"] == F.lit(column)) & per_elem(c))
+    return ~has | ok
+
+
+def _range_elem(lo, hi, use_float: bool):
+    """Per-element keep condition: the block's numeric zone map overlaps
+    [lo, hi] (or carries no bounds — pruning is only ever sound)."""
+    from pyspark.sql import functions as F
+
+    mn, mx = ("min_f64", "max_f64") if use_float else ("min_i64", "max_i64")
+
+    def g(c):
+        cond = None
+        if lo is not None:
+            cond = c[mx] >= F.lit(lo)
+        if hi is not None:
+            upper = c[mn] <= F.lit(hi)
+            cond = upper if cond is None else (cond & upper)
+        if cond is None:
+            return F.lit(True)
+        return c[mn].isNull() | cond
+
+    return g
+
+
+def _str_range_elem(lo, hi):
+    """Per-element keep condition for string/binary RANGE predicates over
+    the truncated-prefix bounds (min_bin <= values <= max_bin, see
+    blocks.prefix_lower/prefix_upper). Spark's BinaryType comparison is
+    unsigned lexicographic — the same order as the raw utf-8 bytes and as
+    the string's code points, so `url >= lo` prunes correctly. Each side
+    degrades independently when its bound is null (old table, or the
+    upper-bound increment overflowed)."""
+    from pyspark.sql import functions as F
+
+    def g(c):
+        conds = []
+        if hi is not None:
+            # prune when min_bin > hi: min_bin <= true min, so true min > hi
+            conds.append(c["min_bin"].isNull() | (c["min_bin"] <= F.lit(hi)))
+        if lo is not None:
+            # prune when max_bin < lo: max_bin >= true max, so true max < lo
+            conds.append(c["max_bin"].isNull() | (c["max_bin"] >= F.lit(lo)))
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for e in conds[1:]:
+            out = out & e
+        return out
+
+    return g
+
+
+def _bloom_elem(value: bytes):
+    """Per-element keep condition: the block's bloom sketch may contain
+    `value` (all of its bit positions set), or the block has no bloom.
+    Bit tests are plain JVM shift/and expressions over the metadata."""
+    from pyspark.sql import functions as F
+
+    from .blocks import bloom_positions
+
+    positions = bloom_positions(value)
+
+    def g(c):
+        bits = None
+        for pos in positions:
+            bit = (F.shiftright(c["bloom"][pos // 64], pos % 64)
+                   .bitwiseAND(F.lit(1)) == 1)
+            bits = bit if bits is None else (bits & bit)
+        return c["bloom"].isNull() | bits
+
+    return g
+
+
 def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     """Block-level predicate pushdown via zone maps: keep only blocks
     whose per-block min/max for `column` overlaps [lo, hi]. Integer-like
@@ -226,60 +347,22 @@ def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     the decoded output (or use decode_blocks(filters=) which does both).
 
     lo=None / hi=None leave that side unbounded (one-sided predicates)."""
-    from pyspark.sql import functions as F
-
     use_float = isinstance(lo, float) or isinstance(hi, float)
-    mn, mx = ("min_f64", "max_f64") if use_float else ("min_i64", "max_i64")
-
-    def overlaps(c):
-        cond = None
-        if lo is not None:
-            cond = c[mx] >= F.lit(lo)
-        if hi is not None:
-            upper = c[mn] <= F.lit(hi)
-            cond = upper if cond is None else (cond & upper)
-        if cond is None:
-            return F.lit(True)
-        return c[mn].isNull() | cond
-
-    has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
-    ok = F.exists(
-        F.col("columns"),
-        lambda c: (c["name"] == F.lit(column)) & overlaps(c))
-    # a column unknown to a block's metadata never prunes it (a typo'd
-    # name must not silently drop every block)
-    return blocks_df.where(~has | ok)
+    return blocks_df.where(_col_cond(column, _range_elem(lo, hi, use_float)))
 
 
 def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
     """Block-level EQUALITY pushdown via the per-block bloom sketch: keep
     only blocks whose bloom for `column` has all of the value's bits set
-    (or no bloom at all — pruning is only ever sound). Bit tests are plain
-    JVM shift/and expressions over the metadata array, so pruned blocks'
-    payload bytes are never read. Exact row filtering remains the
-    caller's .filter on the decoded output."""
-    from pyspark.sql import functions as F
-
-    from .blocks import bloom_positions
-
+    (or no bloom at all — pruning is only ever sound), AND whose prefix
+    zone bounds admit the value. Pruned blocks' payload bytes are never
+    read. Exact row filtering remains the caller's .filter on the
+    decoded output."""
     if isinstance(value, str):
         value = value.encode("utf-8", "surrogatepass")
-    positions = bloom_positions(value)
-
-    def block_may_contain(c):
-        bits = None
-        for pos in positions:
-            bit = (F.shiftright(c["bloom"][pos // 64], pos % 64)
-                   .bitwiseAND(F.lit(1)) == 1)
-            bits = bit if bits is None else (bits & bit)
-        return c["bloom"].isNull() | bits
-
-    has = F.exists(F.col("columns"), lambda c: c["name"] == F.lit(column))
-    ok = F.exists(
-        F.col("columns"),
-        lambda c: (c["name"] == F.lit(column)) & block_may_contain(c))
-    # unknown column names never prune (see zone_filter)
-    return blocks_df.where(~has | ok)
+    return blocks_df.where(
+        _col_cond(column, _bloom_elem(value))
+        & _col_cond(column, _str_range_elem(value, value)))
 
 
 def _canon_zone_value(value, arrow_type_str: str):
@@ -288,41 +371,55 @@ def _canon_zone_value(value, arrow_type_str: str):
     _zone_minmax derives through codecs.core.to_int64 (timestamps in the
     stored unit, date32 in days, decimals unscaled) or a float for float
     columns. Returns None when the column's type carries no zone map
-    (strings/binary/bool/uint64/nested), meaning range pruning is
-    unavailable and only the exact post-filter applies."""
+    (bool/uint64/nested; strings/binary have their own prefix bounds) OR
+    when the value cannot be converted to the column's canonical domain
+    (e.g. an arbitrary string against an int column): pruning then
+    degrades soundly to the exact post-filter instead of raising —
+    decode_job --eq passes raw CLI strings straight through here.
+    ISO-format strings are accepted for timestamp/date columns."""
     import datetime as dt
-    from decimal import Decimal
+    from decimal import Decimal, InvalidOperation
 
     t = arrow_type_str
-    if t.startswith("timestamp["):
-        unit = t[len("timestamp["):-1].split(",")[0].strip()
-        if isinstance(value, dt.datetime):
-            epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-                     if value.tzinfo is not None else dt.datetime(1970, 1, 1))
-            us = (value - epoch) // dt.timedelta(microseconds=1)
-        else:
-            us = int(value)  # already epoch micros
-        if unit == "ns":
-            return us * 1_000
-        return us // {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
-    if t == "date32[day]":
-        if isinstance(value, dt.date):
-            return (value - dt.date(1970, 1, 1)).days
-        return int(value)
-    if t == "date64[ms]":
-        if isinstance(value, dt.date):
-            return (value - dt.date(1970, 1, 1)).days * 86_400_000
-        return int(value)
-    if t.startswith("decimal128("):
-        p, s = t[len("decimal128("):-1].split(",")
-        if int(p) > 18:
-            return None
-        return int(Decimal(value).scaleb(int(s)).to_integral_value())
-    if t in ("int8", "int16", "int32", "int64",
-             "uint8", "uint16", "uint32"):
-        return int(value)
-    if t in ("float", "double"):
-        return float(value)
+    try:
+        if t.startswith("timestamp["):
+            unit = t[len("timestamp["):-1].split(",")[0].strip()
+            if isinstance(value, str):
+                value = dt.datetime.fromisoformat(value)
+            if isinstance(value, dt.datetime):
+                epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                         if value.tzinfo is not None
+                         else dt.datetime(1970, 1, 1))
+                us = (value - epoch) // dt.timedelta(microseconds=1)
+            else:
+                us = int(value)  # already epoch micros
+            if unit == "ns":
+                return us * 1_000
+            return us // {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
+        if t == "date32[day]":
+            if isinstance(value, str):
+                value = dt.date.fromisoformat(value)
+            if isinstance(value, dt.date):
+                return (value - dt.date(1970, 1, 1)).days
+            return int(value)
+        if t == "date64[ms]":
+            if isinstance(value, str):
+                value = dt.date.fromisoformat(value)
+            if isinstance(value, dt.date):
+                return (value - dt.date(1970, 1, 1)).days * 86_400_000
+            return int(value)
+        if t.startswith("decimal128("):
+            p, s = t[len("decimal128("):-1].split(",")
+            if int(p) > 18:
+                return None
+            return int(Decimal(value).scaleb(int(s)).to_integral_value())
+        if t in ("int8", "int16", "int32", "int64",
+                 "uint8", "uint16", "uint32"):
+            return int(value)
+        if t in ("float", "double"):
+            return float(value)
+    except (ValueError, TypeError, OverflowError, InvalidOperation):
+        return None
     return None
 
 
@@ -337,46 +434,154 @@ def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
     return dict(zip(row[0]["names"], row[0]["types"]))
 
 
-_FILTER_OPS = ("between", "=", "==", ">=", "<=", ">", "<")
+_FILTER_OPS = ("between", "=", "==", "!=", ">=", "<=", ">", "<", "in")
+_STR_TYPES = ("string", "large_string", "binary", "large_binary")
 _PREPASS_MAX_PARTS = 4096  # isin cap before degrading to a min/max range
 
 
+def _normalize_filters(filters):
+    """Normalize a filters= value to DNF — a list of AND-groups, OR'd
+    together (pyarrow's parquet-filters convention):
+
+        [(c, op, v), ...]            one conjunction (ANDed)
+        [[(...), ...], [(...)]]      OR of conjunctions
+
+    Validates ops and value arity; "in" takes one list/tuple/set value."""
+    if not filters:
+        return []
+    if all(isinstance(f, (list, tuple)) and len(f) > 0
+           and isinstance(f[0], (list, tuple)) for f in filters):
+        groups = [list(g) for g in filters]
+    elif all(isinstance(f, (list, tuple)) and len(f) > 0
+             and isinstance(f[0], str) for f in filters):
+        groups = [list(filters)]
+    else:
+        raise ValueError(
+            "filters must be a list of (col, op, value) tuples, or a "
+            "list of such lists (OR of AND-groups)")
+    for g in groups:
+        if not g:
+            raise ValueError("filters: empty AND-group")
+        for flt in g:
+            col, op, vals = flt[0], flt[1], flt[2:]
+            if op not in _FILTER_OPS:
+                raise ValueError(
+                    f"unsupported filter op {op!r} (one of {_FILTER_OPS})")
+            if len(vals) != (2 if op == "between" else 1):
+                raise ValueError(f"filter {flt!r}: wrong number of values")
+            if op == "in" and not isinstance(
+                    vals[0], (list, tuple, set, frozenset)):
+                raise ValueError(
+                    f"filter {flt!r}: 'in' takes one list/tuple/set value")
+    return groups
+
+
+def filter_columns_of(filters) -> List[str]:
+    """Ordered unique column names a filters= value references."""
+    seen, out = set(), []
+    for g in _normalize_filters(filters):
+        for flt in g:
+            if flt[0] not in seen:
+                seen.add(flt[0])
+                out.append(flt[0])
+    return out
+
+
+def _str_probe_bytes(v):
+    if isinstance(v, str):
+        return v.encode("utf-8", "surrogatepass")
+    return v if isinstance(v, (bytes, bytearray)) else None
+
+
+def _eq_block_cond(col: str, v, t: str, is_str: bool):
+    """Block-keep condition for `col == v`, or None (no pruning)."""
+    if is_str:
+        b = _str_probe_bytes(v)
+        if b is None:
+            return None
+        return (_col_cond(col, _bloom_elem(bytes(b)))
+                & _col_cond(col, _str_range_elem(bytes(b), bytes(b))))
+    c = _canon_zone_value(v, t)
+    if c is None:
+        return None
+    return _col_cond(col, _range_elem(c, c, isinstance(c, float)))
+
+
+def _leaf_block_cond(flt, types: dict):
+    """Block-keep condition for one (col, op, ...) filter, or None when
+    the combination supports no pruning (unknown column, !=, value not
+    convertible to the column's canonical domain) — the exact post-filter
+    then carries the predicate alone, which is always sound."""
+    from pyspark.sql import functions as F
+
+    col, op, vals = flt[0], flt[1], list(flt[2:])
+    t = types.get(col)
+    if t is None or op == "!=":
+        return None
+    is_str = t in _STR_TYPES
+    if op == "in":
+        # bloom/zone-probe each value, union the survivors: a block is
+        # kept iff SOME listed value may be present in it
+        conds = []
+        for v in vals[0]:
+            c = _eq_block_cond(col, v, t, is_str)
+            if c is None:
+                return None
+            conds.append(c)
+        if not conds:  # IN () matches nothing: prune every block
+            return F.lit(False)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+    if op in ("=", "=="):
+        return _eq_block_cond(col, vals[0], t, is_str)
+    lo = hi = None
+    if op == "between":
+        lo, hi = vals
+    elif op in (">=", ">"):
+        lo = vals[0]
+    else:
+        hi = vals[0]
+    # strict ops keep the closed zone bound (sound: may keep one
+    # boundary block too many, never drops a needed one)
+    if is_str:
+        lo_b = _str_probe_bytes(lo) if lo is not None else None
+        hi_b = _str_probe_bytes(hi) if hi is not None else None
+        if lo_b is None and hi_b is None:
+            return None
+        return _col_cond(col, _str_range_elem(
+            bytes(lo_b) if lo_b is not None else None,
+            bytes(hi_b) if hi_b is not None else None))
+    lo_c = _canon_zone_value(lo, t) if lo is not None else None
+    hi_c = _canon_zone_value(hi, t) if hi is not None else None
+    if lo_c is None and hi_c is None:
+        return None
+    use_float = isinstance(lo_c, float) or isinstance(hi_c, float)
+    return _col_cond(col, _range_elem(lo_c, hi_c, use_float))
+
+
 def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
-    """Block-level pruning for decode_blocks(filters=): every filter is
-    translated to its zone-map / bloom pushdown where the type supports
-    one (pruning is only ever sound — unsupported combinations simply
-    skip the pruning step and rely on the exact post-filter)."""
-    for flt in filters:
-        col, op, vals = flt[0], flt[1], flt[2:]
-        if op not in _FILTER_OPS:
-            raise ValueError(
-                f"unsupported filter op {op!r} (one of {_FILTER_OPS})")
-        if len(vals) != (2 if op == "between" else 1):
-            raise ValueError(f"filter {flt!r}: wrong number of values")
-        t = types.get(col)
-        if t is None:
-            continue  # column missing from metadata: never prune (typo safety)
-        if op in ("=", "=="):
-            if t in ("string", "large_string", "binary", "large_binary"):
-                blocks_df = zone_filter_eq(blocks_df, col, vals[0])
-                continue
-            v = _canon_zone_value(vals[0], t)
-            if v is not None:
-                blocks_df = zone_filter(blocks_df, col, v, v)
-            continue
-        lo = hi = None
-        if op == "between":
-            lo = _canon_zone_value(vals[0], t)
-            hi = _canon_zone_value(vals[1], t)
-        elif op in (">=", ">"):
-            lo = _canon_zone_value(vals[0], t)
-        elif op in ("<=", "<"):
-            hi = _canon_zone_value(vals[0], t)
-        # strict ops keep the closed zone bound (sound: may keep one
-        # boundary block too many, never drops a needed one)
-        if lo is not None or hi is not None:
-            blocks_df = zone_filter(blocks_df, col, lo, hi)
-    return blocks_df
+    """Block-level pruning for decode_blocks(filters=): every leaf is
+    translated to its zone-map / bloom / prefix-bound pushdown where the
+    type supports one; leaves within a group AND, groups OR. Pruning is
+    only ever sound — a group with no prunable leaf disables pruning
+    entirely (any block might satisfy that OR-branch), and the exact
+    post-filter always applies. Accepts raw or normalized filters."""
+    groups = _normalize_filters(filters)
+    or_cond = None
+    for g in groups:
+        gc = None
+        for flt in g:
+            c = _leaf_block_cond(flt, types)
+            if c is not None:
+                gc = c if gc is None else (gc & c)
+        if gc is None:
+            return blocks_df
+        or_cond = gc if or_cond is None else (or_cond | gc)
+    if or_cond is None:
+        return blocks_df
+    return blocks_df.where(or_cond)
 
 
 def _partition_prepass(pruned_df: DataFrame) -> DataFrame:
@@ -425,26 +630,36 @@ def _partition_prepass(pruned_df: DataFrame) -> DataFrame:
 
 
 def _exact_filter_expr(filters):
-    """The row-exact predicate equivalent of `filters` (AND of all)."""
+    """The row-exact predicate equivalent of a filters= value (AND
+    within a group, OR across groups). Accepts raw or normalized."""
     from pyspark.sql import functions as F
 
-    expr = None
-    for flt in filters:
-        col, op, vals = F.col(flt[0]), flt[1], flt[2:]
-        if op == "between":
-            e = col.between(vals[0], vals[1])
-        elif op in ("=", "=="):
-            e = col == vals[0]
-        elif op == ">=":
-            e = col >= vals[0]
-        elif op == "<=":
-            e = col <= vals[0]
-        elif op == ">":
-            e = col > vals[0]
-        else:
-            e = col < vals[0]
-        expr = e if expr is None else (expr & e)
-    return expr
+    groups = _normalize_filters(filters)
+    or_expr = None
+    for g in groups:
+        expr = None
+        for flt in g:
+            col, op, vals = F.col(flt[0]), flt[1], list(flt[2:])
+            if op == "between":
+                e = col.between(vals[0], vals[1])
+            elif op in ("=", "=="):
+                e = col == vals[0]
+            elif op == "!=":
+                e = col != vals[0]
+            elif op == "in":
+                vlist = list(vals[0])
+                e = col.isin(vlist) if vlist else F.lit(False)
+            elif op == ">=":
+                e = col >= vals[0]
+            elif op == "<=":
+                e = col <= vals[0]
+            elif op == ">":
+                e = col > vals[0]
+            else:
+                e = col < vals[0]
+            expr = e if expr is None else (expr & e)
+        or_expr = expr if or_expr is None else (or_expr | expr)
+    return or_expr
 
 
 def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
@@ -463,14 +678,19 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     Catalyst projection).
 
     filters: optional list of predicates, each a tuple
-        (column, op, value)            op in  = == >= <= > <
+        (column, op, value)            op in  = == != >= <= > <
         (column, "between", lo, hi)
-    ANDed together. Every predicate is applied EXACTLY on the decoded
-    rows, and — this is the point of passing it here instead of
-    .filter()ing the decoded output — the engine first prunes whole
-    blocks via the per-block zone maps (range/equality on integer-like
-    and float columns) and bloom sketches (equality on string/binary
-    columns), so pruned blocks' payload bytes are never read or decoded.
+        (column, "in", [v1, v2, ...])
+    ANDed together — or a LIST OF SUCH LISTS, meaning OR of the AND
+    groups (pyarrow's parquet-filters DNF convention). Every predicate
+    is applied EXACTLY on the decoded rows, and — this is the point of
+    passing it here instead of .filter()ing the decoded output — the
+    engine first prunes whole blocks via the per-block zone maps
+    (range/equality on integer-like and float columns; truncated-prefix
+    bounds for ranges on string/binary columns such as url) and bloom
+    sketches (equality/IN on string/binary columns — each IN value is
+    probed and the surviving blocks unioned), so pruned blocks' payload
+    bytes are never read or decoded.
     Timestamp/date/decimal values are converted to the canonical zone
     bounds automatically; pass the natural Python values (datetime,
     date, Decimal, int, float, str). At 100 TB this is the difference
@@ -512,11 +732,12 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     #                         pruning everything) — empty result, not error
     exact = None
     if filters:
+        groups = _normalize_filters(filters)
         types = _blocks_arrow_types(blocks_df)
-        blocks_df = _apply_block_filters(blocks_df, filters, types)
+        blocks_df = _apply_block_filters(blocks_df, groups, types)
         if prepass:
             blocks_df = _partition_prepass(blocks_df)
-        exact = _exact_filter_expr(filters)
+        exact = _exact_filter_expr(groups)
     if limit is not None and exact is None:
         budgets = _prefix_budgets(blocks_df, limit, offset)
         if budgets:
@@ -544,14 +765,14 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     out_cols = None
     dec_columns = columns
     if exact is not None and target is not None:
-        missing = [f[0] for f in filters
-                   if f[0] not in {fl.name for fl in target}]
+        missing = [c for c in filter_columns_of(filters)
+                   if c not in {fl.name for fl in target}]
         if missing:
             raise ValueError(
                 f"compat decode with filters: filter columns {missing} "
                 f"must be part of the provided schema")
     if exact is not None and columns is not None:
-        fcols = [f[0] for f in filters]
+        fcols = filter_columns_of(filters)
         missing = [c for c in fcols if c not in columns]
         if missing:
             out_cols = list(columns)

@@ -60,6 +60,29 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+def _fs_for(path_or_uri: str, filesystem=None):
+    """(filesystem, path) for a path/URI: an explicit pyarrow filesystem
+    wins (the path is used as-is within it — e.g. a SubTreeFileSystem
+    with relative paths); otherwise scheme'd URIs resolve through
+    pyarrow.fs.FileSystem.from_uri (s3://, hdfs://, gs://, file:), and
+    bare paths map to the local filesystem. This is the seam that makes
+    the direct paths storage-agnostic: every task-side open/write/rename
+    below goes through the returned filesystem, never through os.*
+    directly. pyarrow filesystems pickle, so they ride the task closure.
+
+    Atomicity note: fs.move is an atomic rename on local/HDFS; object
+    stores implement it as copy+delete, where the content-addressed
+    deterministic target name keeps retries idempotent even without
+    rename atomicity."""
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path_or_uri
+    if "://" in path_or_uri or path_or_uri.startswith("file:"):
+        return pafs.FileSystem.from_uri(path_or_uri)
+    return pafs.LocalFileSystem(), path_or_uri
+
+
 def list_parquet_files(spark: SparkSession, input_path: str) -> List[str]:
     """Sorted parquet file list of a path (the unit of direct-encode
     partitioning; sorted => part ids are deterministic => resume-safe)."""
@@ -67,26 +90,53 @@ def list_parquet_files(spark: SparkSession, input_path: str) -> List[str]:
                   for f in spark.read.parquet(input_path).inputFiles())
 
 
-def _snapshot_of_files(files: Sequence[str]) -> str:
+def _snapshot_of_files(files: Sequence[str], files_per_task: int = 1) -> str:
+    """Snapshot id of a direct-encode input: the sorted file listing AND
+    the file->part grouping. files_per_task is part of the identity
+    because part k's contents are a function of its file GROUP — resuming
+    the same listing with a different grouping must not match old
+    checkpoint rows (it would silently skip parts whose groups now hold
+    different files). Callers passing an explicit snapshot_id take on the
+    same obligation: keep files_per_task fixed across resumes."""
     h = hashlib.sha256()
+    h.update(f"g{files_per_task}".encode())
     for f in files:
         h.update(f.encode())
     return h.hexdigest()[:16]
 
 
-def _atomic_write_parquet(table: pa.Table, target: str) -> None:
+def _task_attempt_token() -> str:
+    """Attempt-unique token for temp file names: with speculative
+    execution or a zombie attempt surviving a stage retry, two attempts
+    of the same partition may run concurrently — a shared deterministic
+    temp path would interleave their writes and os.replace could publish
+    a corrupt file. Unique temp + deterministic target keeps the publish
+    atomic: whichever attempt renames last wins with a COMPLETE file."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return str(ctx.taskAttemptId()) if ctx is not None else "local"
+
+
+def _atomic_write_parquet(table: pa.Table, target: str,
+                          filesystem=None) -> None:
+    import posixpath
+
     import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(target), exist_ok=True)
+    fs, path = _fs_for(target, filesystem)
+    d, base = posixpath.split(path)
+    fs.create_dir(d, recursive=True)
     # dot-prefixed temp name: Spark/pyarrow dataset readers IGNORE hidden
     # files, so a task that dies mid-write can never leave a half-written
-    # file that a later scan would try to parse (a plain suffix would)
-    tmp = os.path.join(os.path.dirname(target),
-                       "." + os.path.basename(target) + ".inprogress")
+    # file that a later scan would try to parse (a plain suffix would);
+    # attempt-unique so concurrent attempts never share a temp path
+    tmp = posixpath.join(
+        d, "." + base + f".{_task_attempt_token()}.inprogress")
     # payloads are already entropy-coded: parquet re-compression is pure
     # waste (same rationale as TableIO.write_blocks)
-    pq.write_table(table, tmp, compression="none")
-    os.replace(tmp, target)
+    pq.write_table(table, tmp, filesystem=fs, compression="none")
+    fs.move(tmp, path)
 
 
 def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
@@ -96,11 +146,17 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
                         batch_rows: int = DEFAULT_BATCH_ROWS,
                         columns: Optional[List[str]] = None,
                         run_id: str = "direct",
-                        only_parts: Optional[set] = None) -> dict:
+                        only_parts: Optional[set] = None,
+                        filesystem=None) -> dict:
     """Checkpointed direct encode: parquet files -> blocks table, with the
     scan, the codec work AND the blocks write all inside the task (zero
     table bytes over JVM<->Python IPC). One part = `files_per_task` input
     files; resume skips committed parts exactly like lineage.encode_job.
+
+    filesystem: optional pyarrow filesystem for the task-side file IO
+    (reads of the input parquet and writes of the blocks files); without
+    it, paths resolve through pyarrow.fs.FileSystem.from_uri — s3/hdfs/
+    gcs URIs work unchanged (see _fs_for).
 
     Returns {"snapshot_id", "parts_done_before", "parts_encoded",
     "n_blocks", "n_rows", "bytes_in", "bytes_out"}.
@@ -111,7 +167,7 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
         col_names = [f.name for f in first_schema.fields]
     else:
         col_names = list(columns)
-    snap = snapshot_id or _snapshot_of_files(files)
+    snap = snapshot_id or _snapshot_of_files(files, files_per_task)
     if plan == "auto":
         from .plan import build_plan
 
@@ -152,7 +208,8 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
                 n_rows = bytes_in = bytes_out = 0
                 seq = 0
                 for path in paths:
-                    pf = pq.ParquetFile(path)
+                    rfs, rpath = _fs_for(path, filesystem)
+                    pf = pq.ParquetFile(rfs.open_input_file(rpath))
                     for batch in pf.iter_batches(batch_size=batch_rows,
                                                  columns=columns):
                         if batch.num_rows == 0:
@@ -172,7 +229,7 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
                     f"direct-{snap}-{pid}.parquet")
                 _atomic_write_parquet(
                     pa.Table.from_batches(out_batches, schema=file_schema),
-                    target)
+                    target, filesystem=filesystem)
                 yield pa.RecordBatch.from_pylist([{
                     "part_id": pid, "n_blocks": seq, "n_rows": n_rows,
                     "bytes_in": bytes_in, "bytes_out": bytes_out,
@@ -205,7 +262,8 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
 def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         columns: Optional[List[str]] = None,
                         verify: bool = False,
-                        files_per_task: int = 1) -> dict:
+                        files_per_task: int = 1,
+                        filesystem=None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -222,7 +280,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
               for i in range(0, len(files), files_per_task)]
     meta_schema = pa.schema([pa.field("part_id", pa.int32()),
                              pa.field("n_rows", pa.int64())])
-    os.makedirs(output_path, exist_ok=True)
+    out_fs, out_root = _fs_for(output_path, filesystem)
+    out_fs.create_dir(out_root, recursive=True)
 
     def work(batches):
         import pyarrow.parquet as pq
@@ -236,7 +295,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                 out_batches = []
                 n = 0
                 for path in paths:
-                    pf = pq.ParquetFile(path)
+                    rfs, rpath = _fs_for(path, filesystem)
+                    pf = pq.ParquetFile(rfs.open_input_file(rpath))
                     read_cols = None
                     if columns is not None:
                         # projection reaches the pyarrow scan: unrequested
@@ -255,15 +315,14 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                 if out_batches:
                     import pyarrow.parquet as _pq
 
-                    target = os.path.join(output_path,
-                                          f"part-{pid:05d}.parquet")
-                    tmp = os.path.join(
-                        output_path,
-                        f".part-{pid:05d}.parquet.inprogress")
+                    wfs, wroot = _fs_for(output_path, filesystem)
+                    target = f"{wroot}/part-{pid:05d}.parquet"
+                    tmp = (f"{wroot}/.part-{pid:05d}.parquet"
+                           f".{_task_attempt_token()}.inprogress")
                     _pq.write_table(
                         pa.Table.from_batches(out_batches), tmp,
-                        compression="snappy")
-                    os.replace(tmp, target)
+                        filesystem=wfs, compression="snappy")
+                    wfs.move(tmp, target)
                 yield pa.RecordBatch.from_pylist(
                     [{"part_id": pid, "n_rows": n}], schema=meta_schema)
 
@@ -281,7 +340,8 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
                               snapshot_id: str = "", mode: str = BALANCED,
                               plan=None, overrides=None, cluster_by=None,
                               skip_parts=None,
-                              sketches: Optional[bool] = None):
+                              sketches: Optional[bool] = None,
+                              filesystem=None):
     """HYBRID encode: the Spark plan still owns the layout (salted-hash
     shuffle / deterministic range clustering — row transport that a
     scan-in-UDF path cannot do), but each task WRITES its partition's
@@ -323,20 +383,29 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
     inner = make_encode_fn(snap, mode, skip_parts, plan, overrides, sketches)
 
     def work(batches):
+        import posixpath
+
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        part_dir = os.path.join(blocks_root, f"snapshot_id={snap}",
-                                f"part_id={pid}")
-        target = os.path.join(part_dir, f"direct-{snap}-{pid}.parquet")
-        tmp = os.path.join(part_dir, f".direct-{snap}-{pid}.inprogress")
+        attempt = str(ctx.taskAttemptId()) if ctx is not None else "local"
+        bfs, broot = _fs_for(blocks_root, filesystem)
+        part_dir = posixpath.join(broot, f"snapshot_id={snap}",
+                                  f"part_id={pid}")
+        target = posixpath.join(part_dir, f"direct-{snap}-{pid}.parquet")
+        # attempt-unique temp: a zombie attempt surviving a stage retry
+        # must never interleave writes into a live attempt's temp file;
+        # the deterministic TARGET keeps the publish idempotent
+        tmp = posixpath.join(part_dir,
+                             f".direct-{snap}-{pid}.{attempt}.inprogress")
         writer = None
         n_blocks = n_rows = bytes_in = bytes_out = 0
         for enc in inner(batches):
             if writer is None:
-                os.makedirs(part_dir, exist_ok=True)
-                writer = pq.ParquetWriter(tmp, file_schema,
+                bfs.create_dir(part_dir, recursive=True)
+                writer = pq.ParquetWriter(tmp, file_schema, filesystem=bfs,
                                           compression="none")
             writer.write_table(
                 pa.Table.from_batches([enc.select(file_names)]))
@@ -350,10 +419,13 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
             # dynamic-overwrite semantics: clear stale files of THIS
             # partition (only a crashed, never-checkpointed attempt can
             # have left any), then publish atomically
-            for f in os.listdir(part_dir):
-                if f != os.path.basename(tmp) and not f.startswith("."):
-                    os.unlink(os.path.join(part_dir, f))
-            os.replace(tmp, target)
+            sel = pafs.FileSelector(part_dir, allow_not_found=True)
+            for info in bfs.get_file_info(sel):
+                base = posixpath.basename(info.path)
+                if base != posixpath.basename(tmp) \
+                        and not base.startswith("."):
+                    bfs.delete_file(info.path)
+            bfs.move(tmp, target)
             yield pa.RecordBatch.from_pylist([{
                 "part_id": pid, "n_blocks": n_blocks, "n_rows": n_rows,
                 "bytes_in": bytes_in, "bytes_out": bytes_out,

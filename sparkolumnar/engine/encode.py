@@ -72,8 +72,9 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         if sketches:
             zmin, zmax, fmin, fmax = _zone_minmax(vals)
             bloom = _zone_bloom(vals)
+            bmin, bmax = _zone_strbounds(vals)
         else:
-            zmin = zmax = fmin = fmax = bloom = None
+            zmin = zmax = fmin = fmax = bloom = bmin = bmax = None
         cols_meta.append({
             "name": field.name,
             "codec": choice.codec,
@@ -87,6 +88,8 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             "min_f64": fmin,
             "max_f64": fmax,
             "bloom": bloom,
+            "min_bin": bmin,
+            "max_bin": bmax,
         })
         row[payload_field(field.name)] = choice.payload
         row[validity_field(field.name)] = validity if validity else None
@@ -130,6 +133,35 @@ def _zone_minmax(vals: pa.Array):
     except (CodecError, OverflowError):
         pass
     return None, None, None, None
+
+
+def _zone_strbounds(vals: pa.Array):
+    """Per-block truncated-prefix (min, max-upper-bound) for string/binary
+    columns — the zone map that makes RANGE predicates on url-like keys
+    prune (decode-side zone conditions compare Spark BinaryType, whose
+    unsigned lexicographic order matches these raw utf-8 bytes). One
+    vectorized pc.min_max pass; None for other domains."""
+    from ..codecs.core import BIN, STR, domain_of
+    from ..codecs.nputil import CodecError
+    from .blocks import prefix_lower, prefix_upper
+
+    if len(vals) == 0:
+        return None, None
+    try:
+        if domain_of(vals.type) not in (STR, BIN):
+            return None, None
+    except CodecError:
+        return None, None
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(vals)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return None, None
+    if isinstance(lo, str):
+        lo = lo.encode("utf-8", "surrogatepass")
+        hi = hi.encode("utf-8", "surrogatepass")
+    return prefix_lower(lo), prefix_upper(hi)
 
 
 def _zone_bloom(vals: pa.Array):
@@ -176,25 +208,80 @@ def _raw_size(arr: pa.Array) -> int:
     return total
 
 
-def _cluster_bucket_boundaries(df: DataFrame, col: str,
+_CLUSTER_BUCKETS_PER_PART = 4     # several buckets/partition: balanced hash
+_CLUSTER_MAX_BUCKETS = 65536      # sanity ceiling, NOT a parallelism cap:
+#                                   it binds only past ~16k partitions
+
+
+def _cluster_bucket_boundaries(df: DataFrame, cols: List[str],
                                n_buckets: int) -> list:
-    """Deterministic quantile boundaries for cluster_by bucketing:
-    sorted evenly-spaced picks from the engine's cross-partition sample
+    """Deterministic quantile boundaries for cluster_by bucketing over
+    the COMPOSITE of all cluster columns (lexicographic tuples): sorted
+    evenly-spaced picks from the engine's cross-partition sample
     (deterministic for a fixed input file listing — the resume
-    invariant), deduplicated. Returns <= n_buckets - 1 values; rows
-    bucket as sum(value > boundary)."""
+    invariant), deduplicated. Returns <= n_buckets - 1 tuples; a row's
+    bucket is |{b : row_tuple > b}|.
+
+    Composite (not cols[0]-only) boundaries matter when the first
+    cluster column is low-cardinality: cluster_by=["lang", "doc_id"]
+    with 5 langs must still split into thousands of buckets — the
+    doc_id component provides the split points within each lang."""
     from .plan import sample_table
 
-    tbl = sample_table(df.select(col))
-    vals = sorted(v for v in tbl.column(0).to_pylist() if v is not None)
-    if not vals:
+    # the sample must out-resolve the bucket count, or quantile picks
+    # collapse adjacent boundaries
+    tbl = sample_table(df.select(*cols),
+                       sample_rows=max(8_192, 4 * n_buckets))
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = sorted(t for t in zip(*pycols)
+                  if not any(v is None for v in t))
+    if not rows:
         return []
     out: list = []
     for k in range(1, n_buckets):
-        b = vals[min(len(vals) - 1, k * len(vals) // n_buckets)]
+        b = rows[min(len(rows) - 1, k * len(rows) // n_buckets)]
         if not out or b != out[-1]:
             out.append(b)
     return out
+
+
+def _cluster_bucket_expr(cols: List[str], bounds: list):
+    """Bucket-assignment expression: binary search over the sorted
+    composite boundaries as a NESTED when() tree — O(log B) comparisons
+    per row, so the per-row cost stays flat as the bucket count scales
+    with partitions (a flat sum over B comparisons — the old shape —
+    would pay O(B) per row, untenable at 4*p buckets for large p). The
+    expression is built once per job; rows with a null component take
+    the otherwise-branch at every node (deterministically bucket-left),
+    which preserves the resume invariant. Struct comparison is
+    lexicographic by field position — the same order the boundary tuples
+    were sorted in."""
+    single = len(cols) == 1
+
+    def key_col():
+        if single:
+            return F.col(cols[0])
+        return F.struct(*[F.col(c).alias(f"_k{i}")
+                          for i, c in enumerate(cols)])
+
+    def lit_of(b):
+        if single:
+            return F.lit(b[0])
+        return F.struct(*[F.lit(v).alias(f"_k{i}")
+                          for i, v in enumerate(b)])
+
+    key = key_col()
+    lits = [lit_of(b) for b in bounds]
+
+    def build(lo: int, hi: int):
+        # the bucket index is in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(key > lits[mid], build(mid + 1, hi))
+                .otherwise(build(lo, mid)))
+
+    return build(0, len(bounds))
 
 
 def make_encode_fn(snapshot_id: str, mode: str,
@@ -248,12 +335,13 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
     exactly-once resume protocol (a resumed run must reproduce partition
     k's exact contents). Instead the boundaries are quantiles of the
     engine's own deterministic cross-partition sample (plan.sample_table)
-    on the first cluster column, rows are bucketed with plain JVM
-    comparisons, and buckets are hash-shuffled — fully deterministic for
-    a fixed input snapshot. Several buckets per partition (4x) keep the
-    bucket->partition hash assignment balanced; blocks stay range-tight
-    because rows are still sorted by the cluster columns inside each
-    partition.
+    over the COMPOSITE of all cluster columns, rows are bucketed with a
+    JVM binary-search when() tree (O(log buckets) per row), and buckets
+    are hash-shuffled — fully deterministic for a fixed input snapshot.
+    Several buckets per partition (4x, scaling with the partition count)
+    keep the bucket->partition hash assignment balanced; blocks stay
+    range-tight because rows are still sorted by the cluster columns
+    inside each partition.
 
     sketches: build per-block zone-map/bloom pruning metadata. Default:
     on for size/balanced modes, off for mode="fast" (whose contract is
@@ -285,11 +373,14 @@ def layout_for_encode(df: DataFrame, key: Optional[str] = None,
             raise ValueError("cluster_by= and key= are mutually exclusive")
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        bounds = _cluster_bucket_boundaries(df, cols[0],
-                                            n_buckets=min(max(4 * p, p), 256))
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + (F.col(cols[0]) > F.lit(b)).cast("int")
+        # bucket count scales WITH partitions (no constant cap): at p
+        # shuffle partitions the clustered encode must feed ~4p distinct
+        # bucket values into the hash or most partitions sit empty — the
+        # parallelism ceiling at 100x scale
+        n_buckets = min(_CLUSTER_BUCKETS_PER_PART * p, _CLUSTER_MAX_BUCKETS)
+        bounds = _cluster_bucket_boundaries(df, cols, n_buckets=n_buckets)
+        bucket = (_cluster_bucket_expr(cols, bounds) if bounds
+                  else F.lit(0))
         df = (df.withColumn("__cluster_bucket", bucket)
               .repartition(p, F.col("__cluster_bucket"))
               .sortWithinPartitions(*cols)

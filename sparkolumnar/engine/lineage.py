@@ -73,9 +73,11 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
     cluster_by: range-cluster the layout on these column(s) instead of
     hash-shuffling on `key` (encode_table cluster_by=) — the zone-map/
     bloom pruning layout. Resume safety is the same as the hash path:
-    Spark's range partitioner samples deterministically for a fixed input
-    file listing, and snapshot_id IS the file-listing hash, so partition
-    k's contents are reproducible for a given snapshot.
+    bucket boundaries are quantiles of the engine's own DETERMINISTIC
+    cross-partition sample (encode_table deliberately avoids
+    repartitionByRange, whose per-RDD-seeded sampling can draw different
+    boundaries run-to-run), and snapshot_id IS the file-listing hash, so
+    partition k's contents are reproducible for a given snapshot.
     """
     snap = snapshot_id or snapshot_of_input(input_df)
     if plan == "auto":

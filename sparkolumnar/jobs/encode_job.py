@@ -28,9 +28,12 @@ def main(argv=None) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cluster-by", default=None,
                     help="range-cluster the layout on these comma-separated "
-                         "columns (repartitionByRange + sort) instead of "
-                         "hash-shuffling on --key; makes zone-map/bloom "
-                         "pruning effective for range/equality decode")
+                         "columns (deterministic quantile bucketing + "
+                         "within-partition sort; resume-safe, unlike "
+                         "repartitionByRange's run-varying sampling) "
+                         "instead of hash-shuffling on --key; makes "
+                         "zone-map/bloom pruning effective for "
+                         "range/equality decode")
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--direct", action="store_true",
                     help="scan-in-UDF direct encode (storage order, no "

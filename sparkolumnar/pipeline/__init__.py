@@ -4,13 +4,15 @@ substrate (vectorized Arrow UDFs + JVM-side expressions): deduplication
 analysis (language-id heuristic, quality scoring, token stats,
 fingerprinting) and multimodal column plumbing."""
 
-from .dedup import (exact_dedup, minhash_signatures, minhash_neardup_pairs,  # noqa: F401
+from .dedup import (connected_components, dedup_groups,  # noqa: F401
+                    exact_dedup, minhash_signatures, minhash_neardup_pairs,
                     minhash_wordgram_neardup_pairs,
                     minhash_wordgram_signatures, ngram_jaccard_verify,
                     simhash64_md5, simhash_buckets)
 from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
-                         decode_and_featurize, decode_bmp, decode_wav,
-                         encode_bmp, encode_wav, frame_sample, image_stats,
+                         decode_and_featurize, decode_bmp, decode_image,
+                         decode_png, decode_wav, encode_bmp, encode_png,
+                         encode_wav, frame_sample, image_stats,
                          media_embeddings)
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          hyperplane_lsh_signatures, hyperplane_neardup_pairs,

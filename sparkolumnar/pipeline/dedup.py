@@ -297,6 +297,84 @@ def minhash_wordgram_neardup_pairs(df: DataFrame, text_col: str,
             .select("a", "b", "n_match", "est_jaccard"))
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "id",
+                         max_iter: int = 25) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into duplicate GROUPS:
+    (id, group_id) where group_id is the minimum id in the pair-graph's
+    connected component (singletons map to themselves).
+
+    Iterative min-label propagation — a loop of join + min-aggregate
+    until fixpoint, no graph library:
+
+      labels[v] <- min(labels[v], min over neighbors u of labels[u])
+
+    Scale shape: each round is ONE equi-join of the (src, dst) edge list
+    against the label table plus one map-side-combinable min-aggregate —
+    shuffle O(E) per round, label state O(V), nothing driver-side but the
+    convergence flag. Near-dup components are shallow (a dup cluster's
+    banded pair graph is dense, diameter typically <= 3), so the loop
+    converges in a handful of rounds; `max_iter` bounds adversarial
+    chains, and each round's result is localCheckpoint()ed so the plan
+    does not grow with iterations. (For graphs with genuinely long
+    chains, the large-star/small-star variant of the same join primitive
+    converges in O(log V) rounds — this propagation loop is the simple
+    case that near-dup graphs actually need.)
+
+    pairs: DataFrame with columns (a, b) — undirected candidate edges.
+    nodes: DataFrame carrying every id in `id_col` (including docs in no
+    pair — they become singleton groups).
+    """
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(pairs.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    labels = (nodes.select(F.col(id_col).alias("__id"))
+              .distinct()
+              .withColumn("__label", F.col("__id")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels.select(F.col("__id").alias("src"),
+                                         "__label"), "src")
+                .select(F.col("dst").alias("__id"), "__label"))
+        new = (labels.select("__id", "__label").union(prop)
+               .groupBy("__id").agg(F.min("__label").alias("__label"))
+               .localCheckpoint())  # truncate lineage: O(1) plan per round
+        changed = (new.join(labels.withColumnRenamed("__label", "__old"),
+                            "__id")
+                   .where(F.col("__label") < F.col("__old")))
+        labels = new
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("__id").alias(id_col),
+                         F.col("__label").alias("group_id"))
+
+
+def dedup_groups(pairs: DataFrame, nodes: DataFrame, id_col: str = "id",
+                 prefer_col: str = None, max_iter: int = 25) -> DataFrame:
+    """Survivor selection over resolved duplicate groups:
+    (id, group_id, keep) with exactly one keep=1 row per group.
+
+    Default survivor is the group's minimum id (deterministic, and
+    SQL-recomputable for the oracle). prefer_col selects the group
+    member with the HIGHEST value of that column instead (ties broken
+    by min id) — e.g. keep the longest/highest-quality document."""
+    comp = connected_components(pairs, nodes, id_col, max_iter)
+    if prefer_col is None:
+        return comp.withColumn(
+            "keep", (F.col("group_id") == F.col(id_col)).cast("int"))
+    scored = comp.join(nodes.select(F.col(id_col), F.col(prefer_col)),
+                       id_col)
+    best = (scored.groupBy("group_id")
+            .agg(F.max_by(F.col(id_col),
+                          F.struct(F.col(prefer_col),
+                                   -F.col(id_col))).alias("__winner")))
+    return (scored.join(best, "group_id")
+            .withColumn("keep",
+                        (F.col(id_col) == F.col("__winner")).cast("int"))
+            .select(id_col, "group_id", "keep"))
+
+
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc + its 4 16-bit bands for candidate bucketing.
 

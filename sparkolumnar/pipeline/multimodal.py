@@ -12,10 +12,14 @@ parse with pure numpy (no image/audio libraries needed):
   BGR rows padded to 4 bytes).
 * WAV (RIFF PCM, 16-bit) — decode_wav / encode_wav; RIFF chunk walk to
   the fmt/data chunks.
+* PNG (8-bit gray/RGB/± alpha, non-interlaced) — decode_png /
+  encode_png; stdlib-zlib inflate + vectorized scanline unfiltering
+  (None/Sub/Up/Average/Paeth), CRC-checked chunk walk. This covers the
+  dominant COMPRESSED web image container with zero external codecs.
 
-Compressed formats (JPEG/PNG/MP3/H.264) remain out of scope without
-external codecs; the deterministic fake decoder is kept as a test double
-for pipeline-shape tests.
+JPEG/MP3/H.264 remain out of scope without external codec libraries;
+the deterministic fake decoder is kept as a test double for
+pipeline-shape tests.
 
 Scale notes: media bytes never leave the executor that read them (no
 shuffle in any of these transforms); batch size is bounded by Arrow's
@@ -100,6 +104,188 @@ def decode_bmp(data) -> np.ndarray:
     if not top_down:
         img = img[::-1]
     return np.ascontiguousarray(img)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel for 8-bit depth, by PNG color type
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def encode_png(img: np.ndarray, row_filters=None) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array (C in 1/2/3/4 ->
+    gray / gray+alpha / RGB / RGBA) as an 8-bit non-interlaced PNG
+    (public spec: RFC 2083 / W3C PNG). row_filters optionally forces the
+    per-scanline filter type (int or per-row list, 0..4) — the test
+    lever that exercises every unfilter path in decode_png; default is
+    filter 0 on every row."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise MediaFormatError("encode_png expects (H, W, 1/2/3/4)")
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if row_filters is None:
+        row_filters = [0] * h
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    raw = img.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        r = raw[y]
+        left = np.concatenate([np.zeros(c, np.int16), r[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+        ft = int(row_filters[y])
+        if ft == 0:
+            f = r
+        elif ft == 1:
+            f = r - left
+        elif ft == 2:
+            f = r - prev
+        elif ft == 3:
+            f = r - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - upleft
+            pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prev),
+                             np.abs(p - upleft))
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, upleft))
+            f = r - pred
+        else:
+            raise MediaFormatError(f"bad filter type {ft}")
+        lines.append(bytes([ft]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = r
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG into an (H, W, C) uint8 array
+    (C = 1/2/3/4 per color type). Pure stdlib-zlib + numpy: chunk walk
+    with CRC verification, zlib inflate of the concatenated IDAT stream,
+    then per-scanline unfiltering — None is a copy, Sub is a per-pixel
+    cumulative sum mod 256 (np.cumsum per channel), Up is one vectorized
+    add against the prior row, Average/Paeth carry a left-pixel
+    dependency and walk pixels with channel-vector ops. Rejects palette
+    (type 3), non-8-bit depths and interlaced images (honest scope: the
+    production path would link libpng/Pillow; the format logic here is
+    from the public spec only)."""
+    import zlib
+
+    buf = bytes(data)
+    if len(buf) < 8 + 25 or buf[:8] != _PNG_SIG:
+        raise MediaFormatError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    seen_end = False
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        tag = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(buf):
+            raise MediaFormatError("truncated PNG chunk")
+        crc = int.from_bytes(buf[pos + 8 + size:pos + 12 + size], "big")
+        if zlib.crc32(tag + body) != crc:
+            raise MediaFormatError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + size
+    if ihdr is None or not idat or not seen_end:
+        raise MediaFormatError("missing IHDR/IDAT/IEND chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise MediaFormatError(
+            f"only 8-bit gray/RGB/alpha PNGs supported "
+            f"(depth={depth}, color_type={color_type})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise MediaFormatError("unsupported compression/filter/interlace")
+    if w <= 0 or h <= 0:
+        raise MediaFormatError("degenerate PNG dimensions")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaFormatError(f"bad IDAT stream: {e}") from None
+    if len(raw) != h * (1 + stride):
+        raise MediaFormatError("IDAT length does not match dimensions")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        f = rows[y, 1:]
+        if ft == 0:
+            rec = f.copy()
+        elif ft == 1:
+            # recon[x] = filt[x] + recon[x-bpp]: a running sum mod 256
+            # down each channel column
+            rec = (np.cumsum(f.reshape(w, c), axis=0, dtype=np.uint64)
+                   & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            rec = f + prev  # uint8 wraparound IS the mod-256 add
+        elif ft == 3:
+            fr = f.reshape(w, c).astype(np.uint16)
+            up = prev.reshape(w, c).astype(np.uint16)
+            rec2 = np.empty((w, c), dtype=np.uint16)
+            left = np.zeros(c, dtype=np.uint16)
+            for x in range(w):
+                left = (fr[x] + ((left + up[x]) >> 1)) & 0xFF
+                rec2[x] = left
+            rec = rec2.astype(np.uint8).reshape(stride)
+        elif ft == 4:
+            fr = f.reshape(w, c).astype(np.int16)
+            up = prev.reshape(w, c).astype(np.int16)
+            rec2 = np.empty((w, c), dtype=np.int16)
+            left = np.zeros(c, dtype=np.int16)
+            upleft = np.zeros(c, dtype=np.int16)
+            for x in range(w):
+                p = left + up[x] - upleft
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
+                                 np.abs(p - upleft))
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, up[x], upleft))
+                left = (fr[x] + pred) & 0xFF
+                rec2[x] = left
+                upleft = up[x]
+            rec = rec2.astype(np.uint8).reshape(stride)
+        else:
+            raise MediaFormatError(f"bad scanline filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def decode_image(data) -> np.ndarray:
+    """Magic-byte dispatch to the pure-numpy image parsers: BMP ('BM')
+    or PNG (8-byte signature) -> (H, W, C) uint8 (BMP always C=3)."""
+    buf = bytes(data)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    raise MediaFormatError("unrecognized image payload (BMP/PNG supported)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -192,7 +378,7 @@ def decode_and_featurize(df: DataFrame, media_col: str, target: int = 32,
                 if fake:
                     img = _fake_decode(bytes(payload), target)
                 else:
-                    img = decode_bmp(payload)
+                    img = decode_image(payload)
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 img = resize_nearest(img, target)
@@ -217,7 +403,7 @@ def image_stats(df: DataFrame, media_col: str) -> DataFrame:
         for pdf in batches:
             widths, heights, sums = [], [], []
             for payload in pdf[media_col]:
-                img = decode_bmp(payload)
+                img = decode_image(payload)
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 sums.append(int(img.sum(dtype=np.int64)))
@@ -276,7 +462,7 @@ def media_embeddings(df: DataFrame, media_col: str, id_col: str,
                 if fake:
                     img = _fake_decode(bytes(payload), side)
                 else:
-                    img = resize_nearest(decode_bmp(payload), side)
+                    img = resize_nearest(decode_image(payload), side)
                 v = img.reshape(-1)[: dim].astype(np.float64)
                 v = v - v.mean()
                 norm = np.linalg.norm(v)

@@ -34,10 +34,19 @@ def decode_stream(spark: SparkSession, blocks_path: str,
     static = spark.read.parquet(blocks_path)
     out_cols = None
     if filters and columns is not None:
-        missing = [f[0] for f in filters if f[0] not in columns]
+        from ..engine.decode import filter_columns_of
+
+        missing = [c for c in filter_columns_of(filters)
+                   if c not in columns]
         if missing:  # filter columns must be decoded; dropped after
             out_cols = list(columns)
             columns = list(columns) + missing
+            if schema is not None:
+                # mirror decode_blocks: a user-supplied schema that lacks
+                # the filter columns cannot be the mapInArrow output
+                # schema (the decoded batches carry the extra columns) —
+                # re-infer from the extended column set
+                schema = None
     if schema is None:
         schema = schema_of_blocks(static, columns)
     stream = (spark.readStream.schema(static.schema)
@@ -47,11 +56,13 @@ def decode_stream(spark: SparkSession, blocks_path: str,
     if filters:
         from ..engine.decode import (_apply_block_filters,
                                      _blocks_arrow_types,
-                                     _exact_filter_expr)
+                                     _exact_filter_expr,
+                                     _normalize_filters)
 
+        groups = _normalize_filters(filters)
         types = _blocks_arrow_types(static)
-        stream = _apply_block_filters(stream, filters, types)
-        exact = _exact_filter_expr(filters)
+        stream = _apply_block_filters(stream, groups, types)
+        exact = _exact_filter_expr(groups)
     if columns is not None:
         from ..engine.blocks import payload_field, validity_field
 

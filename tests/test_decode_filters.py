@@ -206,3 +206,176 @@ def test_filters_with_nulls(spark):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert got.filter(F.col("v").isNull()).count() == 0
+
+
+# --- round 4: IN / OR / != / string-prefix zone maps -------------------------
+
+
+@pytest.fixture(scope="module")
+def url_clustered_blocks(spark, tmp_path_factory):
+    """pages range-clustered on url (the production string key layout).
+    96k rows -> ~24 blocks, so a ~1%-of-urls range probe spans at most 2
+    blocks and the 90% prune-rate bound has granularity headroom."""
+    pages = pages_df(spark, 96_000)
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ucl") / "t"))
+    io.write_blocks(encode_table(pages, cluster_by="url", partitions=4,
+                                 snapshot_id="ucl1"))
+    return pages, io.read_blocks()
+
+
+def test_url_range_prune_rate_at_least_90pct(spark, url_clustered_blocks):
+    """String-prefix zone maps on a url-clustered table: a narrow url
+    range prunes >= 90% of blocks (the input hint's primary key gets
+    RANGE pruning, not just equality)."""
+    pages, blocks = url_clustered_blocks
+    n_blocks = blocks.count()
+    assert n_blocks >= 8
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    lo, hi = urls[len(urls) // 3], urls[len(urls) // 3 + len(urls) // 200]
+    types = _blocks_arrow_types(blocks)
+    surviving = _apply_block_filters(
+        blocks, [("url", "between", lo, hi)], types).count()
+    assert surviving / n_blocks <= 0.10, (surviving, n_blocks)
+    assert surviving >= 1
+    got = decode_blocks(blocks, filters=[("url", "between", lo, hi)])
+    want = decode_blocks(blocks).filter(F.col("url").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_url_one_sided_string_range(spark, url_clustered_blocks):
+    pages, blocks = url_clustered_blocks
+    any_url = pages.select("url").limit(1).collect()[0]["url"]
+    for flt, pred in [
+        (("url", ">=", any_url), F.col("url") >= any_url),
+        (("url", "<", any_url), F.col("url") < any_url),
+    ]:
+        got = decode_blocks(blocks, filters=[flt])
+        want = decode_blocks(blocks).filter(pred)
+        assert got.count() == want.count(), flt
+        assert got.exceptAll(want).count() == 0, flt
+
+
+def test_in_filter_prunes_and_matches(spark, clustered_blocks):
+    pages, blocks = clustered_blocks
+    got = decode_blocks(blocks, filters=[("lang", "in", ["l07", "en"])])
+    want = decode_blocks(blocks).filter(F.col("lang").isin(["l07", "en"]))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # empty IN matches nothing (and prunes every block)
+    assert decode_blocks(blocks, filters=[("lang", "in", [])]).count() == 0
+    types = _blocks_arrow_types(blocks)
+    assert _apply_block_filters(
+        blocks, [("lang", "in", [])], types).count() == 0
+
+
+def test_in_filter_int_column(spark, clustered_blocks):
+    pages, blocks = clustered_blocks
+    ids = [r["warc_ts"] for r in pages.select("warc_ts").limit(3).collect()]
+    got = decode_blocks(blocks, filters=[("warc_ts", "in", ids)])
+    want = decode_blocks(blocks).filter(F.col("warc_ts").isin(ids))
+    assert got.count() == want.count() > 0
+
+
+def test_or_of_conjunctions(spark, clustered_blocks):
+    pages, blocks = clustered_blocks
+    b = pages.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+    early = b["lo"] + (b["hi"] - b["lo"]) / 50
+    late = b["hi"] - (b["hi"] - b["lo"]) / 50
+    got = decode_blocks(blocks, filters=[
+        [("warc_ts", "<=", early), ("lang", "=", "en")],
+        [("warc_ts", ">=", late)],
+    ])
+    want = decode_blocks(blocks).filter(
+        ((F.col("warc_ts") <= early) & (F.col("lang") == "en"))
+        | (F.col("warc_ts") >= late))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # OR still prunes: both branches are range probes on the clustered key
+    types = _blocks_arrow_types(blocks)
+    surviving = _apply_block_filters(blocks, [
+        [("warc_ts", "<=", early)], [("warc_ts", ">=", late)]], types).count()
+    assert surviving < blocks.count()
+
+
+def test_neq_filter_exact_no_pruning(spark, clustered_blocks):
+    pages, blocks = clustered_blocks
+    got = decode_blocks(blocks, filters=[("lang", "!=", "en")])
+    want = decode_blocks(blocks).filter(F.col("lang") != "en")
+    assert got.count() == want.count() > 0
+
+
+def test_iso_string_values_degrade_soundly(spark, clustered_blocks):
+    """CLI-style raw string predicate values: an ISO timestamp string
+    against a timestamp column still PRUNES (parsed), and a garbage
+    string against an int column degrades to the exact filter instead of
+    raising (the decode_job --eq path)."""
+    import datetime as dt
+
+    from sparkolumnar.engine.decode import _canon_zone_value
+
+    pages, blocks = clustered_blocks
+    b = pages.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+    hi = b["lo"] + (b["hi"] - b["lo"]) / 20
+    got = decode_blocks(blocks, filters=[
+        ("warc_ts", "between", b["lo"].isoformat(), hi.isoformat())])
+    want = decode_blocks(blocks).filter(
+        F.col("warc_ts").between(b["lo"], hi))
+    assert got.count() == want.count() > 0
+    # ISO strings canonicalize (pruning active), garbage returns None
+    assert _canon_zone_value(hi.isoformat(), "timestamp[us]") is not None
+    assert _canon_zone_value("2020-01-01", "date32[day]") == \
+        (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days
+    assert _canon_zone_value("not-a-number", "int64") is None
+    assert _canon_zone_value("nope", "timestamp[us]") is None
+    assert _canon_zone_value("x", "decimal128(12, 2)") is None
+
+
+def test_filters_validation_errors(spark, clustered_blocks):
+    pages, blocks = clustered_blocks
+    with pytest.raises(ValueError):
+        decode_blocks(blocks, filters=[("lang", "like", "x")]).count()
+    with pytest.raises(ValueError):
+        decode_blocks(blocks, filters=[("lang", "in", "notalist")]).count()
+    with pytest.raises(ValueError):
+        decode_blocks(blocks, filters=[("lang", "between", 1)]).count()
+
+
+def test_string_prefix_bounds_long_values(spark):
+    """Values longer than the 16-byte prefix: truncated bounds stay
+    SOUND (max prefix is incremented), including the shared-prefix case
+    where only bytes past the cut differ."""
+    import pandas as pd
+
+    base = "https://example.com/very/long/path/"  # > 16 shared bytes
+    pdf = pd.DataFrame({
+        "k": range(4000),
+        "u": [f"{base}{i:08d}" for i in range(4000)],
+    })
+    df = spark.createDataFrame(pdf, "k long, u string")
+    blocks = encode_table(df, cluster_by="u", partitions=2,
+                          snapshot_id="longstr").cache()
+    lo, hi = f"{base}{100:08d}", f"{base}{200:08d}"
+    got = decode_blocks(blocks, filters=[("u", "between", lo, hi)])
+    want = decode_blocks(blocks).filter(F.col("u").between(lo, hi))
+    assert got.count() == want.count() == 101
+    assert got.exceptAll(want).count() == 0
+
+
+def test_cluster_by_parallelism_scales_with_partitions(spark):
+    """The 100x-scale guarantee from the r3 verdict: with partitions=64
+    the clustered layout feeds >= 4*64 candidate buckets into the hash,
+    so at least half the 64 partitions hold rows (no 256-bucket
+    ceiling); and composite boundaries mean a low-cardinality FIRST
+    column (5 langs) cannot collapse the bucket count."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "lang": [f"l{i % 5}" for i in range(64_000)],
+        "doc_id": range(64_000),
+    })
+    df = spark.createDataFrame(pdf, "lang string, doc_id long")
+    blocks = encode_table(df, cluster_by=["lang", "doc_id"], partitions=64,
+                          snapshot_id="par64")
+    parts = blocks.select("part_id").distinct().count()
+    assert parts >= 32, parts
