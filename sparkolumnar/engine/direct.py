@@ -83,9 +83,23 @@ def _fs_for(path_or_uri: str, filesystem=None):
     return pafs.LocalFileSystem(), path_or_uri
 
 
-def list_parquet_files(spark: SparkSession, input_path: str) -> List[str]:
+def list_parquet_files(spark: SparkSession, input_path: str,
+                       filesystem=None) -> List[str]:
     """Sorted parquet file list of a path (the unit of direct-encode
-    partitioning; sorted => part ids are deterministic => resume-safe)."""
+    partitioning; sorted => part ids are deterministic => resume-safe).
+    With an explicit filesystem the listing runs through it too (paths
+    stay fs-native, e.g. SubTreeFileSystem-relative), so no Spark-side
+    path resolution is involved anywhere in the direct pipeline."""
+    if filesystem is not None:
+        from pyarrow import fs as pafs
+
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(input_path, recursive=True))
+        return sorted(
+            i.path for i in infos
+            if i.type == pafs.FileType.File
+            and i.path.endswith(".parquet")
+            and not i.base_name.startswith((".", "_")))
     return sorted(_local_path(f)
                   for f in spark.read.parquet(input_path).inputFiles())
 
@@ -147,7 +161,8 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
                         columns: Optional[List[str]] = None,
                         run_id: str = "direct",
                         only_parts: Optional[set] = None,
-                        filesystem=None) -> dict:
+                        filesystem=None,
+                        blocks_root: Optional[str] = None) -> dict:
     """Checkpointed direct encode: parquet files -> blocks table, with the
     scan, the codec work AND the blocks write all inside the task (zero
     table bytes over JVM<->Python IPC). One part = `files_per_task` input
@@ -158,23 +173,56 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
     it, paths resolve through pyarrow.fs.FileSystem.from_uri — s3/hdfs/
     gcs URIs work unchanged (see _fs_for).
 
+    blocks_root: optional fs-NATIVE path of the blocks directory for the
+    task-side writes, when it differs from io.blocks_path (object
+    stores: Spark reads "s3://bucket/t/blocks" while the pyarrow S3
+    filesystem wants "bucket/t/blocks"; a SubTreeFileSystem wants a
+    subtree-relative path). The checkpoint still goes through io (Spark
+    paths) either way; default is io.blocks_path.
+
     Returns {"snapshot_id", "parts_done_before", "parts_encoded",
     "n_blocks", "n_rows", "bytes_in", "bytes_out"}.
     """
-    files = list_parquet_files(spark, input_path)
+    files = list_parquet_files(spark, input_path, filesystem)
     if columns is None:
-        first_schema = spark.read.parquet(input_path).schema
-        col_names = [f.name for f in first_schema.fields]
+        if filesystem is not None:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(filesystem.open_input_file(files[0]))
+            col_names = list(pf.schema_arrow.names)
+            pf.close()
+        else:
+            first_schema = spark.read.parquet(input_path).schema
+            col_names = [f.name for f in first_schema.fields]
     else:
         col_names = list(columns)
     snap = snapshot_id or _snapshot_of_files(files, files_per_task)
     if plan == "auto":
-        from .plan import build_plan
+        if filesystem is not None:
+            # driver-side bounded sample through the filesystem (Spark
+            # cannot scan fs-native relative paths): head slices of up
+            # to 8 evenly-strided files, same planner as build_plan
+            import pyarrow.parquet as pq
 
-        df = spark.read.parquet(input_path)
-        if columns is not None:
-            df = df.select(*columns)
-        plan = build_plan(df, mode=mode)
+            from .plan import plan_from_sample
+
+            step = max(1, len(files) // 8)
+            parts = []
+            for f in files[::step][:8]:
+                pf = pq.ParquetFile(filesystem.open_input_file(f))
+                for b in pf.iter_batches(batch_size=2048, columns=columns):
+                    parts.append(b)
+                    break
+                pf.close()
+            plan = plan_from_sample(
+                pa.Table.from_batches(parts), mode=mode)
+        else:
+            from .plan import build_plan
+
+            df = spark.read.parquet(input_path)
+            if columns is not None:
+                df = df.select(*columns)
+            plan = build_plan(df, mode=mode)
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     done = io.committed_parts(snap)
@@ -186,7 +234,8 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
               "bytes_in": 0, "bytes_out": 0}
     if not pending:
         return result
-    blocks_root = io.blocks_path
+    if blocks_root is None:
+        blocks_root = io.blocks_path
     file_schema = pa.schema(
         [f for f in arrow_blocks_schema(col_names)
          if f.name not in ("snapshot_id", "part_id")])

@@ -165,3 +165,132 @@ def test_media_embeddings_real_path_duplicates_agree(spark):
     got = top.collect()[0]
     assert got["neighbor_id"] == 2
     assert abs(got["cosine"] - 1.0) < 1e-12
+
+
+# --- PNG (round 4): stdlib-zlib inflate + vectorized unfiltering -------------
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    from sparkolumnar.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        for h, w in [(1, 1), (3, 5), (8, 6), (13, 17)]:
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            for ft in (0, 1, 2, 3, 4):
+                got = decode_png(encode_png(img, row_filters=ft))
+                assert got.shape == (h, w, c)
+                assert np.array_equal(got, img), (c, h, w, ft)
+            mixed = [int(x) for x in rng.integers(0, 5, h)]
+            got = decode_png(encode_png(img, row_filters=mixed))
+            assert np.array_equal(got, img), (c, h, w, mixed)
+
+
+def test_png_golden_bytes_hand_built():
+    """Decode a 2x2 RGB PNG constructed BY HAND from the spec
+    (independent of encode_png): signature, IHDR, one zlib IDAT of
+    filter-0 scanlines, IEND — with CRCs."""
+    import zlib
+
+    red, green, blue, white = ((255, 0, 0), (0, 255, 0), (0, 0, 255),
+                               (255, 255, 255))
+
+    def chunk(tag, body):
+        return (len(body).to_bytes(4, "big") + tag + body
+                + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+    ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # 8-bit, color type 2 (RGB)
+    scanlines = (b"\x00" + bytes([255, 0, 0, 0, 255, 0])      # red, green
+                 + b"\x00" + bytes([0, 0, 255, 255, 255, 255]))  # blue, white
+    buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b""))
+
+    from sparkolumnar.pipeline.multimodal import decode_png
+
+    img = decode_png(buf)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == red and tuple(img[0, 1]) == green
+    assert tuple(img[1, 0]) == blue and tuple(img[1, 1]) == white
+
+
+def test_png_rejects_malformed():
+    import zlib
+
+    from sparkolumnar.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    good = encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    # truncated / wrong signature
+    with pytest.raises(MediaFormatError):
+        decode_png(good[:20])
+    with pytest.raises(MediaFormatError):
+        decode_png(b"notapng!" + good[8:])
+    # corrupt a chunk byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[30] ^= 0xFF
+    with pytest.raises(MediaFormatError):
+        decode_png(bytes(bad))
+    # palette color type (3) is out of scope
+    ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+
+    def chunk(tag, body):
+        return (len(body).to_bytes(4, "big") + tag + body
+                + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+    pal = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(MediaFormatError):
+        decode_png(pal)
+    # interlaced is out of scope
+    ihdr_i = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+              + bytes([8, 2, 0, 0, 1]))
+    inter = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+             + chunk(b"IEND", b""))
+    with pytest.raises(MediaFormatError):
+        decode_png(inter)
+    # IDAT length inconsistent with dimensions
+    ihdr_d = ((3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+              + bytes([8, 2, 0, 0, 0]))
+    short = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_d)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+             + chunk(b"IEND", b""))
+    with pytest.raises(MediaFormatError):
+        decode_png(short)
+
+
+def test_decode_image_dispatch():
+    from sparkolumnar.pipeline.multimodal import (decode_image, encode_png)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    with pytest.raises(MediaFormatError):
+        decode_image(b"\x00" * 64)
+
+
+def test_image_stats_mixed_bmp_png(spark):
+    """image_stats dispatches per payload: a column mixing BMP and PNG
+    images decodes to the same per-image stats either way."""
+    from sparkolumnar.pipeline import image_stats
+    from sparkolumnar.pipeline.multimodal import encode_png
+
+    rng = np.random.default_rng(17)
+    rows = []
+    want = []
+    for i in range(24):
+        h, w = 3 + i % 5, 2 + (i * 3) % 7
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(img) if i % 2 else encode_png(
+            img, row_filters=[i % 5] * h)
+        rows.append((i, payload))
+        want.append((i, w, h, int(img.sum(dtype=np.int64))))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = sorted(tuple(r) for r in
+                 image_stats(df, "media")
+                 .select("id", "width", "height", "px_sum").collect())
+    assert got == sorted(want)

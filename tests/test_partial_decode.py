@@ -195,3 +195,46 @@ def test_fsst_range_needs_only_range_bytes():
     cut = pos + int(enc_lens[:120].sum())
     got = c.decode_range(p[:cut], 200, strs.type, 80, 120)
     assert got.to_pylist() == full.slice(80, 40).to_pylist()
+
+
+def test_prefix_budgets_distributed_large_offset(spark):
+    """_prefix_budgets over 100k synthetic block-metadata rows: the
+    two-level (per-partition aggregate -> windowed block fetch) scheme
+    must equal the naive single-walk reference for any offset, including
+    offsets deep into the table — without the driver iterating per-block
+    metadata outside the window."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.engine.decode import _prefix_budgets
+
+    n_parts, blocks_per_part = 200, 500  # 100k blocks
+    meta = (spark.range(n_parts * blocks_per_part)
+            .select((F.col("id") / blocks_per_part).cast("int")
+                    .alias("part_id"),
+                    (F.col("id") % blocks_per_part).cast("int").alias("seq"),
+                    (F.col("id") % 7 + 1).alias("n_rows"))
+            .withColumn("snapshot_id", F.lit("s")))
+
+    rows = [(("s"), int(p), int(q), int(p * blocks_per_part + q) % 7 + 1)
+            for p in range(n_parts) for q in range(blocks_per_part)]
+
+    def reference(limit, offset):
+        budgets, to_skip, left = {}, offset, limit
+        for snap, p, q, nb in rows:
+            if to_skip >= nb:
+                to_skip -= nb
+                continue
+            take = min(left, nb - to_skip)
+            budgets[(snap, p, q)] = (to_skip, take)
+            to_skip = 0
+            left -= take
+            if left <= 0:
+                break
+        return budgets
+
+    total = sum(r[3] for r in rows)
+    for limit, offset in [(25, 0), (10, 3), (40, total // 2),
+                          (13, total - 20), (5, total + 10),
+                          (1000, 399_990)]:
+        got = _prefix_budgets(meta, limit, offset)
+        assert got == reference(limit, offset), (limit, offset)

@@ -291,3 +291,60 @@ def test_hyperplane_lsh_duplicates_and_noise(spark):
     sigs2 = {r["vec_id"]: r["simhash"]
              for r in hyperplane_lsh_signatures(df).collect()}
     assert sigs == sigs2
+
+
+# --- round 4: near-dup group resolution (connected components) ---------------
+
+
+def test_connected_components_known_graph(spark):
+    from sparkolumnar.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 7)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    got = {r["id"]: r["group_id"]
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 7: 1, 4: 4, 5: 5, 6: 5, 8: 8}
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph needs several propagation rounds — the loop
+    must iterate to fixpoint, not stop after one join."""
+    from sparkolumnar.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    got = {r["id"]: r["group_id"]
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_dedup_groups_survivors(spark):
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.pipeline import dedup_groups
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    nodes = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(8)], "id long, quality double")
+    # default: min-id survivor
+    got = {r["id"]: (r["group_id"], r["keep"])
+           for r in dedup_groups(pairs, nodes).collect()}
+    assert got[1] == (1, 1) and got[2] == (1, 0) and got[3] == (1, 0)
+    assert got[5] == (5, 1) and got[6] == (5, 0)
+    assert got[0] == (0, 1) and got[4] == (4, 1) and got[7] == (7, 1)
+    # prefer_col: highest quality wins (quality decreasing in id -> still
+    # min id here), so flip the preference with a crafted column
+    nodes2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, quality double")
+    got2 = {r["id"]: r["keep"]
+            for r in dedup_groups(pairs, nodes2,
+                                  prefer_col="quality").collect()}
+    assert got2[3] == 1 and got2[1] == 0 and got2[2] == 0  # max quality=id 3
+    assert got2[6] == 1 and got2[5] == 0
+    # exactly one survivor per group either way
+    out = dedup_groups(pairs, nodes2, prefer_col="quality")
+    per_group = (out.groupBy("group_id")
+                 .agg(F.sum("keep").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_group)

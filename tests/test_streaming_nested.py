@@ -206,3 +206,33 @@ def test_streaming_decode_with_filters(spark, tmp_path):
                          filters=[("lang", "=", "en")]).select("url")
     assert len(rows) == want.count()
     assert {r["url"] for r in rows} == {r["url"] for r in want.collect()}
+
+
+def test_streaming_decode_filters_with_explicit_schema(spark, tmp_path):
+    """An explicitly-passed schema combined with filters on a column
+    OUTSIDE the projection: the stream must re-infer its mapInArrow
+    output schema from the extended column set (the decoded batches
+    carry the filter column) instead of failing with an Arrow schema
+    mismatch at runtime — mirroring decode_blocks."""
+    from pyspark.sql import functions as F, types as T
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import decode_blocks
+    from sparkolumnar.streaming import decode_stream
+
+    pages = pages_df(spark, 2000, cache_dir=str(tmp_path / "pgs"))
+    io = TableIO(spark, str(tmp_path / "sinks"))
+    io.write_blocks(encode_table(pages, cluster_by=["lang", "url"],
+                                 partitions=2, snapshot_id="ss"))
+    user_schema = T.StructType([T.StructField("url", T.StringType())])
+    out = decode_stream(spark, io.blocks_path, schema=user_schema,
+                        columns=["url"], filters=[("lang", "=", "en")])
+    q = (out.writeStream.format("memory").queryName("dec_schema_f")
+         .option("checkpointLocation", str(tmp_path / "cks"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dec_schema_f").collect()
+    assert rows and set(rows[0].asDict()) == {"url"}
+    want = decode_blocks(io.read_blocks(),
+                         filters=[("lang", "=", "en")]).select("url")
+    assert len(rows) == want.count() > 0
