@@ -561,6 +561,153 @@ def _leaf_block_cond(flt, types: dict):
     return _col_cond(col, _range_elem(lo_c, hi_c, use_float))
 
 
+def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
+    """Driver/task-side Python twin of _apply_block_filters for ONE
+    block's metadata (`cols_meta`: the block row's `columns` list of
+    dicts): True when the block may hold matching rows. Same soundness
+    rules as the Spark expressions — unknown columns, missing sketches
+    and inconvertible values never prune. Used by the zero-IPC direct
+    decode path, where pruning must run inside the task against pyarrow
+    metadata rows instead of in a Spark where(). types defaults to the
+    block's own self-describing metadata."""
+    from .blocks import bloom_positions
+
+    groups = _normalize_filters(filters)
+    if not groups:
+        return True
+    by_name = {c["name"]: c for c in cols_meta}
+    if types is None:
+        types = {c["name"]: c["arrow_type"] for c in cols_meta}
+
+    def rng_keep(c, lo, hi, use_float):
+        mn = c.get("min_f64" if use_float else "min_i64")
+        mx = c.get("max_f64" if use_float else "max_i64")
+        if mn is None:  # no zone map: keep
+            return True
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    def str_rng_keep(c, lo, hi):
+        if hi is not None and c.get("min_bin") is not None \
+                and bytes(c["min_bin"]) > hi:
+            return False
+        if lo is not None and c.get("max_bin") is not None \
+                and bytes(c["max_bin"]) < lo:
+            return False
+        return True
+
+    def bloom_keep(c, b):
+        words = c.get("bloom")
+        if words is None:
+            return True
+        for pos in bloom_positions(b):
+            if not (words[pos // 64] >> (pos % 64)) & 1:
+                return False
+        return True
+
+    def eq_keep(col, v, t, is_str):
+        c = by_name[col]
+        if is_str:
+            b = _str_probe_bytes(v)
+            if b is None:
+                return None
+            b = bytes(b)
+            return bloom_keep(c, b) and str_rng_keep(c, b, b)
+        cv = _canon_zone_value(v, t)
+        if cv is None:
+            return None
+        return rng_keep(c, cv, cv, isinstance(cv, float))
+
+    def leaf_keep(flt):
+        """True/False = prunable verdict; None = no pruning possible."""
+        col, op, vals = flt[0], flt[1], list(flt[2:])
+        t = types.get(col)
+        if t is None or op == "!=" or col not in by_name:
+            return None
+        c = by_name[col]
+        is_str = t in _STR_TYPES
+        if op == "in":
+            any_keep = False
+            for v in vals[0]:
+                k = eq_keep(col, v, t, is_str)
+                if k is None:
+                    return None
+                any_keep = any_keep or k
+            return any_keep if vals[0] else False
+        if op in ("=", "=="):
+            return eq_keep(col, vals[0], t, is_str)
+        lo = hi = None
+        if op == "between":
+            lo, hi = vals
+        elif op in (">=", ">"):
+            lo = vals[0]
+        else:
+            hi = vals[0]
+        if is_str:
+            lo_b = _str_probe_bytes(lo) if lo is not None else None
+            hi_b = _str_probe_bytes(hi) if hi is not None else None
+            if lo_b is None and hi_b is None:
+                return None
+            return str_rng_keep(c, lo_b and bytes(lo_b),
+                                hi_b and bytes(hi_b))
+        lo_c = _canon_zone_value(lo, t) if lo is not None else None
+        hi_c = _canon_zone_value(hi, t) if hi is not None else None
+        if lo_c is None and hi_c is None:
+            return None
+        return rng_keep(c, lo_c, hi_c,
+                        isinstance(lo_c, float) or isinstance(hi_c, float))
+
+    for g in groups:
+        verdicts = [leaf_keep(flt) for flt in g]
+        known = [v for v in verdicts if v is not None]
+        if not known or all(known):
+            return True  # this OR-branch may match the block
+    return False
+
+
+def exact_filter_mask_py(batch, filters):
+    """pyarrow boolean mask applying `filters` exactly to a decoded
+    RecordBatch (SQL semantics: null comparisons never match) — the
+    task-side twin of _exact_filter_expr for the direct decode path."""
+    import pyarrow.compute as pc
+
+    def leaf(flt):
+        col, op, vals = flt[0], flt[1], list(flt[2:])
+        a = batch.column(batch.schema.get_field_index(col))
+
+        def sc(v):
+            return pa.scalar(v, type=a.type)
+
+        if op == "between":
+            return pc.and_kleene(pc.greater_equal(a, sc(vals[0])),
+                                 pc.less_equal(a, sc(vals[1])))
+        if op in ("=", "=="):
+            return pc.equal(a, sc(vals[0]))
+        if op == "!=":
+            return pc.not_equal(a, sc(vals[0]))
+        if op == "in":
+            vlist = list(vals[0])
+            if not vlist:
+                return pa.array([False] * len(a), pa.bool_())
+            return pc.is_in(a, value_set=pa.array(vlist, type=a.type))
+        fn = {">=": pc.greater_equal, "<=": pc.less_equal,
+              ">": pc.greater, "<": pc.less}[op]
+        return fn(a, sc(vals[0]))
+
+    or_mask = None
+    for g in _normalize_filters(filters):
+        m = None
+        for flt in g:
+            e = leaf(flt)
+            m = e if m is None else pc.and_kleene(m, e)
+        or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+    # null (unknown) never matches, as in SQL
+    return pc.fill_null(or_mask, False)
+
+
 def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
     """Block-level pruning for decode_blocks(filters=): every leaf is
     translated to its zone-map / bloom / prefix-bound pushdown where the

@@ -312,7 +312,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         columns: Optional[List[str]] = None,
                         verify: bool = False,
                         files_per_task: int = 1,
-                        filesystem=None) -> dict:
+                        filesystem=None,
+                        filters=None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -320,19 +321,46 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     IPC nor the JVM parquet writer — the counterpart of the measured
     decode floor, where shipping decoded rows back for a count was most
     of the wall. Output files are one per task (part-<id>.parquet),
-    overwritten idempotently on retry."""
-    from .decode import make_decode_fn
+    overwritten idempotently on retry.
 
+    filters: same predicate language as decode_blocks(filters=)
+    (= == != < <= > >= between / IN lists / OR-of-conjunction groups),
+    evaluated ENTIRELY inside the task: a cheap metadata-only pass over
+    each file (payload columns never read) runs the zone-map / bloom /
+    string-prefix block pruning in Python (decode.block_keep_py), the
+    payload read is then restricted to the surviving blocks' row groups
+    via a pyarrow `seq IN (...)` dataset filter (the direct writers emit
+    one row group per block, so pruned blocks' payload bytes stay on
+    disk), and the exact row predicate applies to the decoded batches
+    before the write. The two flagship 100 TB features — zero-IPC decode
+    and automatic pruning — compose."""
+    from .decode import (block_keep_py, exact_filter_mask_py,
+                         make_decode_fn, _normalize_filters)
+
+    if filters:
+        _normalize_filters(filters)  # validate on the driver, fail fast
+        if columns is not None:
+            from .decode import filter_columns_of
+
+            missing = [c for c in filter_columns_of(filters)
+                       if c not in columns]
+            # filter columns must decode; keep them in the output too
+            # (the direct path writes files, dropping them afterwards
+            # would mean a second pass — document instead)
+            columns = list(columns) + missing
     files = sorted(_local_path(f)
                    for f in io.read_blocks().inputFiles())
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     meta_schema = pa.schema([pa.field("part_id", pa.int32()),
-                             pa.field("n_rows", pa.int64())])
+                             pa.field("n_rows", pa.int64()),
+                             pa.field("n_blocks_read", pa.int64()),
+                             pa.field("n_blocks_total", pa.int64())])
     out_fs, out_root = _fs_for(output_path, filesystem)
     out_fs.create_dir(out_root, recursive=True)
 
     def work(batches):
+        import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         from .blocks import payload_field, validity_field
@@ -343,20 +371,51 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                 pid, paths = int(row["part_id"]), row["paths"]
                 out_batches = []
                 n = 0
+                blocks_read = blocks_total = 0
                 for path in paths:
                     rfs, rpath = _fs_for(path, filesystem)
                     pf = pq.ParquetFile(rfs.open_input_file(rpath))
+                    have = set(pf.schema_arrow.names)
                     read_cols = None
                     if columns is not None:
                         # projection reaches the pyarrow scan: unrequested
                         # columns' payload bytes are never read from disk
-                        have = set(pf.schema_arrow.names)
                         read_cols = (
                             [c for c in ("block_id", "seq", "n_rows",
                                          "columns") if c in have]
                             + [f for c in columns
                                for f in (payload_field(c),
                                          validity_field(c)) if f in have])
+                    if filters:
+                        # metadata-only pruning pass: columns/seq leaves
+                        # only, zero payload bytes
+                        meta = pf.read(columns=["seq", "columns"])
+                        seqs = meta.column("seq").to_pylist()
+                        metas = meta.column("columns").to_pylist()
+                        blocks_total += len(seqs)
+                        keep = [s for s, m in zip(seqs, metas)
+                                if block_keep_py(m, filters)]
+                        blocks_read += len(keep)
+                        pf.close()
+                        if not keep:
+                            continue
+                        # surviving blocks only: one row group per block
+                        # (direct writers), so the seq filter prunes at
+                        # row-group granularity via parquet statistics
+                        dset = pads.dataset(rpath, format="parquet",
+                                            filesystem=rfs)
+                        it = dset.to_batches(
+                            columns=read_cols,
+                            filter=pads.field("seq").isin(keep))
+                        for out in fn(it):
+                            mask = exact_filter_mask_py(out, filters)
+                            out = out.filter(mask)
+                            if out.num_rows:
+                                out_batches.append(out)
+                                n += out.num_rows
+                        continue
+                    blocks_total += pf.metadata.num_rows
+                    blocks_read += pf.metadata.num_rows
                     for out in fn(pf.iter_batches(columns=read_cols)):
                         out_batches.append(out)
                         n += out.num_rows
@@ -373,14 +432,20 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         filesystem=wfs, compression="snappy")
                     wfs.move(tmp, target)
                 yield pa.RecordBatch.from_pylist(
-                    [{"part_id": pid, "n_rows": n}], schema=meta_schema)
+                    [{"part_id": pid, "n_rows": n,
+                      "n_blocks_read": blocks_read,
+                      "n_blocks_total": blocks_total}], schema=meta_schema)
 
     rows = list(enumerate(groups))
     fdf = (spark.createDataFrame(rows, "part_id int, paths array<string>")
            .repartition(len(rows)))
-    meta = fdf.mapInArrow(work, "part_id int, n_rows long").collect()
+    meta = fdf.mapInArrow(
+        work, "part_id int, n_rows long, n_blocks_read long, "
+              "n_blocks_total long").collect()
     return {"n_rows": sum(r["n_rows"] for r in meta),
-            "n_parts": len(meta)}
+            "n_parts": len(meta),
+            "n_blocks_read": sum(r["n_blocks_read"] for r in meta),
+            "n_blocks_total": sum(r["n_blocks_total"] for r in meta)}
 
 
 def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,

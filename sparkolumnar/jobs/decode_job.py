@@ -40,8 +40,9 @@ def main(argv=None) -> None:
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
                          "parquet themselves — decoded bytes never cross "
-                         "JVM<->Python IPC. Incompatible with "
-                         "--limit/--offset/--eq")
+                         "JVM<->Python IPC. Combines with --eq (in-task "
+                         "zone/bloom pruning + row-group skip); "
+                         "incompatible with --limit/--offset")
     args = ap.parse_args(argv)
 
     spark = (SparkSession.builder.appName("sparkolumnar-decode")
@@ -53,10 +54,16 @@ def main(argv=None) -> None:
     from sparkolumnar.engine.decode import decode_blocks
 
     cols = args.columns.split(",") if args.columns else None
+    filters = None
+    if args.eq:
+        col, sep, value = args.eq.partition("=")
+        if not sep:
+            raise ValueError("--eq expects COL=VALUE")
+        filters = [(col, "=", value)]
     if args.direct:
-        if args.limit is not None or args.eq:
+        if args.limit is not None:
             raise ValueError("--direct does not combine with "
-                             "--limit/--offset/--eq (use the IPC path)")
+                             "--limit/--offset (use the IPC path)")
         import os
 
         from sparkolumnar.engine.direct import decode_files_direct
@@ -64,16 +71,12 @@ def main(argv=None) -> None:
 
         io = TableIO(spark, os.path.dirname(args.blocks.rstrip("/")))
         res = decode_files_direct(spark, io, args.output, columns=cols,
-                                  verify=args.verify)
-        print(json.dumps({"rows": res["n_rows"]}))
+                                  verify=args.verify, filters=filters)
+        print(json.dumps({"rows": res["n_rows"],
+                          "blocks_read": res["n_blocks_read"],
+                          "blocks_total": res["n_blocks_total"]}))
         return
     blocks = spark.read.parquet(args.blocks)
-    filters = None
-    if args.eq:
-        col, sep, value = args.eq.partition("=")
-        if not sep:
-            raise ValueError("--eq expects COL=VALUE")
-        filters = [(col, "=", value)]
     out = decode_blocks(blocks, verify=args.verify, columns=cols,
                         limit=args.limit, offset=args.offset,
                         filters=filters)

@@ -297,3 +297,104 @@ def test_files_per_task_changes_snapshot_identity(spark, pages_dir,
     assert r1["snapshot_id"] != r2["snapshot_id"]
     assert r2["parts_done_before"] == 0  # no cross-grouping checkpoint hit
     assert r2["n_rows"] == N_ROWS  # fully re-encoded under the new identity
+
+
+def test_direct_decode_with_filters_prunes_and_matches(spark, pages_dir,
+                                                       tmp_path):
+    """filters= on the zero-IPC direct decode: in-task metadata pruning
+    (block_keep_py) + row-group-skipping seq filter + exact pyarrow
+    mask. Result rows equal the IPC path's decode_blocks(filters=), and
+    the task-side counters prove blocks were actually skipped."""
+    import datetime as dt
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "t"))
+    encode_files_direct(spark, src, io, run_id="df")
+    blocks = io.read_blocks()
+    pages = spark.read.parquet(src)
+    b = pages.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+    hi = b["lo"] + (b["hi"] - b["lo"]) / 10
+    filters = [("warc_ts", "between", b["lo"], hi)]
+
+    res = decode_files_direct(spark, io, str(tmp_path / "dec"),
+                              filters=filters)
+    assert res["n_blocks_read"] < res["n_blocks_total"]  # pruning bit
+    got = spark.read.parquet(str(tmp_path / "dec"))
+    want = decode_blocks(blocks, filters=filters)
+    assert res["n_rows"] == got.count() == want.count() > 0
+    assert (got.select("url", "text")
+            .exceptAll(want.select("url", "text")).count() == 0)
+
+    # OR of conjunctions + IN through the same path
+    filters2 = [
+        [("warc_ts", "<=", hi), ("lang", "in", ["en", "l05"])],
+        [("lang", "=", "l09")],
+    ]
+    res2 = decode_files_direct(spark, io, str(tmp_path / "dec2"),
+                               filters=filters2)
+    got2 = spark.read.parquet(str(tmp_path / "dec2"))
+    want2 = decode_blocks(blocks, filters=filters2)
+    assert res2["n_rows"] == got2.count() == want2.count() > 0
+
+
+def test_block_keep_py_agrees_with_spark_pruning(spark, pages_dir,
+                                                 tmp_path):
+    """Property: the task-side Python pruning twin keeps EXACTLY the
+    blocks the Spark metadata expressions keep, for every op family."""
+    import datetime as dt
+
+    from sparkolumnar.engine.decode import (_apply_block_filters,
+                                            _blocks_arrow_types,
+                                            block_keep_py)
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "t"))
+    encode_files_direct(spark, src, io, run_id="kp")
+    blocks = io.read_blocks()
+    types = _blocks_arrow_types(blocks)
+    meta = blocks.select("part_id", "seq", "columns").collect()
+    pages = spark.read.parquet(src)
+    b = pages.selectExpr("min(warc_ts) lo", "max(warc_ts) hi").collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 3
+    url0 = pages.select("url").limit(1).collect()[0]["url"]
+
+    cases = [
+        [("warc_ts", "between", b["lo"], mid)],
+        [("warc_ts", ">", mid)],
+        [("lang", "=", "en")],
+        [("lang", "in", ["en", "l03", "l07"])],
+        [("url", ">=", url0)],
+        [("url", "<", url0)],
+        [[("lang", "=", "en"), ("warc_ts", "<=", mid)],
+         [("lang", "=", "l09")]],
+        [("nope_col", "=", "x")],
+        [("lang", "!=", "en")],
+    ]
+    for filters in cases:
+        spark_keep = {(r["part_id"], r["seq"]) for r in
+                      _apply_block_filters(blocks, filters, types)
+                      .select("part_id", "seq").collect()}
+        py_keep = {(r["part_id"], r["seq"]) for r in meta
+                   if block_keep_py([c.asDict() for c in r["columns"]],
+                                    filters, types)}
+        assert py_keep == spark_keep, filters
+
+
+def test_exact_filter_mask_py_matches_sql_semantics(spark):
+    import pyarrow as pa
+
+    from sparkolumnar.engine.decode import exact_filter_mask_py
+
+    batch = pa.RecordBatch.from_pydict({
+        "v": pa.array([1, 5, None, 9, 3], pa.int64()),
+        "s": pa.array(["a", "b", None, "c", "b"]),
+    })
+    m = exact_filter_mask_py(batch, [("v", ">=", 3)])
+    assert m.to_pylist() == [False, True, False, True, True]  # null -> no
+    m2 = exact_filter_mask_py(batch, [("s", "in", ["a", "c"])])
+    assert m2.to_pylist() == [True, False, False, True, False]
+    m3 = exact_filter_mask_py(
+        batch, [[("v", "<", 2)], [("s", "=", "b"), ("v", ">", 4)]])
+    assert m3.to_pylist() == [True, True, False, False, False]
+    m4 = exact_filter_mask_py(batch, [("s", "!=", "b")])
+    assert m4.to_pylist() == [True, False, False, True, False]
