@@ -371,6 +371,24 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE dedup pipeline as one call (pipeline.neardup_dedup):
+    banded md5 word-gram minhash candidates -> connected components ->
+    min-id survivors -> left-semi join back to the full rows. The oracle
+    recomputes pairs, components AND the surviving-rows aggregate in one
+    recursive-CTE query — pinning the end-to-end corpus-dedup semantics,
+    not just the intermediate pair/group artifacts."""
+    from sparkolumnar.pipeline import neardup_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = neardup_dedup(docs, "text", "doc_id", n_hashes=8, bands=4)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("lang"))
+
+
 def _q_hyperplane_lsh_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane cosine LSH over the embeddings table —
     signatures on FLOOR-quantized integer projections so the DuckDB
@@ -763,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
         "neardup_groups": _q_neardup_groups,
+        "corpus_dedup_stats": _q_corpus_dedup_stats,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -891,14 +910,13 @@ def _minhash_neardup_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
     """
 
 
-def _neardup_groups_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
-    """Recomputes _q_neardup_groups: the banded md5 word-gram candidate
-    pairs (same CTE chain as the minhash_neardup oracle), then connected
-    components via recursive-CTE reachability — walk(id, r) enumerates
-    every node r reachable from id over the undirected pair edges, and
-    group_id = MIN(r), which equals the component minimum the Spark
-    min-label propagation converges to. keep = (group_id == id), the
-    min-id survivor rule."""
+def _cc_chain_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """Shared recursive-CTE chain recomputing connected components over
+    the banded md5 word-gram candidate pairs: ends at
+    comp(id, group_id) — walk(id, r) enumerates every node r reachable
+    from id over the undirected pair edges, and group_id = MIN(r), which
+    equals the component minimum the Spark min-label propagation
+    converges to."""
     rows = n_hashes // bands
     band_rows = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {ks} FROM m".format(
@@ -906,8 +924,7 @@ def _neardup_groups_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
                 f"h{b * rows + r} AS k{r}" for r in range(rows)))
         for b in range(bands))
     on = " AND ".join(f"x.k{r} = y.k{r}" for r in range(rows))
-    return f"""
-        WITH RECURSIVE {_minhash_sig_cte(n_hashes)},
+    return f"""RECURSIVE {_minhash_sig_cte(n_hashes)},
         bands AS (
             {band_rows}
         ), p AS (
@@ -920,11 +937,34 @@ def _neardup_groups_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
             SELECT doc_id, doc_id FROM documents
             UNION
             SELECT w.id, ed.b FROM walk w JOIN ed ON ed.a = w.r
-        )
-        SELECT id AS doc_id, MIN(r) AS group_id,
-               CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS BIGINT)
+        ), comp AS (
+            SELECT id, MIN(r) AS group_id FROM walk GROUP BY id
+        )"""
+
+
+def _neardup_groups_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """Recomputes _q_neardup_groups per document; keep = (group_id ==
+    id), the min-id survivor rule."""
+    return f"""
+        WITH {_cc_chain_sql(n_hashes, bands)}
+        SELECT id AS doc_id, group_id,
+               CAST(CASE WHEN group_id = id THEN 1 ELSE 0 END AS BIGINT)
                    AS keep
-        FROM walk GROUP BY id ORDER BY doc_id
+        FROM comp ORDER BY doc_id
+    """
+
+
+def _corpus_dedup_oracle_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """Recomputes _q_corpus_dedup_stats: the surviving (min-id) document
+    of every component, joined back to the full rows and aggregated."""
+    return f"""
+        WITH {_cc_chain_sql(n_hashes, bands)}
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+               MIN(d.doc_id) AS min_doc_id
+        FROM documents d JOIN comp ON comp.id = d.doc_id
+        WHERE comp.group_id = d.doc_id
+        GROUP BY d.lang ORDER BY d.lang
     """
 
 
@@ -1259,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
                OR (lang = 'zh' AND n_chars > 600)
         """,
         "neardup_groups": _neardup_groups_oracle_sql(),
+        "corpus_dedup_stats": _corpus_dedup_oracle_sql(),
         "zone_pruned_ts_range": """
             SELECT COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users,

@@ -668,34 +668,68 @@ def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
     return False
 
 
+def _coerce_py_value(v, typ):
+    """Coerce a Python predicate value to arrow type `typ`, mirroring
+    Spark's implicit literal casts (ISO strings to timestamps/dates,
+    numeric strings to numbers). Raises ValueError when the value cannot
+    represent the type — callers map that to an all-false leaf, matching
+    Spark's cast-to-null -> no-match semantics."""
+    import datetime as dt
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        if isinstance(v, str):
+            if pa.types.is_timestamp(typ):
+                return dt.datetime.fromisoformat(v)
+            if pa.types.is_date(typ):
+                return dt.date.fromisoformat(v)
+            if pa.types.is_integer(typ):
+                return int(v)
+            if pa.types.is_floating(typ):
+                return float(v)
+            if pa.types.is_decimal(typ):
+                return Decimal(v)
+            if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                return v.encode("utf-8", "surrogatepass")
+        return v
+    except (ValueError, TypeError, InvalidOperation) as e:
+        raise ValueError(str(e)) from None
+
+
 def exact_filter_mask_py(batch, filters):
     """pyarrow boolean mask applying `filters` exactly to a decoded
-    RecordBatch (SQL semantics: null comparisons never match) — the
-    task-side twin of _exact_filter_expr for the direct decode path."""
+    RecordBatch (SQL semantics: null comparisons never match; a literal
+    that cannot be cast to the column type matches nothing, as Spark's
+    cast-to-null does) — the task-side twin of _exact_filter_expr for
+    the direct decode path."""
     import pyarrow.compute as pc
 
     def leaf(flt):
         col, op, vals = flt[0], flt[1], list(flt[2:])
         a = batch.column(batch.schema.get_field_index(col))
+        none_match = pa.array([False] * len(a), pa.bool_())
 
         def sc(v):
-            return pa.scalar(v, type=a.type)
+            return pa.scalar(_coerce_py_value(v, a.type), type=a.type)
 
-        if op == "between":
-            return pc.and_kleene(pc.greater_equal(a, sc(vals[0])),
-                                 pc.less_equal(a, sc(vals[1])))
-        if op in ("=", "=="):
-            return pc.equal(a, sc(vals[0]))
-        if op == "!=":
-            return pc.not_equal(a, sc(vals[0]))
-        if op == "in":
-            vlist = list(vals[0])
-            if not vlist:
-                return pa.array([False] * len(a), pa.bool_())
-            return pc.is_in(a, value_set=pa.array(vlist, type=a.type))
-        fn = {">=": pc.greater_equal, "<=": pc.less_equal,
-              ">": pc.greater, "<": pc.less}[op]
-        return fn(a, sc(vals[0]))
+        try:
+            if op == "between":
+                return pc.and_kleene(pc.greater_equal(a, sc(vals[0])),
+                                     pc.less_equal(a, sc(vals[1])))
+            if op in ("=", "=="):
+                return pc.equal(a, sc(vals[0]))
+            if op == "!=":
+                return pc.not_equal(a, sc(vals[0]))
+            if op == "in":
+                vlist = [_coerce_py_value(v, a.type) for v in vals[0]]
+                if not vlist:
+                    return none_match
+                return pc.is_in(a, value_set=pa.array(vlist, type=a.type))
+            fn = {">=": pc.greater_equal, "<=": pc.less_equal,
+                  ">": pc.greater, "<": pc.less}[op]
+            return fn(a, sc(vals[0]))
+        except (ValueError, pa.lib.ArrowInvalid, pa.lib.ArrowTypeError):
+            return none_match
 
     or_mask = None
     for g in _normalize_filters(filters):

@@ -148,8 +148,14 @@ def _atomic_write_parquet(table: pa.Table, target: str,
     tmp = posixpath.join(
         d, "." + base + f".{_task_attempt_token()}.inprogress")
     # payloads are already entropy-coded: parquet re-compression is pure
-    # waste (same rationale as TableIO.write_blocks)
-    pq.write_table(table, tmp, filesystem=fs, compression="none")
+    # waste (same rationale as TableIO.write_blocks).
+    # row_group_size=1: ONE ROW GROUP PER BLOCK ROW, so per-row-group
+    # parquet statistics carry each block's seq and a filtered decode
+    # (decode_files_direct filters=) skips pruned blocks' payload BYTES
+    # at the scan, not just their rows after materialization. Block rows
+    # are MB-sized, so per-row-group overhead is noise.
+    pq.write_table(table, tmp, filesystem=fs, compression="none",
+                   row_group_size=1)
     fs.move(tmp, path)
 
 
@@ -553,3 +559,53 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
     return df.mapInArrow(
         work, "part_id int, n_blocks long, n_rows long, bytes_in long, "
               "bytes_out long")
+
+
+def encode_job_direct_write(spark, input_df, io: TableIO,
+                            key: Optional[str] = "url",
+                            snapshot_id: Optional[str] = None,
+                            mode: str = BALANCED,
+                            partitions: Optional[int] = None,
+                            sort_within: bool = True,
+                            run_id: str = "r0", plan="auto",
+                            overrides=None, cluster_by=None,
+                            filesystem=None) -> dict:
+    """Checkpointed HYBRID encode job — the production recipe with the
+    IPC-out leg removed: Spark owns the layout (salted url-hash shuffle
+    or deterministic range clustering, the row transport a scan-in-UDF
+    path cannot do), each task writes its partition's blocks file itself
+    (encode_table_direct_write), and the exactly-once protocol is
+    lineage.encode_job's verbatim: snapshot-keyed checkpoint skip-set
+    evaluated inside the encode UDF, content-addressed blocks,
+    attempt-unique temps + deterministic targets, dynamic-overwrite
+    cleanup. Returns the same result dict as encode_files_direct.
+    """
+    from .tableio import snapshot_of_input
+
+    snap = snapshot_id or snapshot_of_input(input_df)
+    if plan == "auto":
+        from .plan import build_plan
+
+        plan = build_plan(input_df, mode=mode)
+    done = io.committed_parts(snap)
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    meta = encode_table_direct_write(
+        input_df, io, key=None if cluster_by else key, partitions=p,
+        sort_within=sort_within, snapshot_id=snap, mode=mode, plan=plan,
+        overrides=overrides, cluster_by=cluster_by,
+        skip_parts=set(done), filesystem=filesystem).collect()
+    result = {"snapshot_id": snap, "parts_done_before": len(done),
+              "parts_encoded": len(meta),
+              "n_blocks": sum(r["n_blocks"] for r in meta),
+              "n_rows": sum(r["n_rows"] for r in meta),
+              "bytes_in": sum(r["bytes_in"] for r in meta),
+              "bytes_out": sum(r["bytes_out"] for r in meta)}
+    if meta:
+        cp = spark.createDataFrame(
+            [(snap, int(r["part_id"]), int(r["n_blocks"]),
+              int(r["n_rows"]), int(r["bytes_in"]), int(r["bytes_out"]),
+              run_id, "committed") for r in meta],
+            "snapshot_id string, part_id int, n_blocks long, n_rows long, "
+            "bytes_in long, bytes_out long, run_id string, status string")
+        io.append_checkpoint(cp)
+    return result

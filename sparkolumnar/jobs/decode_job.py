@@ -36,6 +36,17 @@ def main(argv=None) -> None:
     ap.add_argument("--eq", default=None, metavar="COL=VALUE",
                     help="equality predicate: zone/bloom sketches skip "
                          "whole blocks, then the exact filter applies")
+    ap.add_argument("--in", dest="in_", default=None,
+                    metavar="COL=V1,V2,...",
+                    help="IN-list predicate: each value is bloom/zone-"
+                         "probed and surviving blocks unioned before any "
+                         "payload decode; ANDs with --eq")
+    ap.add_argument("--ge", default=None, metavar="COL=VALUE",
+                    help="range predicate col >= value (ISO timestamps "
+                         "accepted); prunes via zone maps incl. string-"
+                         "prefix bounds; ANDs with the other predicates")
+    ap.add_argument("--le", default=None, metavar="COL=VALUE",
+                    help="range predicate col <= value; see --ge")
     ap.add_argument("--direct", action="store_true",
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
@@ -54,12 +65,24 @@ def main(argv=None) -> None:
     from sparkolumnar.engine.decode import decode_blocks
 
     cols = args.columns.split(",") if args.columns else None
-    filters = None
+    flist = []
     if args.eq:
         col, sep, value = args.eq.partition("=")
         if not sep:
             raise ValueError("--eq expects COL=VALUE")
-        filters = [(col, "=", value)]
+        flist.append((col, "=", value))
+    if args.in_:
+        col, sep, values = args.in_.partition("=")
+        if not sep:
+            raise ValueError("--in expects COL=V1,V2,...")
+        flist.append((col, "in", values.split(",")))
+    for flag, op, name in ((args.ge, ">=", "ge"), (args.le, "<=", "le")):
+        if flag:
+            col, sep, value = flag.partition("=")
+            if not sep:
+                raise ValueError(f"--{name} expects COL=VALUE")
+            flist.append((col, op, value))
+    filters = flist or None
     if args.direct:
         if args.limit is not None:
             raise ValueError("--direct does not combine with "

@@ -41,6 +41,13 @@ def main(argv=None) -> None:
                          "pyarrow and write blocks files themselves — "
                          "zero table bytes over JVM<->Python IPC. "
                          "Incompatible with --key/--cluster-by ordering")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="write-in-UDF hybrid encode: Spark owns the "
+                         "layout (--key shuffle or --cluster-by range "
+                         "clustering), but each task writes its blocks "
+                         "file itself — the encoded payloads never cross "
+                         "JVM<->Python IPC nor the JVM parquet writer. "
+                         "Same exactly-once checkpoint protocol")
     ap.add_argument("--run-id", default="cli")
     ap.add_argument("--overrides", default=None,
                     help="per-column codec overrides, e.g. 'ts=dod,lang=dict' "
@@ -72,6 +79,16 @@ def main(argv=None) -> None:
 
         d = encode_files_direct(spark, args.input, io, mode=args.mode,
                                 run_id=args.run_id)
+        d["ratio"] = (d["bytes_out"] / d["bytes_in"]) if d["bytes_in"] else None
+        print(json.dumps(d))
+        return
+    if args.hybrid:
+        from sparkolumnar.engine.direct import encode_job_direct_write
+
+        d = encode_job_direct_write(
+            spark, df, io, key=args.key, mode=args.mode,
+            partitions=args.partitions, sort_within=not args.no_sort,
+            run_id=args.run_id, overrides=overrides, cluster_by=cluster_by)
         d["ratio"] = (d["bytes_out"] / d["bytes_in"]) if d["bytes_in"] else None
         print(json.dumps(d))
         return

@@ -5,6 +5,7 @@ analysis (language-id heuristic, quality scoring, token stats,
 fingerprinting) and multimodal column plumbing."""
 
 from .dedup import (connected_components, dedup_groups,  # noqa: F401
+                    neardup_dedup,
                     exact_dedup, minhash_signatures, minhash_neardup_pairs,
                     minhash_wordgram_neardup_pairs,
                     minhash_wordgram_signatures, ngram_jaccard_verify,

@@ -404,3 +404,26 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     schema = (f"{id_col} long, simhash long, band0 long, band1 long, "
               f"band2 long, band3 long")
     return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def neardup_dedup(df: DataFrame, text_col: str, id_col: str,
+                  n_hashes: int = 8, bands: int = 4,
+                  prefer_col: str = None, max_iter: int = 25) -> DataFrame:
+    """One-call corpus near-deduplication: banded MinHash candidate
+    pairs -> connected components -> survivor selection -> the KEPT rows
+    of `df` (left-semi join on the survivors, so the full rows come back
+    without reshuffling text through the dedup machinery).
+
+    Uses the deterministic md5 word-gram signature path so the whole
+    chain stays SQL-oracle-checkable end-to-end; swap the pairs stage
+    for minhash_neardup_pairs (numpy universal hashing, hot-bucket cap)
+    when throughput matters more than oracle-exactness — the downstream
+    components/survivor stages are identical."""
+    pairs = minhash_wordgram_neardup_pairs(df, text_col, id_col,
+                                           n_hashes=n_hashes, bands=bands)
+    nodes = (df.select(id_col) if prefer_col is None
+             else df.select(id_col, prefer_col))
+    groups = dedup_groups(pairs.select("a", "b"), nodes, id_col,
+                          prefer_col=prefer_col, max_iter=max_iter)
+    keep = groups.filter(F.col("keep") == 1).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -398,3 +398,30 @@ def test_exact_filter_mask_py_matches_sql_semantics(spark):
     assert m3.to_pylist() == [True, True, False, False, False]
     m4 = exact_filter_mask_py(batch, [("s", "!=", "b")])
     assert m4.to_pylist() == [True, False, False, True, False]
+
+
+def test_exact_filter_mask_py_coerces_string_literals(spark):
+    """CLI-style raw string values against typed columns: ISO timestamps
+    parse, numeric strings parse, garbage matches nothing (Spark's
+    cast-to-null semantics) instead of raising."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from sparkolumnar.engine.decode import exact_filter_mask_py
+
+    ts = [dt.datetime(2025, 9, 12, 0, m) for m in (0, 10, 30)]
+    batch = pa.RecordBatch.from_pydict({
+        "t": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    m = exact_filter_mask_py(batch, [
+        ("t", ">=", "2025-09-12T00:00:00"),
+        ("t", "<=", "2025-09-12T00:20:00")])
+    assert m.to_pylist() == [True, True, False]
+    assert exact_filter_mask_py(
+        batch, [("v", "=", "2")]).to_pylist() == [False, True, False]
+    assert exact_filter_mask_py(
+        batch, [("t", "=", "garbage")]).to_pylist() == [False] * 3
+    assert exact_filter_mask_py(
+        batch, [("v", "in", ["1", "3"])]).to_pylist() == [True, False, True]
