@@ -34,7 +34,8 @@ import time
 LEVELS = (2, 8, 32)
 
 
-def run_level(cpus: int, rows: int, mode: str) -> dict:
+def run_level(cpus: int, rows: int, mode: str,
+              path: str = "ipc") -> dict:
     from pyspark.sql import SparkSession, functions as F
 
     spark = (SparkSession.builder.master(f"local[{cpus}]")
@@ -62,12 +63,34 @@ def run_level(cpus: int, rows: int, mode: str) -> dict:
         encode_table(warm, snapshot_id="warm", plan=plan, mode=mode).count()
         best = None
         for trial in range(2):
-            t0 = time.time()
-            (encode_table(pages, key="url", snapshot_id=f"s{cpus}_{trial}",
-                          sort_within=True, plan=plan, mode=mode,
-                          partitions=cpus)
-             .select(F.sum("n_rows")).collect())
-            dt = time.time() - t0
+            if path == "hybrid":
+                # the production write path: Spark layout + task-side
+                # blocks write (encode_table_direct_write) — the whole
+                # job INCLUDING the durable blocks output, no IPC-out leg
+                import shutil
+                import tempfile
+
+                from sparkolumnar.engine import encode_table_direct_write
+                from sparkolumnar.engine.tableio import TableIO
+
+                d = tempfile.mkdtemp(prefix=f"sparkolumnar_scale_{cpus}_")
+                io = TableIO(spark, d)
+                t0 = time.time()
+                (encode_table_direct_write(
+                    pages, io, key="url", snapshot_id=f"s{cpus}_{trial}",
+                    sort_within=True, plan=plan, mode=mode,
+                    partitions=cpus)
+                 .select(F.sum("n_rows")).collect())
+                dt = time.time() - t0
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                t0 = time.time()
+                (encode_table(pages, key="url",
+                              snapshot_id=f"s{cpus}_{trial}",
+                              sort_within=True, plan=plan, mode=mode,
+                              partitions=cpus)
+                 .select(F.sum("n_rows")).collect())
+                dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         return {"cpus": cpus, "sec": round(best, 2),
                 "gbps": round(raw / 1e9 / best, 4),
@@ -76,12 +99,13 @@ def run_level(cpus: int, rows: int, mode: str) -> dict:
         spark.stop()
 
 
-def _spawn_pinned(cpus: int, rows: int, mode: str) -> dict:
+def _spawn_pinned(cpus: int, rows: int, mode: str,
+                  path: str = "ipc") -> dict:
     """One level in a fresh process pinned to exactly `cpus` host cores."""
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
            "--level", str(cpus)]
     env = dict(os.environ, SPARK_GRAFT_PAGES_ROWS=str(rows),
-               SPARK_GRAFT_MODE=mode)
+               SPARK_GRAFT_MODE=mode, SPARK_GRAFT_SCALE_PATH=path)
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          timeout=1800)
     if out.returncode != 0:
@@ -92,9 +116,10 @@ def _spawn_pinned(cpus: int, rows: int, mode: str) -> dict:
 def main():
     rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "200000"))
     mode = os.environ.get("SPARK_GRAFT_MODE", "balanced")
+    path = os.environ.get("SPARK_GRAFT_SCALE_PATH", "ipc")
     if "--level" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--level") + 1])
-        print(json.dumps(run_level(cpus, rows, mode)))
+        print(json.dumps(run_level(cpus, rows, mode, path)))
         return 0
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     # interleave cpu levels across rounds (ABAB) so slow drift in shared-box
@@ -102,10 +127,11 @@ def main():
     results = {}
     for _ in range(rounds):
         for n in LEVELS:
-            r = _spawn_pinned(n, rows, mode)
+            r = _spawn_pinned(n, rows, mode, path)
             if n not in results or r["gbps"] > results[n]["gbps"]:
                 results[n] = r
-    out = {"mode": mode, "rows": rows, "pinned": "taskset -c 0..N-1",
+    out = {"mode": mode, "rows": rows, "path": path,
+           "pinned": "taskset -c 0..N-1",
            **{f"local{n}": r for n, r in results.items()},
            "scaling_efficiency_2_to_8":
                round(results[8]["gbps"] / (4 * results[2]["gbps"]), 3),

@@ -351,18 +351,32 @@ def zone_filter(blocks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     return blocks_df.where(_col_cond(column, _range_elem(lo, hi, use_float)))
 
 
+def _meta_fields_of(blocks_df: DataFrame) -> frozenset:
+    """Field names available in the per-column metadata struct — older
+    snapshots (written before a sketch family existed, e.g. pre-prefix-
+    bounds tables) lack some fields, and referencing an absent struct
+    field is an ANALYSIS error in Spark, not a null. Pruning degrades
+    per sketch family on these tables instead of failing the query."""
+    try:
+        t = blocks_df.schema["columns"].dataType.elementType
+        return frozenset(t.fieldNames())
+    except Exception:
+        return frozenset()
+
+
 def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
     """Block-level EQUALITY pushdown via the per-block bloom sketch: keep
     only blocks whose bloom for `column` has all of the value's bits set
     (or no bloom at all — pruning is only ever sound), AND whose prefix
-    zone bounds admit the value. Pruned blocks' payload bytes are never
-    read. Exact row filtering remains the caller's .filter on the
-    decoded output."""
+    zone bounds admit the value (when the table carries them). Pruned
+    blocks' payload bytes are never read. Exact row filtering remains
+    the caller's .filter on the decoded output."""
     if isinstance(value, str):
         value = value.encode("utf-8", "surrogatepass")
-    return blocks_df.where(
-        _col_cond(column, _bloom_elem(value))
-        & _col_cond(column, _str_range_elem(value, value)))
+    cond = _col_cond(column, _bloom_elem(value))
+    if {"min_bin", "max_bin"} <= _meta_fields_of(blocks_df):
+        cond = cond & _col_cond(column, _str_range_elem(value, value))
+    return blocks_df.where(cond)
 
 
 def _canon_zone_value(value, arrow_type_str: str):
@@ -493,21 +507,39 @@ def _str_probe_bytes(v):
     return v if isinstance(v, (bytes, bytearray)) else None
 
 
-def _eq_block_cond(col: str, v, t: str, is_str: bool):
+_ALL_META_FIELDS = frozenset((
+    "name", "codec", "arrow_type", "n_nulls", "bytes_in", "bytes_out",
+    "checksum_in", "min_i64", "max_i64", "min_f64", "max_f64", "bloom",
+    "min_bin", "max_bin"))
+
+
+def _eq_block_cond(col: str, v, t: str, is_str: bool,
+                   fields: frozenset = _ALL_META_FIELDS):
     """Block-keep condition for `col == v`, or None (no pruning)."""
     if is_str:
         b = _str_probe_bytes(v)
         if b is None:
             return None
-        return (_col_cond(col, _bloom_elem(bytes(b)))
-                & _col_cond(col, _str_range_elem(bytes(b), bytes(b))))
+        conds = []
+        if "bloom" in fields:
+            conds.append(_col_cond(col, _bloom_elem(bytes(b))))
+        if {"min_bin", "max_bin"} <= fields:
+            conds.append(_col_cond(col, _str_range_elem(bytes(b),
+                                                        bytes(b))))
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
     c = _canon_zone_value(v, t)
     if c is None:
         return None
     return _col_cond(col, _range_elem(c, c, isinstance(c, float)))
 
 
-def _leaf_block_cond(flt, types: dict):
+def _leaf_block_cond(flt, types: dict,
+                     fields: frozenset = _ALL_META_FIELDS):
     """Block-keep condition for one (col, op, ...) filter, or None when
     the combination supports no pruning (unknown column, !=, value not
     convertible to the column's canonical domain) — the exact post-filter
@@ -524,7 +556,7 @@ def _leaf_block_cond(flt, types: dict):
         # kept iff SOME listed value may be present in it
         conds = []
         for v in vals[0]:
-            c = _eq_block_cond(col, v, t, is_str)
+            c = _eq_block_cond(col, v, t, is_str, fields)
             if c is None:
                 return None
             conds.append(c)
@@ -535,7 +567,7 @@ def _leaf_block_cond(flt, types: dict):
             out = out | c
         return out
     if op in ("=", "=="):
-        return _eq_block_cond(col, vals[0], t, is_str)
+        return _eq_block_cond(col, vals[0], t, is_str, fields)
     lo = hi = None
     if op == "between":
         lo, hi = vals
@@ -546,6 +578,8 @@ def _leaf_block_cond(flt, types: dict):
     # strict ops keep the closed zone bound (sound: may keep one
     # boundary block too many, never drops a needed one)
     if is_str:
+        if not ({"min_bin", "max_bin"} <= fields):
+            return None  # pre-prefix-bounds table: no string range pruning
         lo_b = _str_probe_bytes(lo) if lo is not None else None
         hi_b = _str_probe_bytes(hi) if hi is not None else None
         if lo_b is None and hi_b is None:
@@ -748,13 +782,16 @@ def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
     type supports one; leaves within a group AND, groups OR. Pruning is
     only ever sound — a group with no prunable leaf disables pruning
     entirely (any block might satisfy that OR-branch), and the exact
-    post-filter always applies. Accepts raw or normalized filters."""
+    post-filter always applies. Accepts raw or normalized filters.
+    Sketch families absent from the table's metadata struct (older
+    snapshots) simply don't prune — never an analysis error."""
     groups = _normalize_filters(filters)
+    fields = _meta_fields_of(blocks_df)
     or_cond = None
     for g in groups:
         gc = None
         for flt in g:
-            c = _leaf_block_cond(flt, types)
+            c = _leaf_block_cond(flt, types, fields)
             if c is not None:
                 gc = c if gc is None else (gc & c)
         if gc is None:

@@ -379,3 +379,42 @@ def test_cluster_by_parallelism_scales_with_partitions(spark):
                           snapshot_id="par64")
     parts = blocks.select("part_id").distinct().count()
     assert parts >= 32, parts
+
+
+def test_filters_on_pre_prefix_bounds_snapshot(spark):
+    """Back-compat: a blocks table written BEFORE the string-prefix zone
+    bounds existed (metadata struct without min_bin/max_bin) must still
+    accept string filters — pruning degrades per missing sketch family,
+    never an analysis error."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": range(3000),
+                        "s": [f"v{i % 40:03d}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf, "k long, s string")
+    blocks = encode_table(df, cluster_by="s", partitions=2,
+                          snapshot_id="oldsnap")
+    # simulate the r3-era metadata struct: drop the prefix-bound fields
+    old_fields = ["name", "codec", "arrow_type", "n_nulls", "bytes_in",
+                  "bytes_out", "checksum_in", "min_i64", "max_i64",
+                  "min_f64", "max_f64", "bloom"]
+    old = blocks.withColumn(
+        "columns",
+        F.transform("columns", lambda c: F.struct(
+            *[c[f].alias(f) for f in old_fields])))
+    for filters in ([("s", "=", "v007")],
+                    [("s", "between", "v010", "v020")],
+                    [("s", "in", ["v001", "v030"])]):
+        got = decode_blocks(old, filters=filters)
+        want = decode_blocks(old).filter(
+            _exact_pred(filters))
+        assert got.count() == want.count() > 0, filters
+
+
+def _exact_pred(filters):
+    col, op, vals = filters[0][0], filters[0][1], list(filters[0][2:])
+    c = F.col(col)
+    if op == "=":
+        return c == vals[0]
+    if op == "between":
+        return c.between(*vals)
+    return c.isin(list(vals[0]))

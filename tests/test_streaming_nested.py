@@ -236,3 +236,33 @@ def test_streaming_decode_filters_with_explicit_schema(spark, tmp_path):
     want = decode_blocks(io.read_blocks(),
                          filters=[("lang", "=", "en")]).select("url")
     assert len(rows) == want.count() > 0
+
+
+def test_streaming_decode_with_in_and_or_filters(spark, tmp_path):
+    """IN lists and OR-of-conjunctions under the micro-batch engine —
+    the DNF pruning machinery is shared with decode_blocks, so the
+    streamed matching rows must equal the batch result."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import decode_blocks
+    from sparkolumnar.streaming import decode_stream
+
+    pages = pages_df(spark, 2000, cache_dir=str(tmp_path / "pgi"))
+    io = TableIO(spark, str(tmp_path / "sinki"))
+    io.write_blocks(encode_table(pages, cluster_by=["lang", "url"],
+                                 partitions=2, snapshot_id="si"))
+    filters = [
+        [("lang", "in", ["en", "l03"])],
+        [("lang", "=", "l09")],
+    ]
+    out = decode_stream(spark, io.blocks_path, columns=["url", "lang"],
+                        filters=filters)
+    q = (out.writeStream.format("memory").queryName("dec_in_or")
+         .option("checkpointLocation", str(tmp_path / "cki"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dec_in_or").collect()
+    want = decode_blocks(io.read_blocks(), filters=filters)
+    assert len(rows) == want.count() > 0
+    assert {r["lang"] for r in rows} <= {"en", "l03", "l09"}
