@@ -740,7 +740,13 @@ def exact_filter_mask_py(batch, filters):
 
     def leaf(flt):
         col, op, vals = flt[0], flt[1], list(flt[2:])
-        a = batch.column(batch.schema.get_field_index(col))
+        idx = batch.schema.get_field_index(col)
+        if idx < 0:  # get_field_index returns -1, which would silently
+            #          select the LAST column — fail loudly instead
+            raise KeyError(
+                f"filter column {col!r} not in decoded batch "
+                f"(have {batch.schema.names})")
+        a = batch.column(idx)
         none_match = pa.array([False] * len(a), pa.bool_())
 
         def sc(v):

@@ -333,6 +333,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     labels = (nodes.select(F.col(id_col).alias("__id"))
               .distinct()
               .withColumn("__label", F.col("__id")))
+    converged = False
     for _ in range(max_iter):
         prop = (edges.join(labels.select(F.col("__id").alias("src"),
                                          "__label"), "src")
@@ -345,7 +346,18 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                    .where(F.col("__label") < F.col("__old")))
         labels = new
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # unconverged labels would silently split groups — be loud (a
+        # component with diameter > max_iter means the input is not a
+        # near-dup pair graph; raise max_iter or pre-thin the edges)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds; group_ids may split long-chain components — raise "
+            f"max_iter", stacklevel=2)
     return labels.select(F.col("__id").alias(id_col),
                          F.col("__label").alias("group_id"))
 

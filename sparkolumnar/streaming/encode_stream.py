@@ -26,8 +26,15 @@ from ..engine.tableio import TableIO
 def encode_stream(stream_df: DataFrame, io: TableIO,
                   checkpoint_location: str, key: Optional[str] = None,
                   mode: str = BALANCED, partitions: Optional[int] = None,
-                  trigger_available_now: bool = True):
+                  trigger_available_now: bool = True,
+                  cluster_by=None):
     """Start a streaming query encoding `stream_df` into io's blocks table.
+
+    cluster_by: range-cluster each micro-batch before encoding (the same
+    deterministic quantile bucketing as the batch path) so the streamed
+    snapshots carry the zone-map/bloom pruning layout too — a range probe
+    over the accumulated blocks table then prunes inside EVERY
+    micro-batch's snapshot, not just batch-written ones.
 
     Returns the StreamingQuery; callers manage await/stop.
     """
@@ -39,7 +46,8 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
         encode_job(spark, batch_df, io, key=key,
                    snapshot_id=f"stream-{batch_id}", mode=mode,
                    partitions=partitions, sort_within=key is not None,
-                   run_id=f"b{batch_id}", plan=None)
+                   run_id=f"b{batch_id}", plan=None,
+                   cluster_by=cluster_by)
 
     writer = (stream_df.writeStream
               .foreachBatch(handle)

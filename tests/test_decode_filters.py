@@ -418,3 +418,83 @@ def _exact_pred(filters):
     if op == "between":
         return c.between(*vals)
     return c.isin(list(vals[0]))
+
+
+def test_filters_property_random_dnf(spark):
+    """Property sweep over RANDOM DNF filters on a mixed-type clustered
+    table: (1) decode_blocks(filters=) equals plain decode + the same
+    predicate, and (2) the task-side Python pruning twin (block_keep_py)
+    keeps exactly the blocks the Spark metadata expressions keep — for
+    arbitrary combinations of range/eq/IN/!= over int, string and
+    timestamp columns, including out-of-range and garbage values."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from sparkolumnar.engine.decode import block_keep_py
+
+    rng = random.Random(20260817)
+    base = dt.datetime(2025, 1, 1)
+    n = 6000
+    pdf = pd.DataFrame({
+        "k": range(n),
+        "v": [rng.randrange(-500, 500) for _ in range(n)],
+        "s": [f"key{rng.randrange(60):03d}" for _ in range(n)],
+        "t": [base + dt.timedelta(minutes=i) for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf, "k long, v long, s string, t timestamp")
+    blocks = encode_table(df, cluster_by=["s", "k"], partitions=2,
+                          snapshot_id="dnf").cache()
+    types = _blocks_arrow_types(blocks)
+    meta = [(r["part_id"], r["seq"], [c.asDict() for c in r["columns"]])
+            for r in blocks.select("part_id", "seq", "columns").collect()]
+
+    def rand_leaf():
+        col = rng.choice(["v", "s", "t"])
+        op = rng.choice(["=", "!=", ">=", "<=", ">", "<", "between", "in"])
+        def val():
+            if col == "v":
+                return rng.randrange(-700, 700)
+            if col == "s":
+                return f"key{rng.randrange(70):03d}"
+            return base + dt.timedelta(minutes=rng.randrange(-100, n + 100))
+        if op == "between":
+            a, b = sorted([val(), val()])
+            return (col, op, a, b)
+        if op == "in":
+            return (col, op, [val() for _ in range(rng.randrange(0, 4))])
+        return (col, op, val())
+
+    def spark_pred(groups):
+        or_e = None
+        for g in groups:
+            e = None
+            for col, op, *vals in g:
+                c = F.col(col)
+                leaf = {"=": lambda: c == vals[0],
+                        "!=": lambda: c != vals[0],
+                        ">=": lambda: c >= vals[0],
+                        "<=": lambda: c <= vals[0],
+                        ">": lambda: c > vals[0],
+                        "<": lambda: c < vals[0],
+                        "between": lambda: c.between(vals[0], vals[1]),
+                        "in": lambda: (c.isin(list(vals[0]))
+                                       if vals[0] else F.lit(False))}[op]()
+                e = leaf if e is None else (e & leaf)
+            or_e = e if or_e is None else (or_e | e)
+        return or_e
+
+    full = decode_blocks(blocks).cache()
+    for trial in range(10):
+        groups = [[rand_leaf() for _ in range(rng.randrange(1, 3))]
+                  for _ in range(rng.randrange(1, 3))]
+        got = decode_blocks(blocks, filters=groups)
+        want = full.filter(spark_pred(groups))
+        assert got.count() == want.count(), groups
+        spark_keep = {(r["part_id"], r["seq"]) for r in
+                      _apply_block_filters(blocks, groups, types)
+                      .select("part_id", "seq").collect()}
+        py_keep = {(p, q) for p, q, m in meta
+                   if block_keep_py(m, groups, types)}
+        assert py_keep == spark_keep, groups

@@ -348,3 +348,17 @@ def test_dedup_groups_survivors(spark):
     per_group = (out.groupBy("group_id")
                  .agg(F.sum("keep").alias("k")).collect())
     assert all(r["k"] == 1 for r in per_group)
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import warnings
+
+    from sparkolumnar.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, nodes, max_iter=2).collect()
+    assert any("did not converge" in str(x.message) for x in w)
