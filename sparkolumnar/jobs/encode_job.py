@@ -70,6 +70,10 @@ def main(argv=None) -> None:
     if args.overrides:
         overrides = dict(kv.split("=", 1) for kv in args.overrides.split(","))
     cluster_by = args.cluster_by.split(",") if args.cluster_by else None
+    if args.direct and args.hybrid:
+        raise ValueError("--direct (storage-order scan-in-UDF) and "
+                         "--hybrid (Spark layout + write-in-UDF) are "
+                         "mutually exclusive")
     if args.direct:
         if cluster_by or overrides:
             raise ValueError(

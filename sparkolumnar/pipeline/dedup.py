@@ -319,7 +319,9 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     does not grow with iterations. (For graphs with genuinely long
     chains, the large-star/small-star variant of the same join primitive
     converges in O(log V) rounds — this propagation loop is the simple
-    case that near-dup graphs actually need.)
+    case that near-dup graphs actually need; see Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014, for the
+    star-contraction variants built from the same join primitive.)
 
     pairs: DataFrame with columns (a, b) — undirected candidate edges.
     nodes: DataFrame carrying every id in `id_col` (including docs in no

@@ -425,3 +425,40 @@ def test_exact_filter_mask_py_coerces_string_literals(spark):
         batch, [("t", "=", "garbage")]).to_pylist() == [False] * 3
     assert exact_filter_mask_py(
         batch, [("v", "in", ["1", "3"])]).to_pylist() == [True, False, True]
+
+
+def test_hybrid_job_resume_and_crash_recovery(spark, tmp_path):
+    """encode_job_direct_write: exactly-once across reruns, and a
+    crashed-before-checkpoint attempt (blocks written, checkpoint rows
+    never appended) is idempotently overwritten by the next run — the
+    dynamic-overwrite cleanup plus content-addressed blocks."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine import (encode_job_direct_write,
+                                     encode_table_direct_write)
+
+    pages = pages_df(spark, 3000, cache_dir=str(tmp_path / "pg"))
+    io = TableIO(spark, str(tmp_path / "t"))
+
+    # simulate a crash: blocks land (task-side writes), checkpoint never
+    # does — the next job run must redo and overwrite, not duplicate
+    (encode_table_direct_write(pages, io, key="url", snapshot_id="crash",
+                               partitions=4)
+     .select(F.sum("n_rows")).collect())
+    # the "crashed" snapshot has blocks but zero checkpointed parts
+    assert io.committed_parts("crash") == set()
+
+    r1 = encode_job_direct_write(spark, pages, io, key="url",
+                                 snapshot_id="crash", partitions=4,
+                                 run_id="redo")
+    assert r1["parts_done_before"] == 0 and r1["parts_encoded"] == 4
+    r2 = encode_job_direct_write(spark, pages, io, key="url",
+                                 snapshot_id="crash", partitions=4,
+                                 run_id="again")
+    assert r2["parts_encoded"] == 0 and r2["parts_done_before"] == 4
+
+    blocks = io.read_blocks().filter(F.col("snapshot_id") == "crash")
+    dec = decode_blocks(blocks, verify=True).select("url", "text")
+    assert dec.count() == 3000  # no duplicated rows from the crash run
+    assert dec.exceptAll(pages.select("url", "text")).count() == 0
