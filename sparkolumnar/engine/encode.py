@@ -251,7 +251,10 @@ def _cluster_bucket_expr(cols: List[str], bounds: list):
     per row, so the per-row cost stays flat as the bucket count scales
     with partitions (a flat sum over B comparisons — the old shape —
     would pay O(B) per row, untenable at 4*p buckets for large p). The
-    expression is built once per job; rows with a null component take
+    expression is built once per job — O(B) py4j Column constructions,
+    roughly tens of seconds of one-time driver work at the 65536-bucket
+    ceiling, amortized over a job whose data volume warranted 16k+
+    partitions in the first place; rows with a null component take
     the otherwise-branch at every node (deterministically bucket-left),
     which preserves the resume invariant. Struct comparison is
     lexicographic by field position — the same order the boundary tuples
