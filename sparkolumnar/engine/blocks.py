@@ -198,12 +198,19 @@ _BLOOM_K = 4
 _BLOOM_MAX_DISTINCT = 2048  # beyond this the filter saturates; store None
 
 
-def bloom_positions(value: bytes) -> list:
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8192)
+def bloom_positions(value: bytes) -> tuple:
     """The _BLOOM_K bit positions of a value (sha256-derived, so the
-    driver-side probe and the executor-side build always agree)."""
+    driver-side probe and the executor-side build always agree).
+    Memoized: encode probes each distinct categorical value once per
+    block, and the direct decode's block_keep_py probes each filter
+    value once per block — both repeat values heavily."""
     d = hashlib.sha256(value).digest()
-    return [int.from_bytes(d[8 * i: 8 * i + 8], "big") % _BLOOM_BITS
-            for i in range(_BLOOM_K)]
+    return tuple(int.from_bytes(d[8 * i: 8 * i + 8], "big") % _BLOOM_BITS
+                 for i in range(_BLOOM_K))
 
 
 def bloom_of_values(values) -> Optional[list]:

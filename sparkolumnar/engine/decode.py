@@ -379,7 +379,20 @@ def zone_filter_eq(blocks_df: DataFrame, column: str, value) -> DataFrame:
     return blocks_df.where(cond)
 
 
-def _canon_zone_value(value, arrow_type_str: str):
+def _canon_zone_value(value, arrow_type_str: str, session_tz=None):
+    """Memoizing front for _canon_zone_value_impl: the direct decode
+    path evaluates the same filter leaves once PER BLOCK (block_keep_py
+    in the task loop), and re-parsing an ISO timestamp or re-scaling a
+    Decimal 10^5 times per part is pure overhead. Predicate values are
+    hashable in practice (str/int/float/datetime/date/Decimal/bytes);
+    anything unhashable falls through to the direct computation."""
+    try:
+        return _canon_zone_value_cached(value, arrow_type_str, session_tz)
+    except TypeError:
+        return _canon_zone_value_impl(value, arrow_type_str, session_tz)
+
+
+def _canon_zone_value_impl(value, arrow_type_str: str, session_tz=None):
     """Convert a Python predicate value to the canonical zone-map bound of
     the column's arrow type — the exact int64 mapping the encoder's
     _zone_minmax derives through codecs.core.to_int64 (timestamps in the
@@ -390,17 +403,45 @@ def _canon_zone_value(value, arrow_type_str: str):
     (e.g. an arbitrary string against an int column): pruning then
     degrades soundly to the exact post-filter instead of raising —
     decode_job --eq passes raw CLI strings straight through here.
-    ISO-format strings are accepted for timestamp/date columns."""
+    ISO-format strings are accepted for timestamp/date columns.
+
+    session_tz: Spark session timezone. Pruning must canonicalize each
+    literal kind exactly as Spark's exact filter will interpret it, or
+    the zone bound disagrees with the predicate by a tz offset and
+    matching blocks are silently dropped. Spark's rules (mirrored here):
+    an ISO STRING against a tz-aware timestamp column casts in the
+    SESSION timezone; a naive Python datetime literal goes through
+    TimestampType.toInternal, i.e. time.mktime = the SYSTEM timezone;
+    aware datetimes are instants. Naive (NTZ) columns stay wall-clock
+    for both literal kinds."""
     import datetime as dt
     from decimal import Decimal, InvalidOperation
 
     t = arrow_type_str
     try:
         if t.startswith("timestamp["):
-            unit = t[len("timestamp["):-1].split(",")[0].strip()
-            if isinstance(value, str):
+            parts = [p.strip()
+                     for p in t[len("timestamp["):-1].split(",")]
+            unit = parts[0]
+            has_tz = any(p.startswith("tz=") for p in parts[1:])
+            from_string = isinstance(value, str)
+            if from_string:
                 value = dt.datetime.fromisoformat(value)
             if isinstance(value, dt.datetime):
+                if value.tzinfo is None and has_tz:
+                    if from_string:
+                        # Spark casts string literals in the SESSION tz
+                        if session_tz:
+                            from zoneinfo import ZoneInfo
+
+                            value = value.replace(
+                                tzinfo=ZoneInfo(session_tz))
+                    else:
+                        # naive datetime literals go through
+                        # TimestampType.toInternal = time.mktime: the
+                        # SYSTEM timezone (astimezone() on a naive
+                        # datetime applies exactly that)
+                        value = value.astimezone()
                 epoch = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
                          if value.tzinfo is not None
                          else dt.datetime(1970, 1, 1))
@@ -432,9 +473,18 @@ def _canon_zone_value(value, arrow_type_str: str):
             return int(value)
         if t in ("float", "double"):
             return float(value)
-    except (ValueError, TypeError, OverflowError, InvalidOperation):
+    except (ValueError, TypeError, OverflowError, InvalidOperation,
+            KeyError):  # KeyError: ZoneInfoNotFoundError subclasses it
         return None
     return None
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=4096)
+def _canon_zone_value_cached(value, arrow_type_str, session_tz):
+    return _canon_zone_value_impl(value, arrow_type_str, session_tz)
 
 
 def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
@@ -514,7 +564,8 @@ _ALL_META_FIELDS = frozenset((
 
 
 def _eq_block_cond(col: str, v, t: str, is_str: bool,
-                   fields: frozenset = _ALL_META_FIELDS):
+                   fields: frozenset = _ALL_META_FIELDS,
+                   session_tz=None):
     """Block-keep condition for `col == v`, or None (no pruning)."""
     if is_str:
         b = _str_probe_bytes(v)
@@ -532,14 +583,15 @@ def _eq_block_cond(col: str, v, t: str, is_str: bool,
         for c in conds[1:]:
             out = out & c
         return out
-    c = _canon_zone_value(v, t)
+    c = _canon_zone_value(v, t, session_tz)
     if c is None:
         return None
     return _col_cond(col, _range_elem(c, c, isinstance(c, float)))
 
 
 def _leaf_block_cond(flt, types: dict,
-                     fields: frozenset = _ALL_META_FIELDS):
+                     fields: frozenset = _ALL_META_FIELDS,
+                     session_tz=None):
     """Block-keep condition for one (col, op, ...) filter, or None when
     the combination supports no pruning (unknown column, !=, value not
     convertible to the column's canonical domain) — the exact post-filter
@@ -556,7 +608,7 @@ def _leaf_block_cond(flt, types: dict,
         # kept iff SOME listed value may be present in it
         conds = []
         for v in vals[0]:
-            c = _eq_block_cond(col, v, t, is_str, fields)
+            c = _eq_block_cond(col, v, t, is_str, fields, session_tz)
             if c is None:
                 return None
             conds.append(c)
@@ -567,7 +619,7 @@ def _leaf_block_cond(flt, types: dict,
             out = out | c
         return out
     if op in ("=", "=="):
-        return _eq_block_cond(col, vals[0], t, is_str, fields)
+        return _eq_block_cond(col, vals[0], t, is_str, fields, session_tz)
     lo = hi = None
     if op == "between":
         lo, hi = vals
@@ -587,15 +639,16 @@ def _leaf_block_cond(flt, types: dict,
         return _col_cond(col, _str_range_elem(
             bytes(lo_b) if lo_b is not None else None,
             bytes(hi_b) if hi_b is not None else None))
-    lo_c = _canon_zone_value(lo, t) if lo is not None else None
-    hi_c = _canon_zone_value(hi, t) if hi is not None else None
+    lo_c = _canon_zone_value(lo, t, session_tz) if lo is not None else None
+    hi_c = _canon_zone_value(hi, t, session_tz) if hi is not None else None
     if lo_c is None and hi_c is None:
         return None
     use_float = isinstance(lo_c, float) or isinstance(hi_c, float)
     return _col_cond(col, _range_elem(lo_c, hi_c, use_float))
 
 
-def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
+def block_keep_py(cols_meta, filters, types: dict = None,
+                  session_tz=None) -> bool:
     """Driver/task-side Python twin of _apply_block_filters for ONE
     block's metadata (`cols_meta`: the block row's `columns` list of
     dicts): True when the block may hold matching rows. Same soundness
@@ -603,7 +656,9 @@ def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
     and inconvertible values never prune. Used by the zero-IPC direct
     decode path, where pruning must run inside the task against pyarrow
     metadata rows instead of in a Spark where(). types defaults to the
-    block's own self-describing metadata."""
+    block's own self-describing metadata; session_tz carries the Spark
+    session timezone so naive datetime/ISO values canonicalize exactly
+    as the Spark-side pruning does (see _canon_zone_value)."""
     from .blocks import bloom_positions
 
     groups = _normalize_filters(filters)
@@ -650,7 +705,7 @@ def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
                 return None
             b = bytes(b)
             return bloom_keep(c, b) and str_rng_keep(c, b, b)
-        cv = _canon_zone_value(v, t)
+        cv = _canon_zone_value(v, t, session_tz)
         if cv is None:
             return None
         return rng_keep(c, cv, cv, isinstance(cv, float))
@@ -687,8 +742,10 @@ def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
                 return None
             return str_rng_keep(c, lo_b and bytes(lo_b),
                                 hi_b and bytes(hi_b))
-        lo_c = _canon_zone_value(lo, t) if lo is not None else None
-        hi_c = _canon_zone_value(hi, t) if hi is not None else None
+        lo_c = (_canon_zone_value(lo, t, session_tz)
+                if lo is not None else None)
+        hi_c = (_canon_zone_value(hi, t, session_tz)
+                if hi is not None else None)
         if lo_c is None and hi_c is None:
             return None
         return rng_keep(c, lo_c, hi_c,
@@ -702,19 +759,33 @@ def block_keep_py(cols_meta, filters, types: dict = None) -> bool:
     return False
 
 
-def _coerce_py_value(v, typ):
+def _coerce_py_value(v, typ, session_tz=None):
     """Coerce a Python predicate value to arrow type `typ`, mirroring
     Spark's implicit literal casts (ISO strings to timestamps/dates,
-    numeric strings to numbers). Raises ValueError when the value cannot
-    represent the type — callers map that to an all-false leaf, matching
-    Spark's cast-to-null -> no-match semantics."""
+    numeric strings to numbers; naive datetimes against tz-aware columns
+    interpreted in the SESSION timezone, exactly as Spark casts the same
+    literal). Raises ValueError when the value cannot represent the type
+    — callers map that to an all-false leaf, matching Spark's
+    cast-to-null -> no-match semantics."""
     import datetime as dt
     from decimal import Decimal, InvalidOperation
 
     try:
+        if isinstance(v, dt.datetime) and pa.types.is_timestamp(typ):
+            if v.tzinfo is None and typ.tz is not None:
+                # naive datetime literal: SYSTEM tz (Spark's
+                # TimestampType.toInternal uses time.mktime)
+                return v.astimezone()
+            return v
         if isinstance(v, str):
             if pa.types.is_timestamp(typ):
-                return dt.datetime.fromisoformat(v)
+                d = dt.datetime.fromisoformat(v)
+                if d.tzinfo is None and typ.tz is not None and session_tz:
+                    # string literal: SESSION tz (Spark cast semantics)
+                    from zoneinfo import ZoneInfo
+
+                    d = d.replace(tzinfo=ZoneInfo(session_tz))
+                return d
             if pa.types.is_date(typ):
                 return dt.date.fromisoformat(v)
             if pa.types.is_integer(typ):
@@ -726,16 +797,16 @@ def _coerce_py_value(v, typ):
             if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
                 return v.encode("utf-8", "surrogatepass")
         return v
-    except (ValueError, TypeError, InvalidOperation) as e:
+    except (ValueError, TypeError, InvalidOperation, KeyError) as e:
         raise ValueError(str(e)) from None
 
 
-def exact_filter_mask_py(batch, filters):
+def exact_filter_mask_py(batch, filters, session_tz=None):
     """pyarrow boolean mask applying `filters` exactly to a decoded
     RecordBatch (SQL semantics: null comparisons never match; a literal
     that cannot be cast to the column type matches nothing, as Spark's
     cast-to-null does) — the task-side twin of _exact_filter_expr for
-    the direct decode path."""
+    the direct decode path. session_tz: see _coerce_py_value."""
     import pyarrow.compute as pc
 
     def leaf(flt):
@@ -750,7 +821,8 @@ def exact_filter_mask_py(batch, filters):
         none_match = pa.array([False] * len(a), pa.bool_())
 
         def sc(v):
-            return pa.scalar(_coerce_py_value(v, a.type), type=a.type)
+            return pa.scalar(_coerce_py_value(v, a.type, session_tz),
+                             type=a.type)
 
         try:
             if op == "between":
@@ -761,7 +833,8 @@ def exact_filter_mask_py(batch, filters):
             if op == "!=":
                 return pc.not_equal(a, sc(vals[0]))
             if op == "in":
-                vlist = [_coerce_py_value(v, a.type) for v in vals[0]]
+                vlist = [_coerce_py_value(v, a.type, session_tz)
+                         for v in vals[0]]
                 if not vlist:
                     return none_match
                 return pc.is_in(a, value_set=pa.array(vlist, type=a.type))
@@ -793,11 +866,16 @@ def _apply_block_filters(blocks_df: DataFrame, filters, types: dict):
     snapshots) simply don't prune — never an analysis error."""
     groups = _normalize_filters(filters)
     fields = _meta_fields_of(blocks_df)
+    try:
+        session_tz = blocks_df.sparkSession.conf.get(
+            "spark.sql.session.timeZone")
+    except Exception:
+        session_tz = None
     or_cond = None
     for g in groups:
         gc = None
         for flt in g:
-            c = _leaf_block_cond(flt, types, fields)
+            c = _leaf_block_cond(flt, types, fields, session_tz)
             if c is not None:
                 gc = c if gc is None else (gc & c)
         if gc is None:

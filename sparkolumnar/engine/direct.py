@@ -111,9 +111,16 @@ def _snapshot_of_files(files: Sequence[str], files_per_task: int = 1) -> str:
     the same listing with a different grouping must not match old
     checkpoint rows (it would silently skip parts whose groups now hold
     different files). Callers passing an explicit snapshot_id take on the
-    same obligation: keep files_per_task fixed across resumes."""
+    same obligation: keep files_per_task fixed across resumes.
+
+    The marker is hashed only for NON-default groupings: the default
+    files_per_task=1 id stays equal to the pre-grouping-aware id, so
+    existing tables resume correctly across the upgrade (re-keying them
+    would re-encode everything under a second snapshot and every row
+    would decode twice)."""
     h = hashlib.sha256()
-    h.update(f"g{files_per_task}".encode())
+    if files_per_task != 1:
+        h.update(f"g{files_per_task}".encode())
     for f in files:
         h.update(f.encode())
     return h.hexdigest()[:16]
@@ -179,6 +186,15 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
     it, paths resolve through pyarrow.fs.FileSystem.from_uri — s3/hdfs/
     gcs URIs work unchanged (see _fs_for).
 
+    Timestamp interop note: Spark's DEFAULT parquet output writes
+    timestamps as unannotated INT96, which pyarrow (and this scan-in-UDF
+    path with it) reads as NAIVE timestamps — the encoded column then
+    carries wall-clock NTZ semantics instead of instants, and session-tz
+    string predicates compare differently than on a Spark-scanned table.
+    Write inputs with spark.sql.parquet.outputTimestampType=
+    TIMESTAMP_MICROS (annotated, adjusted-to-UTC) and the direct path
+    preserves instant semantics end-to-end.
+
     blocks_root: optional fs-NATIVE path of the blocks directory for the
     task-side writes, when it differs from io.blocks_path (object
     stores: Spark reads "s3://bucket/t/blocks" while the pyarrow S3
@@ -220,8 +236,11 @@ def encode_files_direct(spark: SparkSession, input_path: str, io: TableIO,
                     parts.append(b)
                     break
                 pf.close()
-            plan = plan_from_sample(
-                pa.Table.from_batches(parts), mode=mode)
+            # all sampled files empty: no plan (per-batch selector runs
+            # standalone) — from_batches([]) without a schema would raise
+            plan = (plan_from_sample(pa.Table.from_batches(parts),
+                                     mode=mode)
+                    if parts else None)
         else:
             from .plan import build_plan
 
@@ -319,7 +338,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         verify: bool = False,
                         files_per_task: int = 1,
                         filesystem=None,
-                        filters=None) -> dict:
+                        filters=None,
+                        blocks_root: Optional[str] = None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -343,8 +363,17 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     from .decode import (block_keep_py, exact_filter_mask_py,
                          make_decode_fn, _normalize_filters)
 
+    session_tz = None
     if filters:
-        _normalize_filters(filters)  # validate on the driver, fail fast
+        # validate + normalize ONCE on the driver: the task loop calls
+        # block_keep_py per block, and re-normalizing (plus re-parsing
+        # leaf values) 10^5 times per part would be pure waste — the
+        # canonicalization itself is also lru-cached (decode.py)
+        filters = _normalize_filters(filters)
+        try:
+            session_tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            session_tz = None
         if columns is not None:
             from .decode import filter_columns_of
 
@@ -354,8 +383,11 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
             # (the direct path writes files, dropping them afterwards
             # would mean a second pass — document instead)
             columns = list(columns) + missing
-    files = sorted(_local_path(f)
-                   for f in io.read_blocks().inputFiles())
+    if filesystem is not None and blocks_root is not None:
+        files = list_parquet_files(spark, blocks_root, filesystem)
+    else:
+        files = sorted(_local_path(f)
+                       for f in io.read_blocks().inputFiles())
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     meta_schema = pa.schema([pa.field("part_id", pa.int32()),
@@ -400,7 +432,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         metas = meta.column("columns").to_pylist()
                         blocks_total += len(seqs)
                         keep = [s for s, m in zip(seqs, metas)
-                                if block_keep_py(m, filters)]
+                                if block_keep_py(m, filters,
+                                                 session_tz=session_tz)]
                         blocks_read += len(keep)
                         pf.close()
                         if not keep:
@@ -414,7 +447,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                             columns=read_cols,
                             filter=pads.field("seq").isin(keep))
                         for out in fn(it):
-                            mask = exact_filter_mask_py(out, filters)
+                            mask = exact_filter_mask_py(out, filters,
+                                                        session_tz)
                             out = out.filter(mask)
                             if out.num_rows:
                                 out_batches.append(out)
@@ -426,17 +460,26 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         out_batches.append(out)
                         n += out.num_rows
                     pf.close()
+                wfs, wroot = _fs_for(output_path, filesystem)
+                target = f"{wroot}/part-{pid:05d}.parquet"
                 if out_batches:
                     import pyarrow.parquet as _pq
 
-                    wfs, wroot = _fs_for(output_path, filesystem)
-                    target = f"{wroot}/part-{pid:05d}.parquet"
                     tmp = (f"{wroot}/.part-{pid:05d}.parquet"
                            f".{_task_attempt_token()}.inprogress")
                     _pq.write_table(
                         pa.Table.from_batches(out_batches), tmp,
                         filesystem=wfs, compression="snappy")
                     wfs.move(tmp, target)
+                else:
+                    # this part produced no rows (e.g. filters pruned
+                    # everything): a part file from a PRIOR run into the
+                    # same directory would otherwise survive and mix
+                    # unfiltered rows into the result
+                    try:
+                        wfs.delete_file(target)
+                    except (FileNotFoundError, OSError):
+                        pass
                 yield pa.RecordBatch.from_pylist(
                     [{"part_id": pid, "n_rows": n,
                       "n_blocks_read": blocks_read,

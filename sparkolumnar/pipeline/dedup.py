@@ -379,11 +379,17 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame, id_col: str = "id",
             "keep", (F.col("group_id") == F.col(id_col)).cast("int"))
     scored = comp.join(nodes.select(F.col(id_col), F.col(prefer_col)),
                        id_col)
+    # two-stage winner: max prefer value per group, then min id among
+    # the rows achieving it — works for ANY orderable id type (a
+    # -id tie-break would fail on string/url ids); eqNullSafe keeps
+    # all-null-prefer groups from losing their survivor entirely
     best = (scored.groupBy("group_id")
-            .agg(F.max_by(F.col(id_col),
-                          F.struct(F.col(prefer_col),
-                                   -F.col(id_col))).alias("__winner")))
-    return (scored.join(best, "group_id")
+            .agg(F.max(prefer_col).alias("__best")))
+    winners = (scored.join(best, "group_id")
+               .where(F.col(prefer_col).eqNullSafe(F.col("__best")))
+               .groupBy("group_id")
+               .agg(F.min(id_col).alias("__winner")))
+    return (scored.join(winners, "group_id")
             .withColumn("keep",
                         (F.col(id_col) == F.col("__winner")).cast("int"))
             .select(id_col, "group_id", "keep"))

@@ -498,3 +498,63 @@ def test_filters_property_random_dnf(spark):
         py_keep = {(p, q) for p, q, m in meta
                    if block_keep_py(m, groups, types)}
         assert py_keep == spark_keep, groups
+
+
+def test_filters_timestamp_pruning_in_non_utc_session(spark, tmp_path):
+    """Regression (review finding): zone pruning must canonicalize naive
+    datetime / ISO-string values in the SESSION timezone — Spark's exact
+    filter casts the same literal there, and a UTC-assuming zone bound
+    would prune blocks whose rows match the exact predicate. Run the
+    whole stack (Spark pruning, exact filter, direct-path Python twins)
+    under America/New_York and require exact agreement."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkolumnar.engine import (decode_files_direct,
+                                     encode_files_direct)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_ots = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # annotated micros (not INT96): pyarrow then reads the input as
+    # tz-aware instants and the direct path keeps instant semantics
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        base = dt.datetime(2024, 6, 1, 0, 0)  # naive, session-local
+        pdf = pd.DataFrame({
+            "k": range(4000),
+            "ts": [base + dt.timedelta(minutes=i) for i in range(4000)],
+        })
+        src = str(tmp_path / "in")
+        df = spark.createDataFrame(pdf, "k long, ts timestamp")
+        df.write.parquet(src)
+        io = TableIO(spark, str(tmp_path / "t"))
+        io.write_blocks(encode_table(spark.read.parquet(src),
+                                     cluster_by="ts", partitions=2,
+                                     snapshot_id="tz"))
+        blocks = io.read_blocks()
+        hi = base + dt.timedelta(minutes=300)
+        # Spark interprets the two literal kinds differently: an ISO
+        # string casts in the SESSION tz (session-determined count: data
+        # and literal both session-interpreted -> exactly 301 rows); a
+        # naive datetime literal goes through time.mktime (SYSTEM tz) —
+        # pruning must agree with the exact filter in BOTH cases
+        got_s = decode_blocks(blocks,
+                              filters=[("ts", "<=", hi.isoformat())])
+        want_s = decode_blocks(blocks).filter(F.col("ts") <= hi.isoformat())
+        assert got_s.count() == want_s.count() == 301
+        got_d = decode_blocks(blocks, filters=[("ts", "<=", hi)])
+        want_d = decode_blocks(blocks).filter(F.col("ts") <= hi)
+        assert got_d.count() == want_d.count() > 0
+        # direct path: same filters, same session — must agree too
+        io2 = TableIO(spark, str(tmp_path / "t2"))
+        encode_files_direct(spark, src, io2)
+        res = decode_files_direct(
+            spark, io2, str(tmp_path / "dec"),
+            filters=[("ts", "<=", hi.isoformat())])
+        assert res["n_rows"] == 301
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_ots)

@@ -268,20 +268,29 @@ def test_direct_paths_through_explicit_filesystem(spark, tmp_path):
 
 def test_direct_decode_through_explicit_filesystem(spark, pages_dir,
                                                    tmp_path):
+    """END-TO-END through the explicit filesystem: blocks are LISTED and
+    read via subtree-relative paths (blocks_root=), and the decoded
+    output is written through the same filesystem — no Spark-path /
+    fs-native-path mixing anywhere in the task IO."""
     from pyarrow import fs as pafs
 
     src = _pages_path(pages_dir)
     io = TableIO(spark, str(tmp_path / "t"))
     encode_files_direct(spark, src, io, run_id="fsd")
     sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
-    # blocks file paths from Spark are absolute; use the default-fs read
-    # with a subtree WRITE target (relative within the subtree)
-    res = decode_files_direct(spark, io, str(tmp_path / "dec"),
-                              columns=["url", "text"], verify=True)
+    res = decode_files_direct(spark, io, "dec",
+                              columns=["url", "text"], verify=True,
+                              filesystem=sub, blocks_root="t/blocks")
     assert res["n_rows"] == N_ROWS
     got = spark.read.parquet(str(tmp_path / "dec")).select("url", "text")
     want = spark.read.parquet(src).select("url", "text")
     assert got.exceptAll(want).count() == 0
+    # and with filters through the same filesystem
+    res2 = decode_files_direct(spark, io, "dec2", filters=[("lang", "=",
+                                                            "en")],
+                               filesystem=sub, blocks_root="t/blocks")
+    want2 = (spark.read.parquet(src).filter(F.col("lang") == "en").count())
+    assert res2["n_rows"] == want2 > 0
 
 
 def test_files_per_task_changes_snapshot_identity(spark, pages_dir,
@@ -462,3 +471,27 @@ def test_hybrid_job_resume_and_crash_recovery(spark, tmp_path):
     dec = decode_blocks(blocks, verify=True).select("url", "text")
     assert dec.count() == 3000  # no duplicated rows from the crash run
     assert dec.exceptAll(pages.select("url", "text")).count() == 0
+
+
+def test_direct_decode_refiltered_run_removes_stale_parts(spark, pages_dir,
+                                                          tmp_path):
+    """Review finding: re-running decode_files_direct into the SAME
+    output directory with filters that prune a part entirely must not
+    leave that part's file from the earlier unfiltered run — the mixed
+    directory would silently return unfiltered rows."""
+    import datetime as dt
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "t"))
+    encode_files_direct(spark, src, io, run_id="st")
+    out = str(tmp_path / "dec")
+    decode_files_direct(spark, io, out)
+    n_all = spark.read.parquet(out).count()
+    assert n_all == N_ROWS
+    # filter matching nothing: every part prunes, every file must go
+    res = decode_files_direct(spark, io, out,
+                              filters=[("lang", "=", "no_such_lang")])
+    assert res["n_rows"] == 0
+    import glob
+
+    assert glob.glob(out + "/part-*.parquet") == []
