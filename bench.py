@@ -101,7 +101,10 @@ def _host_probe_parallel(nthreads: int = 8) -> float:
     return time.time() - t0
 
 
-_WAIT_BUDGET = [240.0]  # total seconds of quiet-waiting across the bench
+_WAIT_BUDGET = [420.0]  # total seconds of quiet-waiting across the bench
+# (raised r4: the decode-verify gate is the tightest margin, and the
+# recorded artifact is whatever window the driver's run draws — more
+# patience costs minutes once, a degraded-window artifact costs a round)
 
 
 def wait_for_quiet_host(max_wait: float = 120.0) -> float:
@@ -135,7 +138,7 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
         out = None
         for _ in range(repeats):
             if quiet:  # headline metrics: re-check host speed per repeat
-                wait_for_quiet_host(max_wait=45)
+                wait_for_quiet_host(max_wait=60)
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
