@@ -833,8 +833,20 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
             if op == "!=":
                 return pc.not_equal(a, sc(vals[0]))
             if op == "in":
-                vlist = [_coerce_py_value(v, a.type, session_tz)
-                         for v in vals[0]]
+                # coerce each IN value INDIVIDUALLY: Spark casts a bad
+                # literal to null and the rest of the list still
+                # matches — one garbage value must not turn the whole
+                # leaf into all-False (it would silently drop rows the
+                # valid values match)
+                vlist = []
+                for v in vals[0]:
+                    try:
+                        vlist.append(pa.scalar(
+                            _coerce_py_value(v, a.type, session_tz),
+                            type=a.type).as_py())
+                    except (ValueError, pa.lib.ArrowInvalid,
+                            pa.lib.ArrowTypeError):
+                        continue
                 if not vlist:
                     return none_match
                 return pc.is_in(a, value_set=pa.array(vlist, type=a.type))

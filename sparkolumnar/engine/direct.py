@@ -396,6 +396,21 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                              pa.field("n_blocks_total", pa.int64())])
     out_fs, out_root = _fs_for(output_path, filesystem)
     out_fs.create_dir(out_root, recursive=True)
+    # sweep STALE parts up front: tasks below overwrite/delete only the
+    # part ids of THIS run, so a prior decode into the same directory
+    # with more parts (larger files_per_task, a since-shrunk blocks
+    # listing) would leave its higher-numbered part files mixing stale
+    # or unfiltered rows into the result
+    import posixpath
+    from pyarrow import fs as pafs
+
+    valid = {f"part-{pid:05d}.parquet" for pid in range(len(groups))}
+    sel = pafs.FileSelector(out_root, allow_not_found=True)
+    for info in out_fs.get_file_info(sel):
+        base = posixpath.basename(info.path)
+        if (base.startswith("part-") and base.endswith(".parquet")
+                and base not in valid):
+            out_fs.delete_file(info.path)
 
     def work(batches):
         import pyarrow.dataset as pads
@@ -626,6 +641,13 @@ def encode_job_direct_write(spark, input_df, io: TableIO,
     from .tableio import snapshot_of_input
 
     snap = snapshot_id or snapshot_of_input(input_df)
+    if cluster_by is not None and snapshot_id is None:
+        # same identity rule as lineage.encode_job: the cluster layout
+        # (columns + version) is part of the snapshot — see
+        # encode.clustered_snapshot_id
+        from .encode import clustered_snapshot_id
+
+        snap = clustered_snapshot_id(snap, cluster_by)
     if plan == "auto":
         from .plan import build_plan
 

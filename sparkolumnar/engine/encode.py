@@ -212,6 +212,31 @@ _CLUSTER_BUCKETS_PER_PART = 4     # several buckets/partition: balanced hash
 _CLUSTER_MAX_BUCKETS = 65536      # sanity ceiling, NOT a parallelism cap:
 #                                   it binds only past ~16k partitions
 
+# Bump whenever the cluster_by row->partition assignment changes (bucket
+# count formula, boundary sampling, composite vs first-column, when()-tree
+# vs searchsorted). Folded into the AUTO-derived snapshot id of clustered
+# encode jobs: resuming a partially-committed clustered snapshot across a
+# layout change would keep old-layout committed parts while reassigning
+# rows to new parts — silently duplicating some rows and dropping those
+# now bucketed into skipped parts. A distinct snapshot id makes the
+# resume a fresh job instead. (v2 = r4's composite-boundary 4*p layout.)
+CLUSTER_LAYOUT_VERSION = 2
+
+
+def clustered_snapshot_id(base_snap: str, cluster_by) -> str:
+    """Snapshot identity for a cluster_by encode: the input-listing hash
+    folded with the cluster columns and the layout version, mirroring
+    how _snapshot_of_files folds files_per_task into the direct paths'
+    identity. Callers passing an EXPLICIT snapshot_id keep it verbatim
+    and own the same obligation: never resume a clustered snapshot
+    across a layout-version change or with different cluster columns."""
+    import hashlib
+
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    h = hashlib.sha256(base_snap.encode())
+    h.update(f"|cluster-v{CLUSTER_LAYOUT_VERSION}|{','.join(cols)}".encode())
+    return h.hexdigest()[:16]
+
 
 def _cluster_bucket_boundaries(df: DataFrame, cols: List[str],
                                n_buckets: int) -> list:

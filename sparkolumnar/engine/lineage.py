@@ -80,6 +80,12 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
     partition k's contents are reproducible for a given snapshot.
     """
     snap = snapshot_id or snapshot_of_input(input_df)
+    if cluster_by is not None and snapshot_id is None:
+        # fold the cluster layout (columns + version) into the auto
+        # identity: a resume across a bucket-layout change must become a
+        # fresh snapshot, not a silent mix of old- and new-layout parts
+        from .encode import clustered_snapshot_id
+        snap = clustered_snapshot_id(snap, cluster_by)
     if plan == "auto":
         from .plan import build_plan
         plan = build_plan(input_df, mode=mode)

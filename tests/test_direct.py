@@ -495,3 +495,46 @@ def test_direct_decode_refiltered_run_removes_stale_parts(spark, pages_dir,
     import glob
 
     assert glob.glob(out + "/part-*.parquet") == []
+
+
+def test_exact_mask_in_mixed_convertibility(spark):
+    """ADVICE r4: one inconvertible IN value must not turn the whole
+    leaf all-False — Spark casts the bad literal to null and the rest
+    of the list still matches. Each value coerces individually."""
+    import pyarrow as pa
+
+    from sparkolumnar.engine.decode import exact_filter_mask_py
+
+    batch = pa.RecordBatch.from_pydict({
+        "x": pa.array([1, 5, 9], pa.int64())})
+    m = exact_filter_mask_py(batch, [("x", "in", ["garbage", 5])])
+    assert m.to_pylist() == [False, True, False]
+    # all-garbage list still matches nothing (not an error)
+    m2 = exact_filter_mask_py(batch, [("x", "in", ["a", "b"])])
+    assert m2.to_pylist() == [False, False, False]
+    # mixed raw-string + native value: both match
+    m3 = exact_filter_mask_py(batch, [("x", "in", ["9", 1, "nope"])])
+    assert m3.to_pylist() == [True, False, True]
+
+
+def test_direct_decode_sweeps_higher_numbered_stale_parts(spark, pages_dir,
+                                                          tmp_path):
+    """ADVICE r4: a prior decode into the same directory that produced
+    MORE parts (smaller files_per_task) leaves higher-numbered part
+    files this run's tasks never touch — the driver sweep must delete
+    any part id not in the current group list."""
+    import glob
+
+    src = _pages_path(pages_dir)
+    io = TableIO(spark, str(tmp_path / "tswp"))
+    encode_files_direct(spark, src, io, run_id="sw")
+    out = str(tmp_path / "dec")
+    r1 = decode_files_direct(spark, io, out, files_per_task=1)
+    n_parts_1 = r1["n_parts"]
+    assert n_parts_1 > 1
+    assert len(glob.glob(out + "/part-*.parquet")) == n_parts_1
+    # coarser grouping -> fewer parts; stale high-numbered files must go
+    r2 = decode_files_direct(spark, io, out, files_per_task=n_parts_1)
+    assert r2["n_parts"] == 1
+    assert glob.glob(out + "/part-*.parquet") == [out + "/part-00000.parquet"]
+    assert spark.read.parquet(out).count() == N_ROWS

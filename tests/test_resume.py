@@ -111,3 +111,28 @@ def test_cluster_by_job_kill_and_resume(spark, pages, tmp_path):
     span = global_hi - global_lo
     avg_block_span = sum(z["hi"] - z["lo"] for z in zones) / len(zones)
     assert avg_block_span < 0.6 * span, (avg_block_span, span, len(zones))
+
+
+def test_cluster_by_snapshot_identity_includes_layout(spark, pages, tmp_path):
+    """ADVICE r4: the cluster_by bucket layout is part of the snapshot
+    identity — a resume across a layout-version change must become a
+    fresh snapshot (old-layout parts must not satisfy the skip-set),
+    and the id must still be deterministic run-to-run."""
+    from sparkolumnar.engine.encode import (CLUSTER_LAYOUT_VERSION,
+                                            clustered_snapshot_id)
+    from sparkolumnar.engine.tableio import snapshot_of_input
+
+    base = snapshot_of_input(pages)
+    clustered = clustered_snapshot_id(base, "warc_ts")
+    assert clustered != base
+    assert clustered == clustered_snapshot_id(base, "warc_ts")  # stable
+    assert clustered != clustered_snapshot_id(base, "url")  # cols matter
+    io = TableIO(spark, str(tmp_path / "tcs"))
+    r1 = encode_job(spark, pages, io, partitions=2, run_id="r1",
+                    cluster_by="warc_ts", only_parts={0})
+    assert r1.snapshot_id == clustered
+    # hash-layout job on the same input keeps the plain identity: the
+    # clustered partial commit must not be mistaken for its progress
+    r2 = encode_job(spark, pages, io, partitions=2, run_id="r2")
+    assert r2.snapshot_id == base and r2.parts_done_before == 0
+    assert CLUSTER_LAYOUT_VERSION >= 2
