@@ -350,6 +350,36 @@ def _q_source_range_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("doc_id").alias("max_doc_id"))
 
 
+def _q_null_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / NOT IN filters end-to-end with n_nulls
+    block pruning (r4-verdict item #2): documents gain a derived
+    nullable column lang_n = nullif(lang, 'de'), range-clustered on
+    (lang, doc_id) so blocks are lang-constant. The engine answers
+    (lang_n IS NOT NULL AND lang_n NOT IN ('fr','zh')) and
+    (lang_n IS NULL) through decode_blocks(filters=): zero-null blocks
+    prune for IS NULL, all-null blocks for IS NOT NULL and every value
+    op, provably-constant blocks for NOT IN — all from n_nulls/zone
+    metadata before any payload decode. Oracle recomputes both
+    aggregates from the raw table."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    df = docs.withColumn("lang_n", F.expr("nullif(lang, 'de')"))
+    blocks = encode_table(df, cluster_by=["lang", "doc_id"], partitions=4,
+                          snapshot_id="nullq")
+    kept = decode_blocks(blocks, filters=[("lang_n", "is_not_null"),
+                                          ("lang_n", "not in",
+                                           ["fr", "zh"])])
+    a = kept.agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("sum_kept_chars"))
+    nulls = decode_blocks(blocks, filters=[("lang_n", "is_null")])
+    b = nulls.agg(F.count("*").alias("n_null"),
+                  F.sum("n_chars").alias("sum_null_chars"),
+                  F.min("doc_id").alias("min_null_doc"))
+    return a.crossJoin(b)  # 1x1 aggregate join
+
+
 def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUP resolution: banded md5 word-gram minhash candidate
     pairs (the bit-exactly-oracled minhash_wordgram_neardup_pairs)
@@ -780,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
+        "null_filter_agg": _q_null_filter_agg,
         "neardup_groups": _q_neardup_groups,
         "corpus_dedup_stats": _q_corpus_dedup_stats,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
@@ -1297,6 +1328,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "null_filter_agg": """
+            SELECT * FROM
+              (SELECT COUNT(*) AS n_kept,
+                      CAST(SUM(n_chars) AS BIGINT) AS sum_kept_chars
+               FROM (SELECT nullif(lang, 'de') AS lang_n, n_chars
+                     FROM documents)
+               WHERE lang_n IS NOT NULL
+                 AND lang_n NOT IN ('fr', 'zh')) a,
+              (SELECT COUNT(*) AS n_null,
+                      CAST(SUM(n_chars) AS BIGINT) AS sum_null_chars,
+                      MIN(doc_id) AS min_null_doc
+               FROM (SELECT nullif(lang, 'de') AS lang_n, n_chars, doc_id
+                     FROM documents)
+               WHERE lang_n IS NULL) b
         """,
         "neardup_groups": _neardup_groups_oracle_sql(),
         "corpus_dedup_stats": _corpus_dedup_oracle_sql(),

@@ -498,7 +498,9 @@ def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
     return dict(zip(row[0]["names"], row[0]["types"]))
 
 
-_FILTER_OPS = ("between", "=", "==", "!=", ">=", "<=", ">", "<", "in")
+_FILTER_OPS = ("between", "=", "==", "!=", ">=", "<=", ">", "<", "in",
+               "not in", "is_null", "is_not_null")
+_NULLARY_OPS = ("is_null", "is_not_null")
 _STR_TYPES = ("string", "large_string", "binary", "large_binary")
 _PREPASS_MAX_PARTS = 4096  # isin cap before degrading to a min/max range
 
@@ -531,12 +533,14 @@ def _normalize_filters(filters):
             if op not in _FILTER_OPS:
                 raise ValueError(
                     f"unsupported filter op {op!r} (one of {_FILTER_OPS})")
-            if len(vals) != (2 if op == "between" else 1):
+            want = (2 if op == "between"
+                    else 0 if op in _NULLARY_OPS else 1)
+            if len(vals) != want:
                 raise ValueError(f"filter {flt!r}: wrong number of values")
-            if op == "in" and not isinstance(
+            if op in ("in", "not in") and not isinstance(
                     vals[0], (list, tuple, set, frozenset)):
                 raise ValueError(
-                    f"filter {flt!r}: 'in' takes one list/tuple/set value")
+                    f"filter {flt!r}: {op!r} takes one list/tuple/set value")
     return groups
 
 
@@ -589,20 +593,102 @@ def _eq_block_cond(col: str, v, t: str, is_str: bool,
     return _col_cond(col, _range_elem(c, c, isinstance(c, float)))
 
 
+def _not_all_null_elem(c):
+    """Per-element keep: the block holds at least one NON-null value.
+    Sound extra prune for every value-comparison op (=, <, between, in,
+    !=, not in): SQL null comparisons never match, so an all-null block
+    (n_nulls == n_rows) cannot satisfy any of them. n_rows is the
+    block row's top-level column — an outer reference inside the
+    exists() lambda."""
+    from pyspark.sql import functions as F
+
+    return c["n_nulls"].isNull() | (c["n_nulls"] < F.col("n_rows"))
+
+
+def _const_block_ne_elem(col_vals, t, is_str, session_tz):
+    """Per-element keep condition for `col != v` / `col NOT IN vals`:
+    prune a block only when it is PROVABLY constant-equal to a listed
+    value — zone min == max == v with zero nulls. For string/binary the
+    proof needs untruncated bounds: min_bin == max_bin == v with
+    len(v) < prefix width implies the true min and max both equal v
+    (a longer true min would leave a full-width prefix; an incremented
+    truncated upper bound strictly exceeds the true max). Inconvertible
+    values are skipped (no pruning from them), never pruned on.
+    Returns the elem lambda, or None if no value yields a proof."""
+    from pyspark.sql import functions as F
+
+    from .blocks import _ZONE_PREFIX_BYTES
+
+    checks = []  # (mn_field, mx_field, lit) triples proving constancy
+    for v in col_vals:
+        if is_str:
+            b = _str_probe_bytes(v)
+            if b is None or len(b) >= _ZONE_PREFIX_BYTES:
+                continue
+            checks.append(("min_bin", "max_bin", F.lit(bytes(b))))
+        else:
+            cv = _canon_zone_value(v, t, session_tz)
+            if cv is None:
+                continue
+            mn, mx = (("min_f64", "max_f64") if isinstance(cv, float)
+                      else ("min_i64", "max_i64"))
+            checks.append((mn, mx, F.lit(cv)))
+    if not checks:
+        return None
+
+    def g(c):
+        const_eq = None
+        for mn, mx, lit in checks:
+            e = (c[mn] == lit) & (c[mx] == lit)
+            const_eq = e if const_eq is None else (const_eq | e)
+        allv = (c["n_nulls"] == 0) & const_eq
+        # null zone fields (sketchless older block) must KEEP: guard
+        # before negating, or ~null -> null reads as prune in exists()
+        return c["n_nulls"].isNull() | ~F.coalesce(allv, F.lit(False))
+
+    return g
+
+
 def _leaf_block_cond(flt, types: dict,
                      fields: frozenset = _ALL_META_FIELDS,
                      session_tz=None):
     """Block-keep condition for one (col, op, ...) filter, or None when
-    the combination supports no pruning (unknown column, !=, value not
+    the combination supports no pruning (unknown column, value not
     convertible to the column's canonical domain) — the exact post-filter
     then carries the predicate alone, which is always sound."""
     from pyspark.sql import functions as F
 
     col, op, vals = flt[0], flt[1], list(flt[2:])
     t = types.get(col)
-    if t is None or op == "!=":
+    if t is None:
         return None
+    has_nn = "n_nulls" in fields
+    if op == "is_null":
+        # a block with zero nulls in this column cannot match
+        if not has_nn:
+            return None
+        return _col_cond(col, lambda c: (c["n_nulls"].isNull()
+                                         | (c["n_nulls"] > 0)))
+    if op == "is_not_null":
+        if not has_nn:
+            return None
+        return _col_cond(col, _not_all_null_elem)
+    # every remaining op is a value comparison: an all-null block can
+    # never match it, whatever the zone maps say
+    nan_cond = (_col_cond(col, _not_all_null_elem) if has_nn else None)
+
+    def with_nan(cond):
+        if cond is None:
+            return nan_cond
+        return cond if nan_cond is None else (cond & nan_cond)
+
     is_str = t in _STR_TYPES
+    if op in ("!=", "not in"):
+        values = vals[0] if op == "not in" else [vals[0]]
+        if not values:  # NOT IN (): vacuously true, even for nulls
+            return None
+        elem = _const_block_ne_elem(values, t, is_str, session_tz)
+        return with_nan(_col_cond(col, elem) if elem is not None else None)
     if op == "in":
         # bloom/zone-probe each value, union the survivors: a block is
         # kept iff SOME listed value may be present in it
@@ -610,16 +696,17 @@ def _leaf_block_cond(flt, types: dict,
         for v in vals[0]:
             c = _eq_block_cond(col, v, t, is_str, fields, session_tz)
             if c is None:
-                return None
+                return with_nan(None)
             conds.append(c)
         if not conds:  # IN () matches nothing: prune every block
             return F.lit(False)
         out = conds[0]
         for c in conds[1:]:
             out = out | c
-        return out
+        return with_nan(out)
     if op in ("=", "=="):
-        return _eq_block_cond(col, vals[0], t, is_str, fields, session_tz)
+        return with_nan(
+            _eq_block_cond(col, vals[0], t, is_str, fields, session_tz))
     lo = hi = None
     if op == "between":
         lo, hi = vals
@@ -631,24 +718,25 @@ def _leaf_block_cond(flt, types: dict,
     # boundary block too many, never drops a needed one)
     if is_str:
         if not ({"min_bin", "max_bin"} <= fields):
-            return None  # pre-prefix-bounds table: no string range pruning
+            # pre-prefix-bounds table: no string range pruning
+            return with_nan(None)
         lo_b = _str_probe_bytes(lo) if lo is not None else None
         hi_b = _str_probe_bytes(hi) if hi is not None else None
         if lo_b is None and hi_b is None:
-            return None
-        return _col_cond(col, _str_range_elem(
+            return with_nan(None)
+        return with_nan(_col_cond(col, _str_range_elem(
             bytes(lo_b) if lo_b is not None else None,
-            bytes(hi_b) if hi_b is not None else None))
+            bytes(hi_b) if hi_b is not None else None)))
     lo_c = _canon_zone_value(lo, t, session_tz) if lo is not None else None
     hi_c = _canon_zone_value(hi, t, session_tz) if hi is not None else None
     if lo_c is None and hi_c is None:
-        return None
+        return with_nan(None)
     use_float = isinstance(lo_c, float) or isinstance(hi_c, float)
-    return _col_cond(col, _range_elem(lo_c, hi_c, use_float))
+    return with_nan(_col_cond(col, _range_elem(lo_c, hi_c, use_float)))
 
 
 def block_keep_py(cols_meta, filters, types: dict = None,
-                  session_tz=None) -> bool:
+                  session_tz=None, n_rows=None) -> bool:
     """Driver/task-side Python twin of _apply_block_filters for ONE
     block's metadata (`cols_meta`: the block row's `columns` list of
     dicts): True when the block may hold matching rows. Same soundness
@@ -710,14 +798,56 @@ def block_keep_py(cols_meta, filters, types: dict = None,
             return None
         return rng_keep(c, cv, cv, isinstance(cv, float))
 
+    def const_ne_keep(c, values, t, is_str):
+        """!= / NOT IN verdict: prune only a provably constant block
+        whose single value is listed (see _const_block_ne_elem for the
+        string untruncated-bounds proof); inconvertible values skip."""
+        from .blocks import _ZONE_PREFIX_BYTES
+
+        if c.get("n_nulls") != 0:
+            return None
+        for v in values:
+            if is_str:
+                b = _str_probe_bytes(v)
+                if b is None or len(b) >= _ZONE_PREFIX_BYTES:
+                    continue
+                b = bytes(b)
+                mn, mx = c.get("min_bin"), c.get("max_bin")
+                if mn is not None and bytes(mn) == b \
+                        and mx is not None and bytes(mx) == b:
+                    return False
+            else:
+                cv = _canon_zone_value(v, t, session_tz)
+                if cv is None:
+                    continue
+                k = "f64" if isinstance(cv, float) else "i64"
+                if c.get(f"min_{k}") == cv and c.get(f"max_{k}") == cv:
+                    return False
+        return None
+
     def leaf_keep(flt):
         """True/False = prunable verdict; None = no pruning possible."""
         col, op, vals = flt[0], flt[1], list(flt[2:])
         t = types.get(col)
-        if t is None or op == "!=" or col not in by_name:
+        if t is None or col not in by_name:
             return None
         c = by_name[col]
+        nn = c.get("n_nulls")
+        if op == "is_null":
+            return None if nn is None else nn > 0
+        if op == "is_not_null":
+            if nn is None or n_rows is None:
+                return None
+            return nn < n_rows
+        # value comparisons never match an all-null block
+        if nn is not None and n_rows is not None and nn >= n_rows:
+            return False
         is_str = t in _STR_TYPES
+        if op in ("!=", "not in"):
+            values = vals[0] if op == "not in" else [vals[0]]
+            if not values:  # NOT IN (): vacuously true
+                return None
+            return const_ne_keep(c, values, t, is_str)
         if op == "in":
             any_keep = False
             for v in vals[0]:
@@ -825,6 +955,29 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
                              type=a.type)
 
         try:
+            if op == "is_null":
+                return pc.is_null(a)
+            if op == "is_not_null":
+                return pc.is_valid(a)
+            if op == "not in":
+                vlist = []
+                for v in vals[0]:
+                    try:
+                        vlist.append(pa.scalar(
+                            _coerce_py_value(v, a.type, session_tz),
+                            type=a.type).as_py())
+                    except (ValueError, pa.lib.ArrowInvalid,
+                            pa.lib.ArrowTypeError):
+                        # a literal whose cast nulls out makes the whole
+                        # NOT IN unknown for every row (Spark/SQL): no
+                        # row matches — the OPPOSITE of the 'in' rule
+                        return none_match
+                if not vlist:  # NOT IN (): vacuously true, nulls too
+                    return pa.array([True] * len(a), pa.bool_())
+                return pc.and_kleene(
+                    pc.invert(pc.is_in(a, value_set=pa.array(
+                        vlist, type=a.type))),
+                    pc.is_valid(a))
             if op == "between":
                 return pc.and_kleene(pc.greater_equal(a, sc(vals[0])),
                                      pc.less_equal(a, sc(vals[1])))
@@ -963,6 +1116,16 @@ def _exact_filter_expr(filters):
             elif op == "in":
                 vlist = list(vals[0])
                 e = col.isin(vlist) if vlist else F.lit(False)
+            elif op == "not in":
+                # Spark's native semantics: a null column value — or a
+                # literal its cast nulls out — makes the NOT IN unknown,
+                # so the row never matches; NOT IN () is vacuously true
+                vlist = list(vals[0])
+                e = ~col.isin(vlist) if vlist else F.lit(True)
+            elif op == "is_null":
+                e = col.isNull()
+            elif op == "is_not_null":
+                e = col.isNotNull()
             elif op == ">=":
                 e = col >= vals[0]
             elif op == "<=":
@@ -995,6 +1158,9 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
         (column, op, value)            op in  = == != >= <= > <
         (column, "between", lo, hi)
         (column, "in", [v1, v2, ...])
+        (column, "not in", [v1, ...])  null literals match nothing
+        (column, "is_null")            prunes every n_nulls == 0 block
+        (column, "is_not_null")        prunes every all-null block
     ANDed together — or a LIST OF SUCH LISTS, meaning OR of the AND
     groups (pyarrow's parquet-filters DNF convention). Every predicate
     is applied EXACTLY on the decoded rows, and — this is the point of

@@ -442,13 +442,16 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                     if filters:
                         # metadata-only pruning pass: columns/seq leaves
                         # only, zero payload bytes
-                        meta = pf.read(columns=["seq", "columns"])
+                        meta = pf.read(columns=["seq", "n_rows",
+                                                "columns"])
                         seqs = meta.column("seq").to_pylist()
+                        nrows = meta.column("n_rows").to_pylist()
                         metas = meta.column("columns").to_pylist()
                         blocks_total += len(seqs)
-                        keep = [s for s, m in zip(seqs, metas)
+                        keep = [s for s, nr, m in zip(seqs, nrows, metas)
                                 if block_keep_py(m, filters,
-                                                 session_tz=session_tz)]
+                                                 session_tz=session_tz,
+                                                 n_rows=nr)]
                         blocks_read += len(keep)
                         pf.close()
                         if not keep:

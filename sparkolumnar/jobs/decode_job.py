@@ -41,6 +41,19 @@ def main(argv=None) -> None:
                     help="IN-list predicate: each value is bloom/zone-"
                          "probed and surviving blocks unioned before any "
                          "payload decode; ANDs with --eq")
+    ap.add_argument("--not-in", dest="not_in", default=None,
+                    metavar="COL=V1,V2,...",
+                    help="NOT IN predicate: provably-constant blocks "
+                         "equal to a listed value (and all-null blocks) "
+                         "are pruned before any payload decode; ANDs "
+                         "with the other predicates")
+    ap.add_argument("--null", dest="null_", default=None, metavar="COL",
+                    help="IS NULL predicate: blocks with zero nulls in "
+                         "COL prune on n_nulls metadata alone")
+    ap.add_argument("--not-null", dest="not_null", default=None,
+                    metavar="COL",
+                    help="IS NOT NULL predicate: all-null blocks prune "
+                         "on n_nulls metadata alone")
     ap.add_argument("--ge", default=None, metavar="COL=VALUE",
                     help="range predicate col >= value (ISO timestamps "
                          "accepted); prunes via zone maps incl. string-"
@@ -76,6 +89,15 @@ def main(argv=None) -> None:
         if not sep:
             raise ValueError("--in expects COL=V1,V2,...")
         flist.append((col, "in", values.split(",")))
+    if args.not_in:
+        col, sep, values = args.not_in.partition("=")
+        if not sep:
+            raise ValueError("--not-in expects COL=V1,V2,...")
+        flist.append((col, "not in", values.split(",")))
+    if args.null_:
+        flist.append((args.null_, "is_null"))
+    if args.not_null:
+        flist.append((args.not_null, "is_not_null"))
     for flag, op, name in ((args.ge, ">=", "ge"), (args.le, "<=", "le")):
         if flag:
             col, sep, value = flag.partition("=")

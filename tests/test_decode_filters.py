@@ -558,3 +558,103 @@ def test_filters_timestamp_pruning_in_non_utc_session(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.conf.set("spark.sql.parquet.outputTimestampType", old_ots)
+
+
+def test_null_ops_exact_and_n_nulls_pruning(spark, tmp_path):
+    """r4-verdict item: IS NULL / IS NOT NULL / NOT IN / != with
+    n_nulls-metadata pruning. Layout clusters on lang so blocks are
+    (near-)constant in lang: IS NULL prunes every zero-null block,
+    IS NOT NULL prunes all-null blocks, and != / NOT IN prune blocks
+    provably constant-equal to a listed value."""
+    from sparkolumnar.datagen import pages_df
+    from sparkolumnar.engine.decode import (_apply_block_filters,
+                                            _blocks_arrow_types,
+                                            block_keep_py)
+
+    pages = pages_df(spark, 12_000).select(
+        "url", "lang", "warc_ts",
+        F.expr("nullif(lang, 'en')").alias("lang_n"))
+    blocks = encode_table(pages, cluster_by=["lang", "url"], partitions=8,
+                          snapshot_id="nullops").cache()
+    total = blocks.count()
+    assert total >= 8
+    types = _blocks_arrow_types(blocks)
+    dec_all = decode_blocks(blocks).cache()
+    cases = [
+        ([("lang_n", "is_null")], F.col("lang_n").isNull()),
+        ([("lang_n", "is_not_null")], F.col("lang_n").isNotNull()),
+        ([("lang", "!=", "en")], F.col("lang") != "en"),
+        ([("lang", "not in", ["en", "de"])],
+         ~F.col("lang").isin(["en", "de"])),
+        ([("lang_n", "not in", ["de"])], ~F.col("lang_n").isin(["de"])),
+        ([("lang_n", "is_not_null"), ("lang_n", "!=", "de")],
+         F.col("lang_n").isNotNull() & (F.col("lang_n") != "de")),
+    ]
+    meta = blocks.select("part_id", "seq", "n_rows", "columns").collect()
+    for filters, pred in cases:
+        got = decode_blocks(blocks, filters=filters)
+        want = dec_all.filter(pred)
+        assert got.count() == want.count() > 0, filters
+        assert got.exceptAll(want).count() == 0, filters
+        surv = _apply_block_filters(blocks, filters, types).count()
+        pyk = sum(1 for r in meta
+                  if block_keep_py([c.asDict() for c in r["columns"]],
+                                   filters, types, n_rows=r["n_rows"]))
+        assert pyk == surv, (filters, pyk, surv)
+    # the metadata prunes actually bite on this clustered layout:
+    # IS NULL drops zero-null blocks, IS NOT NULL drops all-null ones,
+    # != 'en' drops constant-'en' blocks
+    for filters in ([("lang_n", "is_null")],
+                    [("lang_n", "is_not_null")],
+                    [("lang", "!=", "en")]):
+        surv = _apply_block_filters(blocks, filters, types).count()
+        assert surv < total, (filters, surv, total)
+    # inconvertible NOT IN literal, task-side twin: a cast-to-null
+    # literal makes NOT IN unknown for every row -> matches nothing
+    # (the IPC path inherits Spark's ANSI behavior for such literals)
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from sparkolumnar.engine.decode import exact_filter_mask_py
+
+    b = pa.RecordBatch.from_pydict({
+        "t": pa.array([dt.datetime(2025, 1, 1)], pa.timestamp("us"))})
+    assert exact_filter_mask_py(
+        b, [("t", "not in", ["garbage"])]).to_pylist() == [False]
+    assert exact_filter_mask_py(
+        b, [("t", "not in", ["2030-01-01T00:00:00"])]).to_pylist() == [True]
+    blocks.unpersist()
+    dec_all.unpersist()
+
+
+def test_null_ops_direct_decode_path(spark, tmp_path):
+    """The zero-IPC direct decode runs the same null-op stack in-task
+    (block_keep_py n_rows pruning + pyarrow exact mask)."""
+    from sparkolumnar.datagen import write_pages_parquet
+    from sparkolumnar.engine.direct import (decode_files_direct,
+                                            encode_files_direct)
+
+    src = str(tmp_path / "pages")
+    write_pages_parquet(src, 3000)
+    raw = (spark.read.parquet(src)
+           .withColumn("lang_n", F.expr("nullif(lang, 'en')")))
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(raw, cluster_by=["lang", "url"],
+                                 partitions=4, snapshot_id="dn"))
+    out = str(tmp_path / "dec")
+    res = decode_files_direct(spark, io, out,
+                              filters=[("lang_n", "is_not_null"),
+                                       ("lang_n", "not in", ["de"])])
+    want = raw.filter(F.col("lang_n").isNotNull()
+                      & ~F.col("lang_n").isin(["de"]))
+    got = spark.read.parquet(out)
+    assert got.count() == res["n_rows"] == want.count() > 0
+    assert (got.select("url", "lang_n")
+            .exceptAll(want.select("url", "lang_n")).count() == 0)
+    out2 = str(tmp_path / "dec2")
+    res2 = decode_files_direct(spark, io, out2,
+                               filters=[("lang_n", "is_null")])
+    assert res2["n_rows"] == raw.filter(F.col("lang_n").isNull()).count()
+    # n_nulls pruning bites in-task too: zero-null blocks never read
+    assert res2["n_blocks_read"] < res2["n_blocks_total"]
