@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterator, List, Optional, Set
 
+import numpy as np
 import pyarrow as pa
 
 from pyspark import TaskContext
@@ -270,20 +271,107 @@ def _cluster_bucket_boundaries(df: DataFrame, cols: List[str],
     return out
 
 
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _render_component(col: str, v):
+    """(column_expr_sql, literal_sql) for one cluster-key component of a
+    boundary value, or None when the value type has no EXACT SQL text
+    rendering. Timestamps canonicalize both sides to epoch micros
+    (unix_micros(col) vs a bigint literal) — a monotone bijection, so
+    the comparison order (hence the bucket assignment) is identical to
+    comparing the raw values, and the rendering never touches the
+    literal-timezone minefield (TIMESTAMP 'iso' parses in SESSION tz
+    while F.lit(naive datetime) uses the SYSTEM tz)."""
+    import datetime as dt
+
+    if isinstance(v, bool):  # bool before int: bool is an int subclass
+        return _sql_ident(col), ("true" if v else "false")
+    if isinstance(v, (int, np.integer)):
+        return _sql_ident(col), f"{int(v)}L"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            return None  # NaN/inf boundary: no total-order-safe literal
+        # repr round-trips doubles exactly; CAST avoids the bare-decimal
+        # parse (Spark reads `1.5` as DECIMAL, not DOUBLE)
+        return _sql_ident(col), f"CAST('{f!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return _sql_ident(col), f"'{esc}'"
+    if isinstance(v, (bytes, bytearray)):
+        return _sql_ident(col), "X'" + bytes(v).hex() + "'"
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            return None  # TIMESTAMP_NTZ sample: take the py4j fallback
+        us = ((v - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc))
+              // dt.timedelta(microseconds=1))
+        return f"unix_micros({_sql_ident(col)})", f"{us}L"
+    if isinstance(v, dt.date):
+        return _sql_ident(col), f"DATE '{v.isoformat()}'"
+    return None
+
+
+def _cluster_bucket_sql(cols: List[str], bounds: list) -> Optional[str]:
+    """Render the O(log B) binary-search CASE tree as ONE SQL string for
+    a single F.expr() call: the driver-side build drops from O(B) py4j
+    Column constructions (tens of seconds at the 65536-bucket ceiling)
+    to milliseconds of Python string work plus one JVM parse, while the
+    runtime expression — and the bucket every row lands in — stays
+    IDENTICAL to the py4j when() tree (pinned by
+    test_bucket_sql_matches_py4j_tree). Returns None when any boundary
+    component has no exact SQL rendering (the caller falls back)."""
+    comps = []  # per boundary: list of (col_expr, lit) component pairs
+    for b in bounds:
+        pairs = [_render_component(c, v) for c, v in zip(cols, b)]
+        if any(p is None for p in pairs):
+            return None
+        comps.append(pairs)
+    if len(cols) == 1:
+        key_sql = comps[0][0][0]
+        lits = [p[0][1] for p in comps]
+    else:
+        fields = ", ".join(f"'_k{i}', {e}"
+                           for i, (e, _) in enumerate(comps[0]))
+        key_sql = f"named_struct({fields})"
+        lits = ["named_struct(" + ", ".join(
+            f"'_k{i}', {lit}" for i, (_, lit) in enumerate(p)) + ")"
+            for p in comps]
+
+    def build(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (f"CASE WHEN {key_sql} > {lits[mid]} "
+                f"THEN {build(mid + 1, hi)} ELSE {build(lo, mid)} END")
+
+    return build(0, len(bounds))
+
+
 def _cluster_bucket_expr(cols: List[str], bounds: list):
     """Bucket-assignment expression: binary search over the sorted
-    composite boundaries as a NESTED when() tree — O(log B) comparisons
-    per row, so the per-row cost stays flat as the bucket count scales
-    with partitions (a flat sum over B comparisons — the old shape —
-    would pay O(B) per row, untenable at 4*p buckets for large p). The
-    expression is built once per job — O(B) py4j Column constructions,
+    composite boundaries, O(log B) comparisons per row (a flat sum over
+    B comparisons would pay O(B) per row, untenable at 4*p buckets for
+    large p). Built as one string-rendered SQL CASE tree (one py4j
+    call; see _cluster_bucket_sql) with the original nested-when()
+    construction as the fallback for boundary types without an exact
+    SQL text form. Rows with a null component compare null at every
+    node and take the ELSE branch throughout (deterministically bucket
+    0), preserving the resume invariant in both shapes."""
+    sql = _cluster_bucket_sql(cols, bounds)
+    if sql is not None:
+        return F.expr(sql)
+    return _cluster_bucket_expr_py4j(cols, bounds)
+
+
+def _cluster_bucket_expr_py4j(cols: List[str], bounds: list):
+    """Fallback when()-tree build: O(B) py4j Column constructions —
     roughly tens of seconds of one-time driver work at the 65536-bucket
-    ceiling, amortized over a job whose data volume warranted 16k+
-    partitions in the first place; rows with a null component take
-    the otherwise-branch at every node (deterministically bucket-left),
-    which preserves the resume invariant. Struct comparison is
-    lexicographic by field position — the same order the boundary tuples
-    were sorted in."""
+    ceiling — kept only for boundary value types _render_component
+    cannot render exactly (NTZ timestamps, decimals, NaN floats).
+    Struct comparison is lexicographic by field position — the same
+    order the boundary tuples were sorted in."""
     single = len(cols) == 1
 
     def key_col():

@@ -192,3 +192,54 @@ def test_zone_filter_unknown_column_keeps_all(spark, tmp_path):
     n = blocks.count()
     assert zone_filter(blocks, "no_such_column", 0, 10).count() == n
     assert zone_filter_eq(blocks, "no_such_column", "x").count() == n
+
+
+def test_bucket_sql_matches_py4j_tree(spark):
+    """r4-verdict item #5: the string-rendered CASE build of the
+    cluster_by bucket expression assigns EVERY row the same bucket as
+    the py4j when()-tree, across int/string/float/timestamp/date and
+    composite keys (timestamps canonicalize to unix_micros — a monotone
+    bijection), with nulls taking bucket 0 in both shapes — and the
+    16k-boundary build is sub-second (vs tens of seconds of py4j)."""
+    import datetime as dt
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.engine.encode import (_cluster_bucket_boundaries,
+                                            _cluster_bucket_expr_py4j,
+                                            _cluster_bucket_sql)
+
+    rng = random.Random(7)
+    base = dt.datetime(2025, 1, 1)
+    rows = [(i, rng.randrange(-500, 500), f"k{rng.randrange(60):03d}'x\\y",
+             base + dt.timedelta(minutes=rng.randrange(10000)),
+             rng.random() * 100,
+             dt.date(2025, 1, 1) + dt.timedelta(days=rng.randrange(300)))
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "id long, v long, s string, t timestamp, f double, d date")
+    for cols in (["t"], ["s"], ["v", "s"], ["t", "id"], ["d", "f"]):
+        bounds = _cluster_bucket_boundaries(df, cols, n_buckets=16)
+        sql = _cluster_bucket_sql(cols, bounds)
+        assert sql is not None, cols
+        both = (df.withColumn("a", F.expr(sql))
+                .withColumn("b", _cluster_bucket_expr_py4j(cols, bounds)))
+        assert both.filter(F.col("a") != F.col("b")).count() == 0, cols
+        assert both.select("a").distinct().count() == 16, cols
+    # null key component: bucket 0 in both shapes
+    dfn = spark.createDataFrame([(None, "x"), (5, "y")], "v int, s string")
+    bounds = [(3, "a"), (7, "b")]
+    sql = _cluster_bucket_sql(["v", "s"], bounds)
+    got = (dfn.withColumn("a", F.expr(sql))
+           .withColumn("b", _cluster_bucket_expr_py4j(["v", "s"], bounds))
+           .orderBy("s").collect())
+    assert [(r["a"], r["b"]) for r in got] == [(0, 0), (1, 1)]
+    # plan-build cost at the 16k-bucket scale: render + parse < 2 s
+    big = [(f"key{i:08d}",) for i in range(16384)]
+    t0 = time.time()
+    F.expr(_cluster_bucket_sql(["s"], big))
+    assert time.time() - t0 < 2.0
+    # unrenderable boundary types (NTZ/naive datetimes) fall back
+    assert _cluster_bucket_sql(["t"], [(dt.datetime(2025, 1, 1),)]) is None
