@@ -197,6 +197,34 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     extras["fast_encode_gbps"] = round(
         raw / 1e9 / timings["pages_encode_fast"], 4)
 
+    # production write path (encode_job --hybrid): Spark owns the layout
+    # shuffle, each task writes its partition's blocks file itself — the
+    # IPC-out leg and the JVM parquet writer are gone. This is the shape
+    # that holds 8->32 scaling on this box (BENCH/BASELINE.md) and the
+    # recipe a real cluster should run; benched here WITH its durable
+    # write included (unlike pages_encode, whose write is clocked inside
+    # the same query via the explicit .write) so the numbers are
+    # end-to-end comparable
+    import shutil
+
+    from sparkolumnar.engine import encode_table_direct_write
+    from sparkolumnar.engine.tableio import TableIO
+
+    hybrid_dir = "/tmp/sparkolumnar_bench_hybrid"
+
+    def do_hybrid():
+        shutil.rmtree(hybrid_dir, ignore_errors=True)
+        io = TableIO(spark, hybrid_dir)
+        (encode_table_direct_write(pages, io, key="url",
+                                   snapshot_id="bench_hy",
+                                   sort_within=True, plan=plan,
+                                   partitions=ncpu)
+         .select(F.sum("n_rows")).collect())
+
+    clock("pages_encode_hybrid", do_hybrid, repeats=4, quiet=True)
+    extras["hybrid_encode_gbps"] = round(
+        raw / 1e9 / timings["pages_encode_hybrid"], 4)
+
     # ---- driver tables at the requested scale factor ----
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs_plan = build_plan(docs)

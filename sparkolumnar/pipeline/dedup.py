@@ -31,28 +31,80 @@ def exact_dedup(df: DataFrame, cols: List[str], keep_col: str) -> DataFrame:
             .drop("__key"))
 
 
+_SHINGLE_CHUNK_BYTES = 2 << 20  # ~2 MiB of text per vectorized chunk:
+#                                 cache-resident working sets multi-core
+#                                 scale on this host (CLAUDE.md quirks)
+
+
 def _shingle_hashes(texts: pd.Series, k: int) -> List[np.ndarray]:
-    """k-byte shingle hashes per doc (vectorized rolling polynomial hash)."""
-    out = []
+    """k-byte shingle hashes per doc — sorted unique per doc.
+
+    Vectorized ACROSS documents (r4-verdict item #6, the
+    textstats._batch_lang_scores pattern): docs are concatenated into
+    one byte buffer per ~2 MiB chunk, the rolling polynomial hash runs
+    in k vectorized steps over the WHOLE chunk (identical values to the
+    per-doc formula — position i only touches bytes i..i+k-1, and
+    boundary-straddling windows are excluded), and per-doc dedup is one
+    global lexsort + neighbor-diff instead of per-doc np.unique. The
+    only remaining Python loops are per-CHUNK (dozens per batch) and
+    trivial per-doc slice views. Short docs (< k bytes) hash via a
+    masked vectorized FNV over a padded byte matrix — one loop over the
+    ≤ k-1 byte POSITIONS, not over docs (a zero sentinel would make all
+    short docs look identical to each other)."""
     B = np.uint64(1099511628211)
-    for t in texts:
-        enc = t.encode("utf-8", "surrogatepass")
-        b = np.frombuffer(enc, dtype=np.uint8)
-        n = len(b)
-        if n < k:
-            # short doc: one content-dependent hash (a zero sentinel would
-            # make ALL short docs look identical to each other)
-            h = np.uint64(1469598103934665603)
-            with np.errstate(over="ignore"):
-                for byte in enc:
-                    h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
-            out.append(np.array([h], dtype=np.uint64))
-            continue
+    encs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.array([len(e) for e in encs], dtype=np.int64)
+    out: List = [None] * len(encs)
+
+    short = np.nonzero(lens < k)[0]
+    if len(short):
+        ml = int(lens[short].max())
+        mat = np.zeros((len(short), max(ml, 1)), dtype=np.uint8)
+        for r, i in enumerate(short):
+            if lens[i]:
+                mat[r, :lens[i]] = np.frombuffer(encs[i], np.uint8)
+        h = np.full(len(short), np.uint64(1469598103934665603),
+                    dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(ml):
+                alive = lens[short] > j
+                hj = (h ^ mat[:, j].astype(np.uint64)) * B
+                h = np.where(alive, hj, h)
+        for r, i in enumerate(short):
+            out[i] = h[r:r + 1].copy()
+
+    long_idx = np.nonzero(lens >= k)[0]
+    c0 = 0
+    while c0 < len(long_idx):
+        c1, tot = c0, 0
+        while c1 < len(long_idx) and (tot < _SHINGLE_CHUNK_BYTES
+                                      or c1 == c0):
+            tot += lens[long_idx[c1]]
+            c1 += 1
+        idx = long_idx[c0:c1]
+        c0 = c1
+        buf = np.frombuffer(b"".join(encs[i] for i in idx), np.uint8)
+        dl = lens[idx]
+        n = len(buf)
         h = np.zeros(n - k + 1, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for j in range(k):
-                h = h * B + b[j: n - k + 1 + j]
-        out.append(np.unique(h))
+                h = h * B + buf[j: n - k + 1 + j]
+        counts = dl - k + 1  # valid (non-straddling) starts per doc
+        ends = np.cumsum(dl)
+        didx = np.repeat(np.arange(len(idx)), counts)
+        base = np.repeat(ends - dl, counts)
+        csum = np.cumsum(counts)
+        within = np.arange(csum[-1]) - np.repeat(csum - counts, counts)
+        hv = h[base + within]
+        order = np.lexsort((hv, didx))
+        ds, hs = didx[order], hv[order]
+        keep = np.ones(len(ds), dtype=bool)
+        keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        ds, hu = ds[keep], hs[keep]
+        bounds = np.searchsorted(ds, np.arange(len(idx) + 1))
+        for r, i in enumerate(idx):
+            out[i] = hu[bounds[r]:bounds[r + 1]]
     return out
 
 
@@ -63,14 +115,32 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     a = rng.integers(1, _M61, n_hashes, dtype=np.uint64)
     b = rng.integers(0, _M61, n_hashes, dtype=np.uint64)
 
+    CH = 1 << 16  # shingles per chunk: (n_hashes, CH) u64 matrix ~32 MB
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            hs_list = _shingle_hashes(pdf[text_col], shingle)
             sigs = []
-            for hs in _shingle_hashes(pdf[text_col], shingle):
+            i = 0
+            while i < len(hs_list):
+                # cross-DOC vectorization, memory-bounded: the
+                # (n_hashes, n_shingles) universal-hash matrix covers a
+                # whole chunk of docs, segment row-mins via reduceat
+                j, tot = i, 0
+                while j < len(hs_list) and (tot < CH or j == i):
+                    tot += len(hs_list[j])
+                    j += 1
+                allh = np.concatenate(hs_list[i:j])
+                cnts = np.array([len(x) for x in hs_list[i:j]],
+                                dtype=np.int64)
                 with np.errstate(over="ignore"):
-                    # (n_hashes, n_shingles) universal-hash matrix -> row mins
-                    m = (hs[None, :] * a[:, None] + b[:, None]) % np.uint64(_M61)
-                sigs.append(m.min(axis=1).view(np.int64))
+                    m = (allh[None, :] * a[:, None]
+                         + b[:, None]) % np.uint64(_M61)
+                starts = np.concatenate(([0], np.cumsum(cnts[:-1])))
+                mins = np.minimum.reduceat(m, starts, axis=1)
+                minsT = np.ascontiguousarray(mins.T).view(np.int64)
+                sigs.extend(minsT[c] for c in range(len(cnts)))
+                i = j
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 "signature": [s.tolist() for s in sigs]})
 
@@ -299,39 +369,70 @@ def minhash_wordgram_neardup_pairs(df: DataFrame, text_col: str,
 
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint: str = "local") -> DataFrame:
     """Resolve candidate near-dup PAIRS into duplicate GROUPS:
     (id, group_id) where group_id is the minimum id in the pair-graph's
     connected component (singletons map to themselves).
 
-    Iterative min-label propagation — a loop of join + min-aggregate
-    until fixpoint, no graph library:
+    Iterative min-label propagation with POINTER DOUBLING — a loop of
+    join + min-aggregate + one label self-join until fixpoint, no graph
+    library:
 
-      labels[v] <- min(labels[v], min over neighbors u of labels[u])
+      labels[v] <- min(labels[v],
+                       min over neighbors u of labels[u],
+                       labels[labels[v]])        # path halving
 
-    Scale shape: each round is ONE equi-join of the (src, dst) edge list
-    against the label table plus one map-side-combinable min-aggregate —
-    shuffle O(E) per round, label state O(V), nothing driver-side but the
-    convergence flag. Near-dup components are shallow (a dup cluster's
-    banded pair graph is dense, diameter typically <= 3), so the loop
-    converges in a handful of rounds; `max_iter` bounds adversarial
-    chains, and each round's result is localCheckpoint()ed so the plan
-    does not grow with iterations. (For graphs with genuinely long
-    chains, the large-star/small-star variant of the same join primitive
-    converges in O(log V) rounds — this propagation loop is the simple
-    case that near-dup graphs actually need; see Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014, for the
-    star-contraction variants built from the same join primitive.)
+    The labels[labels[v]] hop is the pointer-doubling step: the distance
+    a minimum travels along a chain doubles each round, so even an
+    adversarial path graph converges in O(log V) rounds instead of
+    O(diameter) — the same bound the alternating large-star/small-star
+    contraction achieves (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) with one self-join instead of two
+    re-grouping passes, and it degrades to a no-op on the shallow dense
+    components real near-dup graphs produce.
+
+    Scale shape: each round is one equi-join of the (src, dst) edge list
+    against the label table, one map-side-combinable min-aggregate, and
+    one O(V) label self-join — shuffle O(E + V) per round, label state
+    O(V), nothing driver-side but the convergence flag.
+
+    checkpoint: how each round's labels are pinned so the plan does not
+    grow with iterations. "local" (default) stores blocks on executors —
+    fast, but an executor loss mid-loop fails the job; "reliable" uses
+    spark's fault-tolerant checkpoint (requires
+    spark.sparkContext.setCheckpointDir — HDFS/S3 on a real cluster), the
+    right setting for 1000-executor runs; "none" lets lineage grow
+    (tests/tiny graphs only).
 
     pairs: DataFrame with columns (a, b) — undirected candidate edges.
     nodes: DataFrame carrying every id in `id_col` (including docs in no
     pair — they become singleton groups).
     """
+    if checkpoint not in ("local", "reliable", "none"):
+        raise ValueError(
+            f"checkpoint={checkpoint!r}: one of 'local', 'reliable', "
+            f"'none'")
+    if checkpoint == "reliable" \
+            and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "checkpoint='reliable' needs "
+            "spark.sparkContext.setCheckpointDir(...) — a cluster-visible "
+            "path (HDFS/S3) so the loop survives executor loss")
+
+    def _pin(df):
+        if checkpoint == "reliable":
+            return df.checkpoint()
+        if checkpoint == "local":
+            return df.localCheckpoint()
+        return df
+
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .union(pairs.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst")))
-             .distinct()
-             .localCheckpoint(eager=False))
+             .distinct())
+    edges = (edges.localCheckpoint(eager=False)
+             if checkpoint == "local" else _pin(edges))
     labels = (nodes.select(F.col(id_col).alias("__id"))
               .distinct()
               .withColumn("__label", F.col("__id")))
@@ -340,9 +441,17 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         prop = (edges.join(labels.select(F.col("__id").alias("src"),
                                          "__label"), "src")
                 .select(F.col("dst").alias("__id"), "__label"))
-        new = (labels.select("__id", "__label").union(prop)
-               .groupBy("__id").agg(F.min("__label").alias("__label"))
-               .localCheckpoint())  # truncate lineage: O(1) plan per round
+        mins = (labels.select("__id", "__label").union(prop)
+                .groupBy("__id").agg(F.min("__label").alias("__label")))
+        # pointer doubling: follow the label's own label. Every label
+        # value IS a node id, so the self-join always matches, and
+        # labels only ever decrease (label[l] <= l) — least() is safe
+        hop = mins.select(F.col("__id").alias("__l"),
+                          F.col("__label").alias("__ll"))
+        new = (mins.join(hop, mins["__label"] == hop["__l"], "left")
+               .select("__id",
+                       F.least("__label", "__ll").alias("__label")))
+        new = _pin(new)  # truncate lineage: O(1) plan per round
         changed = (new.join(labels.withColumnRenamed("__label", "__old"),
                             "__id")
                    .where(F.col("__label") < F.col("__old")))
@@ -365,7 +474,8 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
 
 def dedup_groups(pairs: DataFrame, nodes: DataFrame, id_col: str = "id",
-                 prefer_col: str = None, max_iter: int = 25) -> DataFrame:
+                 prefer_col: str = None, max_iter: int = 25,
+                 checkpoint: str = "local") -> DataFrame:
     """Survivor selection over resolved duplicate groups:
     (id, group_id, keep) with exactly one keep=1 row per group.
 
@@ -373,7 +483,8 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame, id_col: str = "id",
     SQL-recomputable for the oracle). prefer_col selects the group
     member with the HIGHEST value of that column instead (ties broken
     by min id) — e.g. keep the longest/highest-quality document."""
-    comp = connected_components(pairs, nodes, id_col, max_iter)
+    comp = connected_components(pairs, nodes, id_col, max_iter,
+                                checkpoint=checkpoint)
     if prefer_col is None:
         return comp.withColumn(
             "keep", (F.col("group_id") == F.col(id_col)).cast("int"))
@@ -428,7 +539,8 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def neardup_dedup(df: DataFrame, text_col: str, id_col: str,
                   n_hashes: int = 8, bands: int = 4,
-                  prefer_col: str = None, max_iter: int = 25) -> DataFrame:
+                  prefer_col: str = None, max_iter: int = 25,
+                  checkpoint: str = "local") -> DataFrame:
     """One-call corpus near-deduplication: banded MinHash candidate
     pairs -> connected components -> survivor selection -> the KEPT rows
     of `df` (left-semi join on the survivors, so the full rows come back
@@ -444,6 +556,7 @@ def neardup_dedup(df: DataFrame, text_col: str, id_col: str,
     nodes = (df.select(id_col) if prefer_col is None
              else df.select(id_col, prefer_col))
     groups = dedup_groups(pairs.select("a", "b"), nodes, id_col,
-                          prefer_col=prefer_col, max_iter=max_iter)
+                          prefer_col=prefer_col, max_iter=max_iter,
+                          checkpoint=checkpoint)
     keep = groups.filter(F.col("keep") == 1).select(id_col)
     return df.join(keep, id_col, "left_semi")

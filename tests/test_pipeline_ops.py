@@ -362,3 +362,103 @@ def test_connected_components_warns_when_unconverged(spark):
         warnings.simplefilter("always")
         connected_components(pairs, nodes, max_iter=2).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_connected_components_long_chain_olog_rounds(spark, tmp_path):
+    """r4-verdict item #4: pointer doubling makes an adversarial 2000-node
+    path graph converge within the default 25 rounds (plain neighbor-min
+    propagation would need ~2000), with no unconverged warning."""
+    import warnings
+
+    from sparkolumnar.pipeline import connected_components
+
+    n = 2000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = connected_components(pairs, nodes).groupBy("group_id").count()
+        rows = got.collect()
+    assert not any("did not converge" in str(x.message) for x in w)
+    assert len(rows) == 1 and rows[0]["count"] == n
+    assert rows[0]["group_id"] == 0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' (cluster-durable) produces the same groups;
+    without a checkpoint dir it fails loudly up front."""
+    import pytest as _pytest
+
+    from sparkolumnar.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    if old is None:
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, nodes, checkpoint="reliable")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r["id"]: r["group_id"]
+           for r in connected_components(
+               pairs, nodes, checkpoint="reliable").collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    del old  # dir stays set for the session; .checkpoint() is opt-in
+
+
+def test_shingle_hashes_vectorized_identity():
+    """r4-verdict item #6: the cross-document vectorized shingle hasher
+    (concatenated buffer + global lexsort dedup, chunked) produces
+    byte-identical output to the straightforward per-doc formula, for
+    long/short/empty/unicode docs and across chunk boundaries."""
+    import pandas as pd
+
+    import sparkolumnar.pipeline.dedup as dd
+
+    def reference(texts, k):
+        out = []
+        B = np.uint64(1099511628211)
+        for t in texts:
+            enc = t.encode("utf-8", "surrogatepass")
+            b = np.frombuffer(enc, dtype=np.uint8)
+            n = len(b)
+            if n < k:
+                h = np.uint64(1469598103934665603)
+                with np.errstate(over="ignore"):
+                    for byte in enc:
+                        h = (h ^ np.uint64(byte)) * B
+                out.append(np.array([h], dtype=np.uint64))
+                continue
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    h = h * B + b[j: n - k + 1 + j]
+            out.append(np.unique(h))
+        return out
+
+    import numpy as np
+    import random
+
+    rng = random.Random(99)
+    texts = ["", "ab", "abcd", "héllo wörld " * 50,
+             "the quick brown fox " * 200, "aaaaaaa" * 30]
+    texts += ["".join(rng.choice("abcdef ") for _ in range(
+        rng.randrange(0, 400))) for _ in range(200)]
+    s = pd.Series(texts)
+    for k in (3, 5, 8):
+        want = reference(texts, k)
+        got = dd._shingle_hashes(s, k)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.dtype == w.dtype and np.array_equal(g, w)
+    # chunking exercised: force a tiny chunk budget, results unchanged
+    old = dd._SHINGLE_CHUNK_BYTES
+    dd._SHINGLE_CHUNK_BYTES = 64
+    try:
+        got2 = dd._shingle_hashes(s, 5)
+        for g, w in zip(got2, reference(texts, 5)):
+            assert np.array_equal(g, w)
+    finally:
+        dd._SHINGLE_CHUNK_BYTES = old
