@@ -350,6 +350,35 @@ def _q_source_range_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("doc_id").alias("max_doc_id"))
 
 
+def _q_struct_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-CHILD zone-map pushdown end-to-end (r4-verdict item #3):
+    documents metadata packed into a struct column, the table
+    range-clustered ON the struct child (cluster_by=["meta.n_chars",
+    "doc_id"] — dotted cluster keys work), then a child-level predicate
+    answered through decode_blocks(filters=[("meta.n_chars", ...)]):
+    the encoder emitted per-child sketch entries (dotted names, codec
+    __sketch__, no payload), so blocks prune BEFORE the container codec
+    decodes anything. Oracle recomputes the aggregate from the raw
+    table."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.struct(F.col("n_chars").alias("n_chars"),
+                 F.col("lang").alias("lang")).alias("meta"))
+    blocks = encode_table(df, cluster_by=["meta.n_chars", "doc_id"],
+                          partitions=4, snapshot_id="structf")
+    dec = decode_blocks(blocks, filters=[
+        ("meta.n_chars", "between", 200, 400),
+        ("meta.lang", "!=", "en")])
+    return dec.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("meta.n_chars")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.countDistinct(F.col("meta.lang")).alias("n_langs"))
+
+
 def _q_null_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL / IS NOT NULL / NOT IN filters end-to-end with n_nulls
     block pruning (r4-verdict item #2): documents gain a derived
@@ -810,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
+        "struct_filter_pushdown": _q_struct_filter_pushdown,
         "null_filter_agg": _q_null_filter_agg,
         "neardup_groups": _q_neardup_groups,
         "corpus_dedup_stats": _q_corpus_dedup_stats,
@@ -1328,6 +1358,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "struct_filter_pushdown": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents
+            WHERE n_chars BETWEEN 200 AND 400 AND lang <> 'en'
         """,
         "null_filter_agg": """
             SELECT * FROM

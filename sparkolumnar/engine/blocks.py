@@ -77,6 +77,12 @@ _ARROW_META = pa.list_(pa.struct([
 ]))
 
 
+# Marker codec for SKETCH-ONLY metadata entries (struct-child zone maps,
+# dotted names like "meta.n_chars"): they carry pruning statistics but no
+# payload — every decode/lineage consumer must skip them.
+SKETCH_CODEC = "__sketch__"
+
+
 def payload_field(name: str) -> str:
     return f"p_{name}"
 
@@ -154,6 +160,11 @@ def _split_top(s: str) -> List[str]:
 
 
 def arrow_type_from_str(s: str) -> pa.DataType:
+    if s.endswith(" not null"):
+        # str(type) of a NON-NULLABLE nested field carries this suffix;
+        # decoded arrays are nullable regardless (validity is a separate
+        # stream), so drop it rather than fail the parse
+        s = s[: -len(" not null")]
     if s in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[s]
     if s.startswith("timestamp[") and s.endswith("]"):

@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, types as T
 from pyspark.sql.pandas.types import from_arrow_type
 
 from ..codecs.nputil import CodecError
-from .blocks import (arrow_type_from_str, canonical_checksum, payload_field,
-                     validity_field)
+from .blocks import (SKETCH_CODEC, arrow_type_from_str, canonical_checksum,
+                     payload_field, validity_field)
 
 
 def decode_block_row(row: dict, verify: bool = False,
@@ -49,6 +49,8 @@ def decode_block_row(row: dict, verify: bool = False,
     if target is not None:
         want = [f.name for f in target]
     for meta in row["columns"]:
+        if meta["codec"] == SKETCH_CODEC:
+            continue  # sketch-only entry (struct-child zone map): no payload
         if columns is not None and meta["name"] not in columns:
             continue
         if target is not None and meta["name"] not in want:
@@ -144,12 +146,16 @@ def schema_of_blocks(blocks_df: DataFrame,
     """Spark schema of the decoded table, read from one block's metadata
     (driver-side, payload columns pruned away)."""
     row = (blocks_df.selectExpr("columns.name as names",
-                                "columns.arrow_type as types")
+                                "columns.arrow_type as types",
+                                "columns.codec as codecs")
            .limit(1).collect())
     if not row:
         raise ValueError("blocks table is empty; pass an explicit schema")
     fields = []
-    for name, ts in zip(row[0]["names"], row[0]["types"]):
+    for name, ts, codec in zip(row[0]["names"], row[0]["types"],
+                               row[0]["codecs"]):
+        if codec == SKETCH_CODEC:
+            continue  # struct-child sketch entry: not a decodable column
         if columns is not None and name not in columns:
             continue
         fields.append(T.StructField(
@@ -555,6 +561,21 @@ def filter_columns_of(filters) -> List[str]:
     return out
 
 
+def filter_root_columns_of(filters, types: dict) -> List[str]:
+    """Top-level DECODE columns the filter leaves need: a dotted leaf
+    ("meta.n_chars", a struct-child sketch) decodes its root column —
+    the child has no payload of its own. A dotted name that is itself a
+    top-level column (no root entry in the metadata) stays as-is."""
+    seen, out = set(), []
+    for c in filter_columns_of(filters):
+        root = c.split(".", 1)[0]
+        use = root if ("." in c and root in types) else c
+        if use not in seen:
+            seen.add(use)
+            out.append(use)
+    return out
+
+
 def _str_probe_bytes(v):
     if isinstance(v, str):
         return v.encode("utf-8", "surrogatepass")
@@ -939,15 +960,37 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
     the direct decode path. session_tz: see _coerce_py_value."""
     import pyarrow.compute as pc
 
+    def resolve(col):
+        idx = batch.schema.get_field_index(col)
+        if idx >= 0:
+            return batch.column(idx)
+        if "." in col:
+            # dotted struct-child access, SQL semantics: a null parent
+            # reads as a null child (arrow's child buffers are physically
+            # independent of the parent's validity — mask them)
+            parts = col.split(".")
+            idx = batch.schema.get_field_index(parts[0])
+            if idx >= 0:
+                a = batch.column(idx)
+                for p in parts[1:]:
+                    if not pa.types.is_struct(a.type) \
+                            or a.type.get_field_index(p) < 0:
+                        break
+                    parent_valid = a.is_valid()
+                    a = a.field(p)
+                    a = pc.if_else(parent_valid, a,
+                                   pa.nulls(len(a), a.type))
+                else:
+                    return a
+        # get_field_index returns -1, which would silently select the
+        # LAST column — fail loudly instead
+        raise KeyError(
+            f"filter column {col!r} not in decoded batch "
+            f"(have {batch.schema.names})")
+
     def leaf(flt):
         col, op, vals = flt[0], flt[1], list(flt[2:])
-        idx = batch.schema.get_field_index(col)
-        if idx < 0:  # get_field_index returns -1, which would silently
-            #          select the LAST column — fail loudly instead
-            raise KeyError(
-                f"filter column {col!r} not in decoded batch "
-                f"(have {batch.schema.names})")
-        a = batch.column(idx)
+        a = resolve(col)
         none_match = pa.array([False] * len(a), pa.bool_())
 
         def sc(v):
@@ -1245,14 +1288,15 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     out_cols = None
     dec_columns = columns
     if exact is not None and target is not None:
-        missing = [c for c in filter_columns_of(filters)
+        missing = [c for c in filter_root_columns_of(filters, types)
                    if c not in {fl.name for fl in target}]
         if missing:
             raise ValueError(
                 f"compat decode with filters: filter columns {missing} "
                 f"must be part of the provided schema")
     if exact is not None and columns is not None:
-        fcols = filter_columns_of(filters)
+        # dotted struct-child leaves decode their ROOT column
+        fcols = filter_root_columns_of(filters, types)
         missing = [c for c in fcols if c not in columns]
         if missing:
             out_cols = list(columns)

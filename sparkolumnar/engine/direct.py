@@ -363,6 +363,11 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     from .decode import (block_keep_py, exact_filter_mask_py,
                          make_decode_fn, _normalize_filters)
 
+    if filesystem is not None and blocks_root is not None:
+        files = list_parquet_files(spark, blocks_root, filesystem)
+    else:
+        files = sorted(_local_path(f)
+                       for f in io.read_blocks().inputFiles())
     session_tz = None
     if filters:
         # validate + normalize ONCE on the driver: the task loop calls
@@ -375,19 +380,26 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
         except Exception:
             session_tz = None
         if columns is not None:
-            from .decode import filter_columns_of
+            from .decode import filter_root_columns_of
 
-            missing = [c for c in filter_columns_of(filters)
+            # one first-block metadata probe so dotted struct-child
+            # leaves resolve to their ROOT decode column
+            types = {}
+            if files:
+                import pyarrow.parquet as _pq
+
+                f0fs, f0 = _fs_for(files[0], filesystem)
+                t0 = _pq.ParquetFile(f0fs.open_input_file(f0)).read(
+                    columns=["columns"]).column("columns")
+                if len(t0):
+                    types = {c["name"]: c["arrow_type"]
+                             for c in t0[0].as_py()}
+            missing = [c for c in filter_root_columns_of(filters, types)
                        if c not in columns]
             # filter columns must decode; keep them in the output too
             # (the direct path writes files, dropping them afterwards
             # would mean a second pass — document instead)
             columns = list(columns) + missing
-    if filesystem is not None and blocks_root is not None:
-        files = list_parquet_files(spark, blocks_root, filesystem)
-    else:
-        files = sorted(_local_path(f)
-                       for f in io.read_blocks().inputFiles())
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     meta_schema = pa.schema([pa.field("part_id", pa.int32()),

@@ -96,6 +96,13 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         row[validity_field(field.name)] = validity if validity else None
         checksums.append(checksum)
         names.append(field.name)
+        if sketches and pa.types.is_struct(vals.type):
+            # struct-CHILD zone maps (dotted names): filters on
+            # "meta.n_chars" prune blocks exactly like top-level columns
+            # — the reference recurses containers (attribute.rs:555-594)
+            # and the codecs do too; the sketches now follow
+            _append_struct_child_sketches(cols_meta, field.name, vals,
+                                          n_nulls)
     row.update({
         "block_id": block_id_of(snapshot_id, checksums, n),
         "snapshot_id": snapshot_id,
@@ -105,6 +112,48 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
         "columns": cols_meta,
     })
     return pa.RecordBatch.from_pylist([row], schema=arrow_blocks_schema(names))
+
+
+def _append_struct_child_sketches(cols_meta: list, path: str,
+                                  struct_vals, parent_nulls: int) -> None:
+    """Emit sketch-only metadata entries (codec SKETCH_CODEC, dotted
+    names, zero payload) for every child of a struct column, recursing
+    into nested structs. n_nulls counts EFFECTIVE nulls of the dotted
+    access — parent-null rows read as null children in SQL — so the
+    is_null / is_not_null / all-null prunes stay exact. struct_vals is
+    the parent's null-dropped values; zone stats run over the child's
+    own null-dropped values."""
+    from .blocks import SKETCH_CODEC
+
+    for i, child_field in enumerate(struct_vals.type):
+        child = struct_vals.field(i)
+        if isinstance(child, pa.ChunkedArray):
+            child = child.combine_chunks()
+        name = f"{path}.{child_field.name}"
+        child_nulls = child.null_count
+        cvals = child.drop_null() if child_nulls else child
+        zmin, zmax, fmin, fmax = _zone_minmax(cvals)
+        bloom = _zone_bloom(cvals)
+        bmin, bmax = _zone_strbounds(cvals)
+        cols_meta.append({
+            "name": name,
+            "codec": SKETCH_CODEC,
+            "arrow_type": arrow_type_to_str(child.type),
+            "n_nulls": parent_nulls + child_nulls,
+            "bytes_in": 0,
+            "bytes_out": 0,
+            "checksum_in": "",
+            "min_i64": zmin,
+            "max_i64": zmax,
+            "min_f64": fmin,
+            "max_f64": fmax,
+            "bloom": bloom,
+            "min_bin": bmin,
+            "max_bin": bmax,
+        })
+        if pa.types.is_struct(child.type):
+            _append_struct_child_sketches(cols_meta, name, cvals,
+                                          parent_nulls + child_nulls)
 
 
 def _zone_minmax(vals: pa.Array):
@@ -272,7 +321,10 @@ def _cluster_bucket_boundaries(df: DataFrame, cols: List[str],
 
 
 def _sql_ident(name: str) -> str:
-    return "`" + name.replace("`", "``") + "`"
+    # dotted names are struct-field paths (`meta`.`n_chars`), matching
+    # F.col's resolution in the py4j fallback and in filters=
+    return ".".join("`" + p.replace("`", "``") + "`"
+                    for p in name.split("."))
 
 
 def _render_component(col: str, v):

@@ -35,9 +35,12 @@ from .tableio import TableIO, snapshot_of_input
 def lineage_of(blocks: DataFrame) -> DataFrame:
     """Per-(block, column) lineage records; payload columns are never read
     (parquet prunes the array leaves)."""
+    from .blocks import SKETCH_CODEC
+
     return (blocks
             .select("block_id", "snapshot_id", "part_id", "seq", "n_rows",
                     F.explode("columns").alias("c"))
+            .where(F.col("c.codec") != SKETCH_CODEC)  # no payload, no lineage
             .select("block_id", "snapshot_id", "part_id", "seq", "n_rows",
                     F.col("c.name").alias("column"),
                     F.col("c.codec").alias("codec"),

@@ -658,3 +658,79 @@ def test_null_ops_direct_decode_path(spark, tmp_path):
     assert res2["n_rows"] == raw.filter(F.col("lang_n").isNull()).count()
     # n_nulls pruning bites in-task too: zero-null blocks never read
     assert res2["n_blocks_read"] < res2["n_blocks_total"]
+
+
+def test_struct_child_zone_maps_prune_and_match(spark):
+    """r4-verdict item #3: struct-CHILD sketches (dotted metadata names,
+    codec __sketch__) let filters=[("meta.n_chars", ...)] prune blocks;
+    exact results match plain decode + predicate; Spark and task-side
+    pruning twins agree; decode(verify=True) is unaffected by the
+    payload-less sketch entries; clustering ON a struct child works."""
+    from sparkolumnar.engine.decode import block_keep_py
+
+    df = spark.range(8000).select(
+        F.col("id"),
+        F.struct((F.col("id") * 3).cast("long").alias("n_chars"),
+                 F.concat(F.lit("l"), (F.col("id") % 5).cast("string"))
+                 .alias("lang")).alias("meta"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("src"))
+    blocks = encode_table(df, cluster_by=["meta.n_chars", "id"],
+                          partitions=4, snapshot_id="stz").cache()
+    total = blocks.count()
+    types = _blocks_arrow_types(blocks)
+    assert types.get("meta.n_chars") == "int64"
+    assert types.get("meta.lang") == "string"
+    dec = decode_blocks(blocks).cache()
+    meta = blocks.select("part_id", "seq", "n_rows", "columns").collect()
+    cases = [
+        ([("meta.n_chars", ">", 20000)], F.col("meta.n_chars") > 20000),
+        ([("meta.n_chars", "between", 30, 90)],
+         F.col("meta.n_chars").between(30, 90)),
+        ([("meta.lang", "=", "l3")], F.col("meta.lang") == "l3"),
+        ([("meta.n_chars", "is_not_null")],
+         F.col("meta.n_chars").isNotNull()),
+    ]
+    for filters, pred in cases:
+        got = decode_blocks(blocks, filters=filters)
+        want = dec.filter(pred)
+        assert got.count() == want.count(), filters
+        assert got.exceptAll(want).count() == 0, filters
+        surv = _apply_block_filters(blocks, filters, types).count()
+        pyk = sum(1 for r in meta
+                  if block_keep_py([c.asDict() for c in r["columns"]],
+                                   filters, types, n_rows=r["n_rows"]))
+        assert pyk == surv, (filters, pyk, surv)
+    # pruning BITES on the child-clustered layout
+    surv = _apply_block_filters(
+        blocks, [("meta.n_chars", "between", 30, 90)], types).count()
+    assert surv < total / 2, (surv, total)
+    # projection + child filter: the ROOT column auto-decodes, output
+    # keeps only the requested columns
+    got = decode_blocks(blocks, columns=["id"],
+                        filters=[("meta.n_chars", "<", 300)])
+    assert got.columns == ["id"] and got.count() == 100
+    assert decode_blocks(blocks, verify=True).count() == 8000
+    blocks.unpersist()
+    dec.unpersist()
+
+
+def test_struct_child_filters_direct_path(spark, tmp_path):
+    """The zero-IPC direct decode resolves dotted struct-child leaves:
+    in-task block pruning via the child sketches plus the pyarrow exact
+    mask with null-parent masking."""
+    from sparkolumnar.engine.direct import decode_files_direct
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.struct((F.col("id") * 3).cast("long").alias("n_chars"))
+        .alias("meta"))
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(df, cluster_by=["meta.n_chars"],
+                                 partitions=4, snapshot_id="stzd"))
+    out = str(tmp_path / "dec")
+    res = decode_files_direct(spark, io, out, columns=["id"],
+                              filters=[("meta.n_chars", "<", 600)])
+    assert res["n_rows"] == 200
+    assert res["n_blocks_read"] < res["n_blocks_total"]
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("meta.n_chars") >= 600).count() == 0
