@@ -20,3 +20,4 @@ from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          ivf_build, ivf_query, ivf_topk)
 from .textstats import (fingerprint, lang_id, quality_score,  # noqa: F401
                         repetition_stats, token_stats)
+from .jpeg import JpegError, decode_jpeg, encode_jpeg  # noqa: F401,E402

@@ -17,9 +17,14 @@ parse with pure numpy (no image/audio libraries needed):
   (None/Sub/Up/Average/Paeth), CRC-checked chunk walk. This covers the
   dominant COMPRESSED web image container with zero external codecs.
 
-JPEG/MP3/H.264 remain out of scope without external codec libraries;
-the deterministic fake decoder is kept as a test double for
-pipeline-shape tests.
+* JPEG (baseline sequential DCT, 8-bit, gray / YCbCr 4:4:4 / 4:2:2 /
+  4:2:0, restart markers) — jpeg.decode_jpeg / jpeg.encode_jpeg, pure
+  numpy Huffman + vectorized IDCT; conformance cross-checked against
+  javax.imageio in tests (progressive/arithmetic raise a clear error).
+
+MP3/H.264 remain out of scope without external codec libraries; the
+deterministic fake decoder is kept as a test double for pipeline-shape
+tests.
 
 Scale notes: media bytes never leave the executor that read them (no
 shuffle in any of these transforms); batch size is bounded by Arrow's
@@ -278,14 +283,21 @@ def decode_png(data) -> np.ndarray:
 
 
 def decode_image(data) -> np.ndarray:
-    """Magic-byte dispatch to the pure-numpy image parsers: BMP ('BM')
-    or PNG (8-byte signature) -> (H, W, C) uint8 (BMP always C=3)."""
+    """Magic-byte dispatch to the pure-numpy image parsers: BMP ('BM'),
+    PNG (8-byte signature) or JPEG (SOI) -> (H, W, C) uint8 (BMP always
+    C=3; grayscale JPEG returns (H, W, 1))."""
     buf = bytes(data)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
-    raise MediaFormatError("unrecognized image payload (BMP/PNG supported)")
+    if buf[:3] == b"\xFF\xD8\xFF":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(buf)
+        return img[:, :, None] if img.ndim == 2 else img
+    raise MediaFormatError(
+        "unrecognized image payload (BMP/PNG/JPEG supported)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

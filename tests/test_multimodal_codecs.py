@@ -294,3 +294,117 @@ def test_image_stats_mixed_bmp_png(spark):
                  image_stats(df, "media")
                  .select("id", "width", "height", "px_sum").collect())
     assert got == sorted(want)
+
+
+# --- JPEG (round 5) ----------------------------------------------------------
+
+
+def _imageio_raster(spark, jpeg_bytes, nbands):
+    """Decode via the JVM's javax.imageio, raw raster samples (getRGB
+    would apply linear-gray -> sRGB color management)."""
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(jpeg_bytes))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    r = img.getRaster()
+    w, h = img.getWidth(), img.getHeight()
+    out = np.zeros((h, w, nbands), np.int32)
+    for y in range(h):
+        for x in range(w):
+            for b in range(nbands):
+                out[y, x, b] = r.getSample(x, y, b)
+    return out.astype(np.uint8)
+
+
+def test_jpeg_constant_tiles_bit_exact():
+    """The oracle property: constant 8x8 tiles + all-ones quant tables
+    round-trip BIT-EXACTLY through baseline JPEG."""
+    from sparkolumnar.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    for s in (0, 7, 200):
+        h, w = 16, 24
+        ty, tx = np.ogrid[:h // 8, :w // 8]
+        img = (((s * 3 + ty * 7 + tx * 11) % 256).astype(np.uint8)
+               .repeat(8, 0).repeat(8, 1))
+        jp = encode_jpeg(img, qt_luma=np.ones((8, 8), np.int64))
+        assert jp[:3] == b"\xFF\xD8\xFF"
+        assert np.array_equal(decode_jpeg(jp), img)
+
+
+def test_jpeg_conformance_vs_imageio(spark):
+    """Cross-check against an INDEPENDENT implementation (the JVM's
+    ImageIO): my encoder's output decodes identically (+-1 IDCT
+    rounding) in both decoders, gray and color; and an ImageIO-encoded
+    JPEG (their encoder, their subsampling choice) decodes with my
+    decoder to within +-1 of their own decode."""
+    from sparkolumnar.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    jvm = spark._jvm
+    # gray, lossy standard tables, non-multiple-of-8 dims
+    img = rng.integers(0, 256, (27, 21)).astype(np.uint8)
+    mine = encode_jpeg(img)
+    d_mine = decode_jpeg(mine)
+    d_ref = _imageio_raster(spark, mine, 1)[:, :, 0]
+    assert d_mine.shape == img.shape
+    assert np.abs(d_mine.astype(int) - d_ref.astype(int)).max() <= 1
+    # constant tiles: even ImageIO reads them bit-exactly
+    ty, tx = np.ogrid[:2, :3]
+    cimg = (((11 + ty * 7 + tx * 13) % 256).astype(np.uint8)
+            .repeat(8, 0).repeat(8, 1))
+    exact = encode_jpeg(cimg, qt_luma=np.ones((8, 8)))
+    assert np.array_equal(_imageio_raster(spark, exact, 1)[:, :, 0], cimg)
+    # color 4:4:4
+    cimg3 = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    mine3 = encode_jpeg(cimg3)
+    d3 = decode_jpeg(mine3)
+    r3 = _imageio_raster(spark, mine3, 3)
+    assert np.abs(d3.astype(int) - r3.astype(int)).max() <= 2
+    # THEIR encoder (color BufferedImage -> typically 4:2:0 subsampled)
+    h, w = 24, 32
+    smooth = np.zeros((h, w, 3), np.uint8)
+    yy, xx = np.ogrid[:h, :w]
+    smooth[..., 0] = np.clip(128 + 60 * np.sin(yy / 5) + 0 * xx, 0, 255)
+    smooth[..., 1] = np.clip(100 + 40 * np.cos(xx / 7) + 0 * yy, 0, 255)
+    smooth[..., 2] = 77
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in smooth[y, x])
+            packed = (255 << 24) | (r << 16) | (g << 8) | b
+            bimg.setRGB(x, y, packed - (1 << 32))  # signed int32 for py4j
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg, "jpg", baos)
+    their = bytes(baos.toByteArray())
+    d_t = decode_jpeg(their)
+    r_t = _imageio_raster(spark, their, 3)
+    assert d_t.shape == r_t.shape
+    # chroma reconstruction differs (replication vs their interpolation)
+    # on subsampled streams: compare the shared-standard luma-dominant
+    # output coarsely, and my decode vs the ORIGINAL closely
+    assert np.abs(d_t.astype(int) - r_t.astype(int)).mean() < 6
+    assert np.abs(d_t.astype(int) - smooth.astype(int)).mean() < 6
+
+
+def test_jpeg_rejects_and_dispatch():
+    from sparkolumnar.pipeline import decode_image
+    from sparkolumnar.pipeline.jpeg import (JpegError, decode_jpeg,
+                                            encode_jpeg)
+
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xFF\xD8\xFF\xD9")  # no SOS
+    # progressive SOF2 raises a CLEAR error, not garbage output
+    img = np.full((8, 8), 50, np.uint8)
+    jp = bytearray(encode_jpeg(img))
+    sof = jp.find(b"\xFF\xC0")
+    jp[sof + 1] = 0xC2
+    with pytest.raises(JpegError, match="baseline"):
+        decode_jpeg(bytes(jp))
+    # truncated entropy data fails loudly
+    whole = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(JpegError):
+        decode_jpeg(whole[:len(whole) - 6] + b"\xFF\xD9")
+    # decode_image dispatches on the SOI magic
+    out = decode_image(encode_jpeg(img, qt_luma=np.ones((8, 8))))
+    assert out.shape == (8, 8, 1) and np.all(out == 50)
