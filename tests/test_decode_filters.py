@@ -734,3 +734,82 @@ def test_struct_child_filters_direct_path(spark, tmp_path):
     assert res["n_blocks_read"] < res["n_blocks_total"]
     got = spark.read.parquet(out)
     assert got.filter(F.col("meta.n_chars") >= 600).count() == 0
+
+
+def test_filters_property_random_dnf_with_null_ops(spark):
+    """Property sweep extending the random-DNF test to the r5 ops
+    (is_null / is_not_null / NOT IN / !=) over a table with REAL nulls:
+    decode_blocks(filters=) equals plain decode + predicate, and the
+    Spark metadata pruning and the task-side Python twin (block_keep_py
+    with n_rows) keep exactly the same blocks."""
+    import random
+
+    import pandas as pd
+
+    from sparkolumnar.engine.decode import block_keep_py
+
+    rng = random.Random(20260818)
+    n = 6000
+    pdf = pd.DataFrame({
+        "k": list(range(n)),
+        "v": [None if rng.random() < 0.2 else rng.randrange(-500, 500)
+              for _ in range(n)],
+        "s": [None if rng.random() < 0.15
+              else f"key{rng.randrange(40):03d}" for _ in range(n)],
+    })
+    df = spark.createDataFrame(pdf, "k long, v long, s string")
+    blocks = encode_table(df, cluster_by=["s", "k"], partitions=2,
+                          snapshot_id="dnfnull").cache()
+    types = _blocks_arrow_types(blocks)
+    meta = [(r["part_id"], r["seq"], r["n_rows"],
+             [c.asDict() for c in r["columns"]])
+            for r in blocks.select("part_id", "seq", "n_rows",
+                                   "columns").collect()]
+
+    def rand_leaf():
+        col = rng.choice(["v", "s"])
+        op = rng.choice(["is_null", "is_not_null", "!=", "not in",
+                         "=", ">=", "in"])
+        def val():
+            if col == "v":
+                return rng.randrange(-700, 700)
+            return f"key{rng.randrange(50):03d}"
+        if op in ("is_null", "is_not_null"):
+            return (col, op)
+        if op in ("in", "not in"):
+            return (col, op, [val() for _ in range(rng.randrange(1, 4))])
+        return (col, op, val())
+
+    def spark_pred(groups):
+        or_e = None
+        for g in groups:
+            e = None
+            for flt in g:
+                col, op, vals = flt[0], flt[1], list(flt[2:])
+                c = F.col(col)
+                leaf = {"is_null": lambda: c.isNull(),
+                        "is_not_null": lambda: c.isNotNull(),
+                        "!=": lambda: c != vals[0],
+                        "not in": lambda: ~c.isin(list(vals[0])),
+                        "=": lambda: c == vals[0],
+                        ">=": lambda: c >= vals[0],
+                        "in": lambda: c.isin(list(vals[0]))}[op]()
+                e = leaf if e is None else (e & leaf)
+            or_e = e if or_e is None else (or_e | e)
+        return or_e
+
+    full = decode_blocks(blocks).cache()
+    for trial in range(12):
+        groups = [[rand_leaf() for _ in range(rng.randrange(1, 3))]
+                  for _ in range(rng.randrange(1, 3))]
+        got = decode_blocks(blocks, filters=groups)
+        want = full.filter(spark_pred(groups))
+        assert got.count() == want.count(), groups
+        spark_keep = {(r["part_id"], r["seq"]) for r in
+                      _apply_block_filters(blocks, groups, types)
+                      .select("part_id", "seq").collect()}
+        py_keep = {(p, q) for p, q, nr, m in meta
+                   if block_keep_py(m, groups, types, n_rows=nr)}
+        assert py_keep == spark_keep, groups
+    full.unpersist()
+    blocks.unpersist()
