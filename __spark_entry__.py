@@ -379,6 +379,34 @@ def _q_struct_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("meta.lang")).alias("n_langs"))
 
 
+def _q_map_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP per-key zone-map pushdown: documents metadata packed into a
+    map column (small stable key set — the common metadata-map shape),
+    range-clustered on doc_id; the filter attrs['source'] = 'src3' AND
+    attrs['lang'] IS NOT NULL is answered through
+    decode_blocks(filters=[("attrs.source", ...)]): the encoder emitted
+    per-KEY sketch entries (bloom/prefix bounds + effective n_nulls
+    counting absent-key rows), pruning blocks before the map codec
+    decodes. Oracle recomputes the aggregate from the raw table."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", "n_chars",
+        F.create_map(F.lit("source"), F.col("source"),
+                     F.lit("lang"), F.col("lang")).alias("attrs"))
+    blocks = encode_table(df, cluster_by=["doc_id"], partitions=4,
+                          snapshot_id="mapf")
+    dec = decode_blocks(blocks, filters=[
+        ("attrs.source", "=", "src3"),
+        ("attrs.lang", "is_not_null")])
+    return dec.select(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.countDistinct(F.col("attrs")["lang"]).alias("n_langs"))
+
+
 def _q_null_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL / IS NOT NULL / NOT IN filters end-to-end with n_nulls
     block pruning (r4-verdict item #2): documents gain a derived
@@ -888,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
         "struct_filter_pushdown": _q_struct_filter_pushdown,
+        "map_filter_pushdown": _q_map_filter_pushdown,
         "null_filter_agg": _q_null_filter_agg,
         "neardup_groups": _q_neardup_groups,
         "corpus_dedup_stats": _q_corpus_dedup_stats,
@@ -1406,6 +1435,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "map_filter_pushdown": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents
+            WHERE source = 'src3' AND lang IS NOT NULL
         """,
         "struct_filter_pushdown": """
             SELECT COUNT(*) AS n_docs,

@@ -973,13 +973,22 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
             if idx >= 0:
                 a = batch.column(idx)
                 for p in parts[1:]:
-                    if not pa.types.is_struct(a.type) \
-                            or a.type.get_field_index(p) < 0:
+                    if pa.types.is_struct(a.type) \
+                            and a.type.get_field_index(p) >= 0:
+                        parent_valid = a.is_valid()
+                        a = a.field(p)
+                        a = pc.if_else(parent_valid, a,
+                                       pa.nulls(len(a), a.type))
+                    elif pa.types.is_map(a.type) \
+                            and pa.types.is_string(a.type.key_type):
+                        # Spark's GetMapValue: first match, null when the
+                        # key is absent or the map is null — map_lookup
+                        # has exactly these semantics
+                        a = pc.map_lookup(
+                            a, query_key=pa.scalar(p, a.type.key_type),
+                            occurrence="first")
+                    else:
                         break
-                    parent_valid = a.is_valid()
-                    a = a.field(p)
-                    a = pc.if_else(parent_valid, a,
-                                   pa.nulls(len(a), a.type))
                 else:
                     return a
         # get_field_index returns -1, which would silently select the

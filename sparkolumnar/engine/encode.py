@@ -103,6 +103,10 @@ def encode_batch(batch: pa.RecordBatch, snapshot_id: str, part_id: int,
             # and the codecs do too; the sketches now follow
             _append_struct_child_sketches(cols_meta, field.name, vals,
                                           n_nulls)
+        elif sketches and pa.types.is_map(vals.type):
+            # map PER-KEY zone maps for small stable key sets: filters
+            # on "attrs.source" (Spark GetMapValue dot access) prune too
+            _append_map_key_sketches(cols_meta, field.name, vals, n)
     row.update({
         "block_id": block_id_of(snapshot_id, checksums, n),
         "snapshot_id": snapshot_id,
@@ -154,6 +158,72 @@ def _append_struct_child_sketches(cols_meta: list, path: str,
         if pa.types.is_struct(child.type):
             _append_struct_child_sketches(cols_meta, name, cvals,
                                           parent_nulls + child_nulls)
+
+
+_MAP_SKETCH_MAX_KEYS = 8  # per-key sketches only for small stable key
+#                           sets (metadata maps), never unbounded vocab
+
+
+def _append_map_key_sketches(cols_meta: list, path: str, map_vals,
+                             n_rows: int) -> None:
+    """Per-KEY sketch entries for a map column with a small string key
+    set: "attrs.source" then prunes exactly like a struct child (Spark's
+    dot access on maps is GetMapValue — null when the key is absent or
+    the map is null, which is what the effective n_nulls counts).
+    map_vals is the parent's null-dropped values; n_rows the block's
+    row count. Rows are attributed by searchsorted over the map offsets
+    (exact even under duplicate keys — presence is counted per ROW), so
+    the n_nulls-based prunes stay sound."""
+    import pyarrow.compute as pc
+
+    from .blocks import SKETCH_CODEC
+
+    t = map_vals.type
+    if not pa.types.is_string(t.key_type) or len(map_vals) == 0:
+        return
+    keys = map_vals.keys
+    if len(keys) == 0:
+        return
+    distinct = pc.unique(keys)
+    if len(distinct) > _MAP_SKETCH_MAX_KEYS:
+        return
+    offsets = np.asarray(map_vals.offsets, dtype=np.int64)
+    items = map_vals.items
+    item_valid = (items.is_valid().to_numpy(zero_copy_only=False)
+                  if items.null_count else None)
+    for k in distinct:
+        key = k.as_py()
+        if key is None or "." in key or "`" in key:
+            continue  # unresolvable as a dotted filter path
+        mask = pc.equal(keys, k).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(mask)[0]
+        take = idx
+        if item_valid is not None:
+            take = idx[item_valid[idx]]
+        # rows (of the null-dropped parent) where the access is non-null
+        rows = np.unique(np.searchsorted(offsets, take, side="right") - 1)
+        vals_k = (items.take(pa.array(take, pa.int64())) if len(take)
+                  else items.slice(0, 0))
+        cvals = vals_k.drop_null() if vals_k.null_count else vals_k
+        zmin, zmax, fmin, fmax = _zone_minmax(cvals)
+        bloom = _zone_bloom(cvals)
+        bmin, bmax = _zone_strbounds(cvals)
+        cols_meta.append({
+            "name": f"{path}.{key}",
+            "codec": SKETCH_CODEC,
+            "arrow_type": arrow_type_to_str(items.type),
+            "n_nulls": n_rows - len(rows),
+            "bytes_in": 0,
+            "bytes_out": 0,
+            "checksum_in": "",
+            "min_i64": zmin,
+            "max_i64": zmax,
+            "min_f64": fmin,
+            "max_f64": fmax,
+            "bloom": bloom,
+            "min_bin": bmin,
+            "max_bin": bmax,
+        })
 
 
 def _zone_minmax(vals: pa.Array):

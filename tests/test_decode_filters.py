@@ -813,3 +813,66 @@ def test_filters_property_random_dnf_with_null_ops(spark):
         assert py_keep == spark_keep, groups
     full.unpersist()
     blocks.unpersist()
+
+
+def test_map_key_zone_maps_prune_and_match(spark):
+    """r5 extension: MAP columns with a small string key set get
+    per-KEY sketch entries ("attrs.source"), so dotted filters prune
+    blocks exactly like struct children — with Spark's GetMapValue
+    null semantics (absent key / null map read as null)."""
+    from sparkolumnar.engine.decode import block_keep_py
+
+    df = spark.range(8000).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 != 0, F.create_map(
+            F.lit("source"),
+            F.concat(F.lit("s"), (F.col("id") / 2000).cast("int")
+                     .cast("string")),
+            F.lit("quality"),
+            (F.col("id") % 100).cast("string"))).alias("attrs"))
+    blocks = encode_table(df, cluster_by=["id"], partitions=4,
+                          snapshot_id="mapz").cache()
+    total = blocks.count()
+    types = _blocks_arrow_types(blocks)
+    assert types.get("attrs.source") == "string"
+    dec = decode_blocks(blocks).cache()
+    meta = blocks.select("part_id", "seq", "n_rows", "columns").collect()
+    cases = [
+        ([("attrs.source", "=", "s3")], F.col("attrs.source") == "s3"),
+        ([("attrs.source", "is_null")], F.col("attrs.source").isNull()),
+        ([("attrs.source", "is_not_null")],
+         F.col("attrs.source").isNotNull()),
+        ([("attrs.quality", ">=", "95")], F.col("attrs.quality") >= "95"),
+        ([("attrs.source", "in", ["s0", "s3"])],
+         F.col("attrs.source").isin(["s0", "s3"])),
+    ]
+    flat = ["id", F.col("attrs.source").alias("src"),
+            F.col("attrs.quality").alias("q")]  # set ops reject MapType
+    for filters, pred in cases:
+        got = decode_blocks(blocks, filters=filters)
+        want = dec.filter(pred)
+        assert got.count() == want.count(), filters
+        assert (got.select(*flat).exceptAll(want.select(*flat))
+                .count() == 0), filters
+        surv = _apply_block_filters(blocks, filters, types).count()
+        pyk = sum(1 for r in meta
+                  if block_keep_py([c.asDict() for c in r["columns"]],
+                                   filters, types, n_rows=r["n_rows"]))
+        assert pyk == surv, (filters, pyk, surv)
+    # the id-clustered layout makes source ~constant per block: the
+    # per-key bloom/zone entries actually prune equality probes
+    surv = _apply_block_filters(blocks, [("attrs.source", "=", "s3")],
+                                types).count()
+    assert surv < total, (surv, total)
+    # unbounded key sets emit no per-key sketches (cap), sound fallback
+    big = spark.range(2000).select(
+        F.col("id"), F.create_map(
+            F.concat(F.lit("k"), F.col("id").cast("string")),
+            F.lit("v")).alias("m"))
+    b2 = encode_table(big, partitions=2, snapshot_id="mapzbig")
+    t2 = _blocks_arrow_types(b2)
+    assert not any(k.startswith("m.") for k in t2)
+    got2 = decode_blocks(b2, filters=[("m.k5", "=", "v")])
+    assert got2.count() == 1
+    blocks.unpersist()
+    dec.unpersist()
