@@ -649,6 +649,59 @@ def _q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: per document, synthesize a classic
+    AVI 1.0 Motion-JPEG container (RIFF hdrl/movi/idx1, encode_avi_mjpeg)
+    whose 2..5 frames are constant-tile grayscale baseline JPEGs with
+    all-ones quantization tables (the bit-exact configuration
+    jpeg_decode_stats pins), sample every 2nd frame with
+    video_frame_stats (container walk + per-frame JPEG Huffman/IDCT
+    decode), and aggregate the DECODED frame properties per lang. Frame
+    pixel values are pure functions of (doc_id, frame_idx, tile_x), so
+    the oracle recomputes every sampled frame's pixel sum arithmetically
+    — a defect in the RIFF chunk walk, the frame-count cross-check, the
+    sampling stride, or the JPEG scan breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.pipeline import video_frame_stats
+    from sparkolumnar.pipeline.jpeg import encode_jpeg
+    from sparkolumnar.pipeline.multimodal import encode_avi_mjpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                nf = 2 + s % 4
+                tw = 1 + s % 2
+                frames = []
+                for fi in range(nf):
+                    tx = np.arange(tw)
+                    tiles = ((s * 7 + fi * 31 + tx * 11) % 256).astype(
+                        np.uint8)[None, :]
+                    img = tiles.repeat(8, axis=0).repeat(8, axis=1)
+                    frames.append(encode_jpeg(img, qt_luma=ones))
+                media.append(encode_avi_mjpeg(frames, tw * 8, 8, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "lang": pdf["lang"].values,
+                                "media": media})
+
+    withm = docs.mapInPandas(synth, "doc_id long, lang string, media binary")
+    st = video_frame_stats(withm, "media", every_n=2)
+    return (st.groupBy("lang")
+            .agg(F.count("*").alias("n_frames_sampled"),
+                 F.sum(F.col("n_frames").cast("long"))
+                  .alias("sum_container_frames"),
+                 F.sum(F.col("width").cast("long")).alias("sum_width"),
+                 F.sum(F.col("height").cast("long")).alias("sum_height"),
+                 F.sum("px_sum").alias("sum_px"))
+            .orderBy("lang"))
+
+
 def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per document, synthesize a
     deterministic 16-bit PCM WAV (RIFF chunk layout) whose sample count
@@ -910,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": _q_media_decode_stats,
         "png_decode_stats": _q_png_decode_stats,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
+        "video_frame_stats": _q_video_frame_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
@@ -1570,6 +1624,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(h) AS BIGINT) AS sum_height,
                    CAST(SUM(s) AS BIGINT) AS sum_px,
                    COUNT(*) AS n_imgs
+            FROM px GROUP BY lang ORDER BY lang
+        """,
+        "video_frame_stats": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       2 + doc_id % 4 AS nf,
+                       1 + doc_id % 2 AS tw
+                FROM documents
+            ), fr AS (
+                SELECT d.doc_id, d.lang, d.nf, d.tw, f.f AS fi
+                FROM d
+                JOIN (SELECT unnest(range(5)) AS f) f
+                  ON f.f < d.nf AND f.f % 2 = 0
+            ), px AS (
+                SELECT fr.doc_id, fr.lang, fr.nf, fr.tw * 8 AS w,
+                       SUM(64 * ((fr.doc_id * 7 + fr.fi * 31 + x.x * 11)
+                                 % 256)) AS s
+                FROM fr
+                JOIN (SELECT unnest(range(2)) AS x) x ON x.x < fr.tw
+                GROUP BY fr.doc_id, fr.lang, fr.nf, fr.fi, fr.tw
+            )
+            SELECT lang,
+                   COUNT(*) AS n_frames_sampled,
+                   CAST(SUM(nf) AS BIGINT) AS sum_container_frames,
+                   CAST(SUM(w) AS BIGINT) AS sum_width,
+                   CAST(SUM(8) AS BIGINT) AS sum_height,
+                   CAST(SUM(s) AS BIGINT) AS sum_px
             FROM px GROUP BY lang ORDER BY lang
         """,
         "audio_decode_stats": """

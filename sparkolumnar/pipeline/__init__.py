@@ -11,10 +11,11 @@ from .dedup import (connected_components, dedup_groups,  # noqa: F401
                     minhash_wordgram_signatures, ngram_jaccard_verify,
                     simhash64_md5, simhash_buckets)
 from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
-                         decode_and_featurize, decode_bmp, decode_image,
-                         decode_png, decode_wav, encode_bmp, encode_png,
+                         decode_and_featurize, decode_avi, decode_bmp,
+                         decode_image, decode_png, decode_wav,
+                         encode_avi_mjpeg, encode_bmp, encode_png,
                          encode_wav, frame_sample, image_stats,
-                         media_embeddings)
+                         media_embeddings, video_frame_stats)
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          hyperplane_lsh_signatures, hyperplane_neardup_pairs,
                          ivf_build, ivf_query, ivf_topk)

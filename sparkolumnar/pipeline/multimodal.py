@@ -34,7 +34,7 @@ maxRecordsPerBatch so one 4K frame burst cannot OOM a worker.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -501,3 +501,197 @@ def frame_sample(df: DataFrame, media_col: str, every_n_bytes: int = 1024,
                         F.substring(F.col(media_col).cast("binary"),
                                     F.col("frame_offset") + 1, every_n_bytes))
             .drop(media_col))
+
+
+# --- RIFF/AVI (Motion-JPEG) video ------------------------------------------
+# Classic AVI 1.0 container (Microsoft "AVI RIFF File Reference", public
+# spec): RIFF 'AVI ' -> LIST 'hdrl' (avih main header + LIST 'strl' with a
+# 'vids'/'MJPG' strh and a BITMAPINFOHEADER strf) -> LIST 'movi' with one
+# '00dc' chunk per frame -> 'idx1' index. MJPG frames are self-contained
+# baseline JPEGs, so the r5 pure-numpy JPEG decoder (pipeline/jpeg.py) makes
+# this a REAL video decode path; H.264/HEVC stay honestly out of scope.
+
+def _u16(v: int) -> bytes:
+    return int(v).to_bytes(2, "little")
+
+
+def _u32(v: int) -> bytes:
+    return int(v).to_bytes(4, "little")
+
+
+def _avi_chunk(tag: bytes, body: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd-sized bodies get a pad byte that
+    # is NOT counted in the stored size.
+    return tag + _u32(len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def encode_avi_mjpeg(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Encode JPEG frame payloads as a classic AVI 1.0 Motion-JPEG file:
+    avih + vids/MJPG strh + BITMAPINFOHEADER strf, '00dc' movi chunks
+    (word-aligned), and an idx1 index (offsets measured from the 'movi'
+    fourcc, the convention players expect). Every frame must already be a
+    JPEG payload (every MJPG frame is an independent keyframe)."""
+    frames = [bytes(f) for f in frames]
+    for f in frames:
+        if f[:3] != b"\xFF\xD8\xFF":
+            raise MediaFormatError("MJPG frames must be JPEG payloads")
+    if fps <= 0:
+        raise MediaFormatError("fps must be positive")
+    n = len(frames)
+    maxbuf = max((len(f) + 8 for f in frames), default=0)
+    avih = b"".join([
+        _u32(1_000_000 // fps),        # dwMicroSecPerFrame
+        _u32(maxbuf * fps),            # dwMaxBytesPerSec
+        _u32(0),                       # dwPaddingGranularity
+        _u32(_AVIF_HASINDEX),          # dwFlags
+        _u32(n),                       # dwTotalFrames
+        _u32(0),                       # dwInitialFrames
+        _u32(1),                       # dwStreams
+        _u32(maxbuf),                  # dwSuggestedBufferSize
+        _u32(width), _u32(height),
+        _u32(0) * 4,                   # dwReserved
+    ])
+    strh = b"".join([
+        b"vids", b"MJPG",
+        _u32(0), _u16(0), _u16(0),     # flags, priority, language
+        _u32(0),                       # initial frames
+        _u32(1), _u32(fps),            # scale, rate (rate/scale = fps)
+        _u32(0), _u32(n),              # start, length (frames)
+        _u32(maxbuf), _u32(10000),     # suggested buffer, quality
+        _u32(0),                       # sample size (0: varying chunks)
+        _u16(0), _u16(0), _u16(width), _u16(height),  # rcFrame
+    ])
+    strf = b"".join([                  # BITMAPINFOHEADER
+        _u32(40), _u32(width), _u32(height),
+        _u16(1), _u16(24), b"MJPG",
+        _u32(width * height * 3),
+        _u32(0), _u32(0), _u32(0), _u32(0),
+    ])
+    strl = _avi_chunk(b"LIST", b"strl" + _avi_chunk(b"strh", strh)
+                      + _avi_chunk(b"strf", strf))
+    hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih) + strl)
+    movi_body, idx, off = [], [], 4    # idx1 offsets count from 'movi' fourcc
+    for f in frames:
+        chunk = _avi_chunk(b"00dc", f)
+        idx.append(b"00dc" + _u32(_AVIIF_KEYFRAME) + _u32(off) + _u32(len(f)))
+        movi_body.append(chunk)
+        off += len(chunk)
+    movi = _avi_chunk(b"LIST", b"movi" + b"".join(movi_body))
+    idx1 = _avi_chunk(b"idx1", b"".join(idx))
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi(data) -> Tuple[dict, list]:
+    """Decode a classic AVI Motion-JPEG payload -> (meta, frame payloads).
+
+    Walks the top-level RIFF chunk list (tolerating extra chunks like JUNK
+    or INFO), parses the avih main header and the first video stream's
+    strh/strf, collects '..dc'/'..db' frame chunks from the movi list, and
+    cross-checks the container's declared frame count against the movi
+    chunks actually present (a truncated or spliced file fails loudly
+    rather than yielding fewer frames). Frame payloads are returned as-is
+    (JPEGs for MJPG) — pair with decode_image / video_frame_stats.
+
+    meta keys: width, height, n_frames, usec_per_frame, handler."""
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise MediaFormatError("not a RIFF/AVI payload")
+    declared = int.from_bytes(buf[4:8], "little")
+    if 8 + declared > len(buf):
+        raise MediaFormatError("truncated AVI: RIFF size exceeds payload")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            tag = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if pos + 8 + size > hi:
+                raise MediaFormatError(f"truncated AVI chunk {tag!r}")
+            yield tag, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)
+
+    meta, frames, handler = {}, [], None
+    for tag, lo, hi in walk(12, 8 + declared):
+        if tag != b"LIST":
+            continue
+        ltype = buf[lo:lo + 4]
+        if ltype == b"hdrl":
+            for t2, lo2, hi2 in walk(lo + 4, hi):
+                if t2 == b"avih":
+                    if hi2 - lo2 < 40:
+                        raise MediaFormatError("short avih header")
+                    meta["usec_per_frame"] = int.from_bytes(
+                        buf[lo2:lo2 + 4], "little")
+                    meta["n_frames"] = int.from_bytes(
+                        buf[lo2 + 16:lo2 + 20], "little")
+                    meta["width"] = int.from_bytes(
+                        buf[lo2 + 32:lo2 + 36], "little")
+                    meta["height"] = int.from_bytes(
+                        buf[lo2 + 36:lo2 + 40], "little")
+                elif t2 == b"LIST" and buf[lo2:lo2 + 4] == b"strl" \
+                        and handler is None:
+                    for t3, lo3, hi3 in walk(lo2 + 4, hi2):
+                        if t3 == b"strh" and buf[lo3:lo3 + 4] == b"vids":
+                            handler = buf[lo3 + 4:lo3 + 8].decode(
+                                "ascii", "replace")
+        elif ltype == b"movi":
+            for t2, lo2, hi2 in walk(lo + 4, hi):
+                if t2[2:4] in (b"dc", b"db"):
+                    frames.append(buf[lo2:hi2])
+    if "n_frames" not in meta:
+        raise MediaFormatError("missing avih header")
+    if not frames and meta["n_frames"]:
+        raise MediaFormatError("missing movi frame data")
+    if meta["n_frames"] != len(frames):
+        raise MediaFormatError(
+            f"frame count mismatch: avih declares {meta['n_frames']}, "
+            f"movi carries {len(frames)}")
+    meta["handler"] = handler
+    return meta, frames
+
+
+def video_frame_stats(df: DataFrame, media_col: str, every_n: int = 1,
+                      max_frames: Optional[int] = None) -> DataFrame:
+    """REAL video frame sampling: parse each AVI container, take every
+    `every_n`-th frame (optionally capped at `max_frames`), decode each
+    sampled frame through the pure-numpy image decoders (MJPG -> JPEG),
+    and emit one row per sampled frame with bit-exactly recomputable
+    stats (frame_idx, container n_frames, decoded width/height, integer
+    pixel sum). One mapInPandas pass; media bytes never leave the task."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src, fidx, nfr, ws, hs, sums = [], [], [], [], [], []
+            for i, payload in enumerate(pdf[media_col]):
+                meta, frames = decode_avi(payload)
+                sel = list(range(0, len(frames), every_n))
+                if max_frames is not None:
+                    sel = sel[:max_frames]
+                for fi in sel:
+                    img = decode_image(frames[fi])
+                    src.append(i)
+                    fidx.append(fi)
+                    nfr.append(meta["n_frames"])
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    sums.append(int(img.sum(dtype=np.int64)))
+            out = pdf.drop(columns=[media_col]).iloc[src].reset_index(
+                drop=True)
+            out["frame_idx"] = np.array(fidx, dtype=np.int32)
+            out["n_frames"] = np.array(nfr, dtype=np.int32)
+            out["width"] = np.array(ws, dtype=np.int32)
+            out["height"] = np.array(hs, dtype=np.int32)
+            out["px_sum"] = np.array(sums, dtype=np.int64)
+            yield out
+
+    keep = [f for f in df.schema.fields if f.name != media_col]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+    return df.mapInPandas(
+        fn, f"{fields}, frame_idx int, n_frames int, width int, "
+            f"height int, px_sum long")

@@ -408,3 +408,95 @@ def test_jpeg_rejects_and_dispatch():
     # decode_image dispatches on the SOI magic
     out = decode_image(encode_jpeg(img, qt_luma=np.ones((8, 8))))
     assert out.shape == (8, 8, 1) and np.all(out == 50)
+
+
+# --- RIFF/AVI Motion-JPEG -----------------------------------------------
+
+
+def _mjpeg_frames(n, tw=2, seed=7):
+    from sparkolumnar.pipeline.jpeg import encode_jpeg
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    frames, imgs = [], []
+    for fi in range(n):
+        tiles = ((seed + fi * 31 + np.arange(tw) * 11) % 256).astype(
+            np.uint8)[None, :]
+        img = tiles.repeat(8, axis=0).repeat(8, axis=1)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, qt_luma=ones))
+    return frames, imgs
+
+
+def test_avi_mjpeg_roundtrip_and_meta():
+    from sparkolumnar.pipeline.multimodal import (decode_avi, decode_image,
+                                                  encode_avi_mjpeg)
+
+    frames, imgs = _mjpeg_frames(5)
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=25)
+    meta, out = decode_avi(avi)
+    assert out == frames  # container walk returns the exact JPEG payloads
+    assert meta["n_frames"] == 5 and meta["handler"] == "MJPG"
+    assert (meta["width"], meta["height"]) == (16, 8)
+    assert meta["usec_per_frame"] == 1_000_000 // 25
+    # constant-tile ones-qtable JPEG frames decode bit-exactly
+    for f, img in zip(out, imgs):
+        assert np.array_equal(decode_image(f)[:, :, 0], img)
+
+
+def test_avi_word_alignment_odd_frame():
+    from sparkolumnar.pipeline.multimodal import decode_avi, encode_avi_mjpeg
+
+    raw = b"\xFF\xD8\xFF" + b"x" * 10  # 13 bytes: odd chunk, pad byte
+    meta, out = decode_avi(encode_avi_mjpeg([raw, raw + b"y"], 8, 8))
+    assert out == [raw, raw + b"y"]
+
+
+def test_avi_rejects_malformed():
+    from sparkolumnar.pipeline.multimodal import (MediaFormatError,
+                                                  decode_avi,
+                                                  encode_avi_mjpeg)
+
+    frames, _ = _mjpeg_frames(3)
+    avi = encode_avi_mjpeg(frames, 16, 8)
+    with pytest.raises(MediaFormatError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    with pytest.raises(MediaFormatError):
+        decode_avi(avi[:40])  # truncated: RIFF size exceeds payload
+    with pytest.raises(MediaFormatError):
+        encode_avi_mjpeg([b"not a jpeg"], 8, 8)  # frames must be JPEG
+    # declared frame count disagreeing with movi chunks fails loudly
+    bad = bytearray(avi)
+    i = bad.find(b"avih") + 8 + 16  # dwTotalFrames field
+    bad[i:i + 4] = (99).to_bytes(4, "little")
+    with pytest.raises(MediaFormatError, match="mismatch"):
+        decode_avi(bytes(bad))
+    # truncated movi chunk (size past list end) fails loudly
+    bad = bytearray(avi)
+    j = bad.find(b"00dc") + 4
+    bad[j:j + 4] = (1 << 24).to_bytes(4, "little")
+    with pytest.raises(MediaFormatError):
+        decode_avi(bytes(bad))
+
+
+def test_video_frame_stats_sampling_spark(spark):
+    from sparkolumnar.pipeline import video_frame_stats
+    from sparkolumnar.pipeline.multimodal import encode_avi_mjpeg
+
+    frames, imgs = _mjpeg_frames(6, tw=1)
+    rows = [(1, encode_avi_mjpeg(frames, 8, 8)),
+            (2, encode_avi_mjpeg(frames[:2], 8, 8))]
+    df = spark.createDataFrame(rows, "vid_id long, media binary")
+    out = video_frame_stats(df, "media", every_n=2).collect()
+    got = {(r.vid_id, r.frame_idx): (r.n_frames, r.width, r.height, r.px_sum)
+           for r in out}
+    # every_n=2 samples frames 0,2,4 of the 6-frame clip, 0 of the 2-frame
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    for (vid, fi), (nf, w, h, s) in got.items():
+        assert nf == (6 if vid == 1 else 2)
+        assert (w, h) == (8, 8)
+        assert s == int(imgs[fi].sum(dtype=np.int64)) * 1  # gray C=1
+    # max_frames caps the per-clip sample count
+    capped = video_frame_stats(df, "media", every_n=1, max_frames=3)
+    counts = {r.vid_id: r["count"]
+              for r in capped.groupBy("vid_id").count().collect()}
+    assert counts == {1: 3, 2: 2}
