@@ -702,6 +702,55 @@ def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode end-to-end: per document, synthesize a
+    multi-frame GIF89a (real LZW compression, pipeline/gif.py,
+    conformance-pinned bit-exact against javax.imageio both directions)
+    whose palette indices are pure functions of (doc_id, frame, y, x),
+    sample every 2nd frame through the same video_frame_stats container
+    dispatch the AVI path uses, and aggregate decoded pixel sums per
+    lang. GIF is lossless, so the oracle recomputes EVERY pixel
+    arithmetically — any LZW/width-bump/palette/compositing defect
+    breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.pipeline import video_frame_stats
+    from sparkolumnar.pipeline.gif import encode_gif
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    i = np.arange(16)
+    pal = np.stack([(i * 17) % 256, (i * 29) % 256, (i * 43) % 256],
+                   axis=1).astype(np.uint8)
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                nf = 2 + s % 3
+                w = 4 + s % 5
+                h = 3 + s % 4
+                y, x = np.ogrid[:h, :w]
+                frames = [((s + fi * 3 + y * 5 + x * 7) % 16).astype(
+                    np.uint8) for fi in range(nf)]
+                media.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "lang": pdf["lang"].values,
+                                "media": media})
+
+    withm = docs.mapInPandas(synth, "doc_id long, lang string, media binary")
+    st = video_frame_stats(withm, "media", every_n=2)
+    return (st.groupBy("lang")
+            .agg(F.count("*").alias("n_frames_sampled"),
+                 F.sum(F.col("n_frames").cast("long"))
+                  .alias("sum_container_frames"),
+                 F.sum(F.col("width").cast("long")).alias("sum_width"),
+                 F.sum(F.col("height").cast("long")).alias("sum_height"),
+                 F.sum("px_sum").alias("sum_px"))
+            .orderBy("lang"))
+
+
 def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: per document, synthesize a
     deterministic 16-bit PCM WAV (RIFF chunk layout) whose sample count
@@ -964,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": _q_png_decode_stats,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
+        "gif_frame_stats": _q_gif_frame_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "zone_pruned_ts_range": _q_zone_pruned_ts_range,
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
@@ -1650,6 +1700,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(nf) AS BIGINT) AS sum_container_frames,
                    CAST(SUM(w) AS BIGINT) AS sum_width,
                    CAST(SUM(8) AS BIGINT) AS sum_height,
+                   CAST(SUM(s) AS BIGINT) AS sum_px
+            FROM px GROUP BY lang ORDER BY lang
+        """,
+        "gif_frame_stats": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       2 + doc_id % 3 AS nf,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents
+            ), fr AS (
+                SELECT d.*, f.f AS fi
+                FROM d
+                JOIN (SELECT unnest(range(4)) AS f) f
+                  ON f.f < d.nf AND f.f % 2 = 0
+            ), px AS (
+                SELECT fr.doc_id, fr.lang, fr.nf, fr.fi, fr.w, fr.h,
+                       SUM(((fr.doc_id + fr.fi * 3 + y.y * 5 + x.x * 7)
+                            % 16) * 17 % 256
+                         + ((fr.doc_id + fr.fi * 3 + y.y * 5 + x.x * 7)
+                            % 16) * 29 % 256
+                         + ((fr.doc_id + fr.fi * 3 + y.y * 5 + x.x * 7)
+                            % 16) * 43 % 256) AS s
+                FROM fr
+                JOIN (SELECT unnest(range(6)) AS y) y ON y.y < fr.h
+                JOIN (SELECT unnest(range(8)) AS x) x ON x.x < fr.w
+                GROUP BY fr.doc_id, fr.lang, fr.nf, fr.fi, fr.w, fr.h
+            )
+            SELECT lang,
+                   COUNT(*) AS n_frames_sampled,
+                   CAST(SUM(nf) AS BIGINT) AS sum_container_frames,
+                   CAST(SUM(w) AS BIGINT) AS sum_width,
+                   CAST(SUM(h) AS BIGINT) AS sum_height,
                    CAST(SUM(s) AS BIGINT) AS sum_px
             FROM px GROUP BY lang ORDER BY lang
         """,

@@ -12,10 +12,11 @@ from .dedup import (connected_components, dedup_groups,  # noqa: F401
                     simhash64_md5, simhash_buckets)
 from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
                          decode_and_featurize, decode_avi, decode_bmp,
-                         decode_image, decode_png, decode_wav,
-                         encode_avi_mjpeg, encode_bmp, encode_png,
-                         encode_wav, frame_sample, image_stats,
+                         decode_image, decode_png, decode_video_frames,
+                         decode_wav, encode_avi_mjpeg, encode_bmp,
+                         encode_png, encode_wav, frame_sample, image_stats,
                          media_embeddings, video_frame_stats)
+from .gif import GifError, decode_gif, decode_gif_frames, encode_gif  # noqa: F401,E402
 from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          hyperplane_lsh_signatures, hyperplane_neardup_pairs,
                          ivf_build, ivf_query, ivf_topk)

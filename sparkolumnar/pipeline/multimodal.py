@@ -284,8 +284,9 @@ def decode_png(data) -> np.ndarray:
 
 def decode_image(data) -> np.ndarray:
     """Magic-byte dispatch to the pure-numpy image parsers: BMP ('BM'),
-    PNG (8-byte signature) or JPEG (SOI) -> (H, W, C) uint8 (BMP always
-    C=3; grayscale JPEG returns (H, W, 1))."""
+    PNG (8-byte signature), JPEG (SOI) or GIF ('GIF8', first composited
+    frame) -> (H, W, C) uint8 (BMP/GIF always C=3; grayscale JPEG
+    returns (H, W, 1))."""
     buf = bytes(data)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
@@ -296,8 +297,12 @@ def decode_image(data) -> np.ndarray:
 
         img = decode_jpeg(buf)
         return img[:, :, None] if img.ndim == 2 else img
+    if buf[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(buf)
     raise MediaFormatError(
-        "unrecognized image payload (BMP/PNG/JPEG supported)")
+        "unrecognized image payload (BMP/PNG/JPEG/GIF supported)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -654,14 +659,32 @@ def decode_avi(data) -> Tuple[dict, list]:
     return meta, frames
 
 
+def decode_video_frames(data) -> Tuple[dict, list]:
+    """Magic-byte video-container dispatch -> (meta, decoded frames as
+    (H, W, C) uint8 arrays): RIFF/AVI Motion-JPEG (each movi chunk is an
+    independent JPEG) or animated GIF (composited logical-screen
+    frames). meta always carries n_frames/width/height."""
+    buf = bytes(data)
+    if buf[:4] == b"RIFF":
+        meta, payloads = decode_avi(buf)
+        return meta, [decode_image(f) for f in payloads]
+    if buf[:4] == b"GIF8":
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(buf)
+    raise MediaFormatError(
+        "unrecognized video payload (AVI/MJPEG and animated GIF supported)")
+
+
 def video_frame_stats(df: DataFrame, media_col: str, every_n: int = 1,
                       max_frames: Optional[int] = None) -> DataFrame:
-    """REAL video frame sampling: parse each AVI container, take every
-    `every_n`-th frame (optionally capped at `max_frames`), decode each
-    sampled frame through the pure-numpy image decoders (MJPG -> JPEG),
-    and emit one row per sampled frame with bit-exactly recomputable
-    stats (frame_idx, container n_frames, decoded width/height, integer
-    pixel sum). One mapInPandas pass; media bytes never leave the task."""
+    """REAL video frame sampling: parse each container (AVI/MJPEG or
+    animated GIF), take every `every_n`-th frame (optionally capped at
+    `max_frames`), decode each sampled frame through the pure-numpy
+    decoders (MJPG -> JPEG; GIF -> composited LZW frames), and emit one
+    row per sampled frame with bit-exactly recomputable stats
+    (frame_idx, container n_frames, decoded width/height, integer pixel
+    sum). One mapInPandas pass; media bytes never leave the task."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
 
@@ -669,12 +692,12 @@ def video_frame_stats(df: DataFrame, media_col: str, every_n: int = 1,
         for pdf in batches:
             src, fidx, nfr, ws, hs, sums = [], [], [], [], [], []
             for i, payload in enumerate(pdf[media_col]):
-                meta, frames = decode_avi(payload)
+                meta, frames = decode_video_frames(payload)
                 sel = list(range(0, len(frames), every_n))
                 if max_frames is not None:
                     sel = sel[:max_frames]
                 for fi in sel:
-                    img = decode_image(frames[fi])
+                    img = frames[fi]
                     src.append(i)
                     fidx.append(fi)
                     nfr.append(meta["n_frames"])

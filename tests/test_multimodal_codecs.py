@@ -500,3 +500,170 @@ def test_video_frame_stats_sampling_spark(spark):
     counts = {r.vid_id: r["count"]
               for r in capped.groupBy("vid_id").count().collect()}
     assert counts == {1: 3, 2: 2}
+
+
+# --- GIF (LZW) ----------------------------------------------------------
+
+
+def test_gif_golden_bytes_hand_built():
+    """Decode a GIF whose bytes are built by hand from the GIF89a spec
+    (independent of encode_gif): 3x1, 4-color table, literal LZW codes
+    packed LSB-first at width 3."""
+    from sparkolumnar.pipeline.gif import decode_gif
+
+    pal = b"\x00\x00\x00\xFF\x00\x00\x00\xFF\x00\x00\x00\xFF"
+    # clear(4), 1, 2, 3, eoi(5), all width 3, LSB-first
+    bits, pos = 0, 0
+    for code in (4, 1, 2, 3, 5):
+        bits |= code << pos
+        pos += 3
+    lzw = bits.to_bytes((pos + 7) // 8, "little")
+    g = (b"GIF87a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+         + bytes([0x81, 0, 0]) + pal
+         + b"\x2C" + b"\x00" * 4
+         + (3).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+         + bytes([2, len(lzw)]) + lzw + b"\x00"
+         + b"\x3B")
+    img = decode_gif(g)
+    exp = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
+    assert np.array_equal(img, exp)
+
+
+def test_gif_roundtrip_fuzz():
+    """Round-trip across palette sizes, shapes, interlace and animation —
+    REAL LZW both directions (dictionary growth through width bumps; a
+    256x256 noise frame forces the 4096-entry table overflow + clear)."""
+    from sparkolumnar.pipeline.gif import (decode_gif, decode_gif_frames,
+                                           encode_gif)
+
+    for trial in range(25):
+        r = np.random.default_rng(trial)
+        npal = int(r.integers(1, 9))
+        pal = r.integers(0, 256, (1 << npal, 3), dtype=np.uint8)
+        h, w = int(r.integers(1, 40)), int(r.integers(1, 40))
+        nf = int(r.integers(1, 4))
+        fs = [r.integers(0, 1 << npal, (h, w), dtype=np.uint8)
+              for _ in range(nf)]
+        g = encode_gif(fs, pal, interlace=bool(r.integers(0, 2)))
+        meta, out = decode_gif_frames(g)
+        assert meta["n_frames"] == nf
+        for fr, ex in zip(out, fs):
+            assert np.array_equal(fr, pal[ex]), trial
+    rng = np.random.default_rng(99)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([big], pal)), pal[big])
+
+
+def test_gif_transparency_and_disposal():
+    from sparkolumnar.pipeline.gif import decode_gif_frames, encode_gif
+
+    pal = np.zeros((8, 3), np.uint8)
+    pal[:8] = np.arange(8)[:, None] * 30
+    base = np.full((6, 6), 5, np.uint8)
+    over = np.zeros((6, 6), np.uint8)
+    over[2, 2] = 7
+    # transparent=0: frame 2's zeros keep frame 1's pixels (disposal 1)
+    meta, frames = decode_gif_frames(
+        encode_gif([base, over], pal, transparent=0))
+    exp = pal[base].copy()
+    exp[2, 2] = pal[7]
+    assert np.array_equal(frames[1], exp)
+    # disposal 2 restores the background color between frames
+    meta, frames = decode_gif_frames(
+        encode_gif([base, over], pal, transparent=0, disposal=2,
+                   bg_index=3))
+    exp2 = np.tile(pal[3], (6, 6, 1))
+    exp2[2, 2] = pal[7]
+    assert np.array_equal(frames[1], exp2)
+
+
+def test_gif_rejects_malformed():
+    from sparkolumnar.pipeline.gif import GifError, decode_gif, encode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    ok = encode_gif([np.zeros((4, 4), np.uint8)], pal)
+    with pytest.raises(GifError):
+        decode_gif(b"NOTAGIF!")
+    with pytest.raises(GifError):
+        decode_gif(b"GIF89a\x00\x00")  # truncated header
+    with pytest.raises(GifError):
+        decode_gif(ok[:-10])  # truncated sub-block chain / no trailer
+    # first block byte sits after the 13-byte header + 6-byte 2-color GCT
+    with pytest.raises(GifError):
+        decode_gif(ok[:19] + b"\x99" + ok[20:])  # unknown block type
+    # LZW stream declaring fewer pixels than the descriptor needs
+    bad = bytearray(ok)
+    i = bad.find(b"\x2C")
+    bad[i + 5:i + 7] = (9).to_bytes(2, "little")  # widen image to 9x4
+    with pytest.raises(GifError):
+        decode_gif(bytes(bad))
+
+
+def test_gif_conformance_vs_imageio(spark):
+    """Cross-check against the JVM's ImageIO. GIF is LOSSLESS, so both
+    directions must be BIT-exact: ImageIO decodes my encoder's output to
+    the same RGB, and my decoder reads ImageIO's own LZW stream (a truly
+    independent encoder) identically to ImageIO itself."""
+    from sparkolumnar.pipeline.gif import decode_gif, encode_gif
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    f = rng.integers(0, 16, (11, 17), dtype=np.uint8)
+    mine = encode_gif([f], pal)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(mine))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    w, h = img.getWidth(), img.getHeight()
+    theirs = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb = img.getRGB(x, y)
+            theirs[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+    assert np.array_equal(theirs, pal[f])
+    # their encoder -> my decoder, vs their own decode of the same bytes
+    gray = np.zeros((9, 13, 3), np.uint8)
+    yy, xx = np.ogrid[:9, :13]
+    gray[...] = ((yy * 16 + xx * 8) % 256)[..., None]
+    bimg = jvm.java.awt.image.BufferedImage(13, 9, 1)  # TYPE_INT_RGB
+    for y in range(9):
+        for x in range(13):
+            r, g, b = (int(v) for v in gray[y, x])
+            packed = (255 << 24) | (r << 16) | (g << 8) | b
+            bimg.setRGB(x, y, packed - (1 << 32))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bimg, "gif", baos)
+    their_bytes = bytes(baos.toByteArray())
+    mine_dec = decode_gif(their_bytes)
+    bais2 = jvm.java.io.ByteArrayInputStream(bytearray(their_bytes))
+    img2 = jvm.javax.imageio.ImageIO.read(bais2)
+    ref = np.zeros((9, 13, 3), np.uint8)
+    for y in range(9):
+        for x in range(13):
+            rgb = img2.getRGB(x, y)
+            ref[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+    assert np.array_equal(mine_dec, ref)
+
+
+def test_video_frame_stats_gif_and_dispatch(spark):
+    """Animated GIF flows through the same video_frame_stats path as
+    AVI/MJPEG (magic-byte container dispatch), and decode_image returns
+    a GIF's first composited frame."""
+    from sparkolumnar.pipeline import decode_image, video_frame_stats
+    from sparkolumnar.pipeline.gif import encode_gif
+    from sparkolumnar.pipeline.multimodal import encode_avi_mjpeg
+
+    pal = (np.arange(16)[:, None] * np.array([17, 13, 11]) % 256).astype(
+        np.uint8)
+    frames = [np.full((8, 8), i % 16, np.uint8) for i in range(5)]
+    gif = encode_gif(frames, pal)
+    jf, _ = _mjpeg_frames(3, tw=1)
+    avi = encode_avi_mjpeg(jf, 8, 8)
+    df = spark.createDataFrame([(1, gif), (2, avi)],
+                               "vid_id long, media binary")
+    out = video_frame_stats(df, "media", every_n=2).collect()
+    got = {(r.vid_id, r.frame_idx): (r.n_frames, r.px_sum) for r in out}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)}
+    for fi in (0, 2, 4):
+        assert got[(1, fi)] == (5, int(pal[frames[fi]].sum(dtype=np.int64)))
+    assert np.array_equal(decode_image(gif), pal[frames[0]])
