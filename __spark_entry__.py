@@ -350,6 +350,28 @@ def _q_source_range_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("doc_id").alias("max_doc_id"))
 
 
+def _q_url_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """starts_with prefix pushdown end-to-end (r5): documents
+    range-clustered on (source, doc_id), then
+    decode_blocks(filters=[("source", "starts_with", "src1")]) — the
+    prefix probe prunes blocks as the range [p, incremented-prefix)
+    over the truncated-prefix zone bounds before any payload decode
+    (the url-namespace scan every web corpus runs). Oracle = the raw
+    LIKE 'src1%' aggregate."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang",
+                                                 "n_chars")
+    blocks = encode_table(docs, cluster_by=["source", "doc_id"],
+                          partitions=4, snapshot_id="pfxq")
+    dec = decode_blocks(blocks, filters=[("source", "starts_with", "src1")])
+    return dec.select(F.count("*").alias("n_docs"),
+                      F.countDistinct("source").alias("n_sources"),
+                      F.sum("n_chars").alias("sum_chars"),
+                      F.min("doc_id").alias("min_doc_id"),
+                      F.max("doc_id").alias("max_doc_id"))
+
+
 def _q_struct_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-CHILD zone-map pushdown end-to-end (r4-verdict item #3):
     documents metadata packed into a struct column, the table
@@ -1019,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_lang_count": _q_bloom_pruned_lang_count,
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
+        "url_prefix_filter": _q_url_prefix_filter,
         "struct_filter_pushdown": _q_struct_filter_pushdown,
         "map_filter_pushdown": _q_map_filter_pushdown,
         "null_filter_agg": _q_null_filter_agg,
@@ -1539,6 +1562,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "url_prefix_filter": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id
+            FROM documents
+            WHERE source LIKE 'src1%'
         """,
         "map_filter_pushdown": """
             SELECT COUNT(*) AS n_docs,

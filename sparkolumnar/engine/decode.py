@@ -505,7 +505,7 @@ def _blocks_arrow_types(blocks_df: DataFrame) -> dict:
 
 
 _FILTER_OPS = ("between", "=", "==", "!=", ">=", "<=", ">", "<", "in",
-               "not in", "is_null", "is_not_null")
+               "not in", "is_null", "is_not_null", "starts_with")
 _NULLARY_OPS = ("is_null", "is_not_null")
 _STR_TYPES = ("string", "large_string", "binary", "large_binary")
 _PREPASS_MAX_PARTS = 4096  # isin cap before degrading to a min/max range
@@ -580,6 +580,23 @@ def _str_probe_bytes(v):
     if isinstance(v, str):
         return v.encode("utf-8", "surrogatepass")
     return v if isinstance(v, (bytes, bytearray)) else None
+
+
+def _prefix_excl_upper(b: bytes):
+    """Smallest byte string strictly greater than EVERY value carrying
+    prefix `b` (increment the last non-0xff byte, drop the tail) —
+    `starts_with p` is then exactly the range [p, upper). None when b
+    is all 0xff: the prefix range is upper-unbounded. Sound against the
+    truncated 32-byte zone bounds for any prefix length: min_bin <=
+    true min and max_bin >= true max, so max_bin < p proves no value
+    reaches p, and min_bin > upper proves every value passed the last
+    prefix-p string."""
+    p = bytearray(b)
+    for i in range(len(p) - 1, -1, -1):
+        if p[i] != 0xFF:
+            p[i] += 1
+            return bytes(p[:i + 1])
+    return None
 
 
 _ALL_META_FIELDS = frozenset((
@@ -728,6 +745,17 @@ def _leaf_block_cond(flt, types: dict,
     if op in ("=", "=="):
         return with_nan(
             _eq_block_cond(col, vals[0], t, is_str, fields, session_tz))
+    if op == "starts_with":
+        # prefix probe == the range [p, incremented-prefix) over the
+        # truncated string zone bounds; non-string columns get no
+        # pruning (the exact filter alone carries the predicate)
+        if not is_str or not ({"min_bin", "max_bin"} <= fields):
+            return with_nan(None)
+        b = _str_probe_bytes(vals[0])
+        if b is None:
+            return with_nan(None)
+        return with_nan(_col_cond(col, _str_range_elem(
+            bytes(b), _prefix_excl_upper(bytes(b)))))
     lo = hi = None
     if op == "between":
         lo, hi = vals
@@ -879,6 +907,14 @@ def block_keep_py(cols_meta, filters, types: dict = None,
             return any_keep if vals[0] else False
         if op in ("=", "=="):
             return eq_keep(col, vals[0], t, is_str)
+        if op == "starts_with":
+            if not is_str:
+                return None
+            b = _str_probe_bytes(vals[0])
+            if b is None:
+                return None
+            b = bytes(b)
+            return str_rng_keep(c, b, _prefix_excl_upper(b))
         lo = hi = None
         if op == "between":
             lo, hi = vals
@@ -1037,6 +1073,24 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
                 return pc.equal(a, sc(vals[0]))
             if op == "!=":
                 return pc.not_equal(a, sc(vals[0]))
+            if op == "starts_with":
+                v = vals[0]
+                if pa.types.is_string(a.type) \
+                        or pa.types.is_large_string(a.type):
+                    pat = (v if isinstance(v, str)
+                           else bytes(v).decode("utf-8", "surrogatepass"))
+                    return pc.starts_with(a, pattern=pat)
+                if pa.types.is_binary(a.type) \
+                        or pa.types.is_large_binary(a.type):
+                    # byte-exact prefix compare (MatchSubstringOptions
+                    # would round-trip the pattern through utf-8)
+                    b = (v.encode("utf-8", "surrogatepass")
+                         if isinstance(v, str) else bytes(v))
+                    return pc.equal(pc.binary_slice(a, 0, len(b)),
+                                    pa.scalar(b, type=a.type))
+                # non-string column: mirror Spark's implicit cast
+                pat = v if isinstance(v, str) else str(v)
+                return pc.starts_with(pc.cast(a, pa.string()), pattern=pat)
             if op == "in":
                 # coerce each IN value INDIVIDUALLY: Spark casts a bad
                 # literal to null and the rest of the list still
@@ -1178,6 +1232,9 @@ def _exact_filter_expr(filters):
                 e = col.isNull()
             elif op == "is_not_null":
                 e = col.isNotNull()
+            elif op == "starts_with":
+                # F.startswith supports STRING and BINARY natively
+                e = F.startswith(col, F.lit(vals[0]))
             elif op == ">=":
                 e = col >= vals[0]
             elif op == "<=":

@@ -60,6 +60,11 @@ def main(argv=None) -> None:
                          "prefix bounds; ANDs with the other predicates")
     ap.add_argument("--le", default=None, metavar="COL=VALUE",
                     help="range predicate col <= value; see --ge")
+    ap.add_argument("--prefix", default=None, metavar="COL=VALUE",
+                    help="string prefix predicate (url scans: "
+                         "startswith); prunes blocks via the truncated-"
+                         "prefix zone bounds as the range "
+                         "[prefix, incremented-prefix)")
     ap.add_argument("--direct", action="store_true",
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
@@ -98,7 +103,8 @@ def main(argv=None) -> None:
         flist.append((args.null_, "is_null"))
     if args.not_null:
         flist.append((args.not_null, "is_not_null"))
-    for flag, op, name in ((args.ge, ">=", "ge"), (args.le, "<=", "le")):
+    for flag, op, name in ((args.ge, ">=", "ge"), (args.le, "<=", "le"),
+                           (args.prefix, "starts_with", "prefix")):
         if flag:
             col, sep, value = flag.partition("=")
             if not sep:

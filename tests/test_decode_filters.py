@@ -876,3 +876,89 @@ def test_map_key_zone_maps_prune_and_match(spark):
     assert got2.count() == 1
     blocks.unpersist()
     dec.unpersist()
+
+
+def test_prefix_excl_upper_unit():
+    from sparkolumnar.engine.decode import _prefix_excl_upper
+
+    assert _prefix_excl_upper(b"abc") == b"abd"
+    assert _prefix_excl_upper(b"ab\xff") == b"ac"
+    assert _prefix_excl_upper(b"a\xff\xff") == b"b"
+    assert _prefix_excl_upper(b"\xff\xff") is None  # upper-unbounded
+
+
+def test_starts_with_prunes_and_matches(spark, url_clustered_blocks):
+    """starts_with (url prefix scan, the bread-and-butter web-corpus
+    probe): pruned as the range [p, incremented-prefix) over the
+    truncated string zone bounds, matching F.startswith exactly; the
+    task-side block_keep_py twin keeps the very same blocks."""
+    from sparkolumnar.engine.decode import block_keep_py
+
+    pages, blocks = url_clustered_blocks
+    n_blocks = blocks.count()
+    types = _blocks_arrow_types(blocks)
+    host = pages.select("url").limit(1).collect()[0]["url"]
+    p = host.split("/p/")[0] + "/p/"  # one host's namespace
+    flt = [("url", "starts_with", p)]
+    surviving_df = _apply_block_filters(blocks, flt, types)
+    surviving = surviving_df.count()
+    assert 1 <= surviving <= n_blocks // 2, (surviving, n_blocks)
+    got = decode_blocks(blocks, filters=flt)
+    want = decode_blocks(blocks).filter(F.col("url").startswith(p))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    meta = [(r["part_id"], r["seq"], [c.asDict() for c in r["columns"]])
+            for r in blocks.select("part_id", "seq", "columns").collect()]
+    spark_keep = {(r["part_id"], r["seq"])
+                  for r in surviving_df.select("part_id", "seq").collect()}
+    py_keep = {(pid, q) for pid, q, m in meta
+               if block_keep_py(m, flt, types)}
+    assert py_keep == spark_keep
+
+
+def test_starts_with_edges(spark, url_clustered_blocks):
+    pages, blocks = url_clustered_blocks
+    total = pages.count()
+    # empty prefix: matches everything, prunes nothing unsoundly
+    assert decode_blocks(
+        blocks, filters=[("url", "starts_with", "")]).count() == total
+    # prefix past the keyspace: every block pruned, zero rows
+    assert decode_blocks(
+        blocks, filters=[("url", "starts_with", "zzz")]).count() == 0
+    # prefix longer than the 32-byte zone bound width stays sound
+    host = pages.select("url").limit(1).collect()[0]["url"]
+    long_p = host[:40]
+    got = decode_blocks(blocks, filters=[("url", "starts_with", long_p)])
+    want = decode_blocks(blocks).filter(F.col("url").startswith(long_p))
+    assert got.count() == want.count() > 0
+    # ANDs with other predicates through the same DNF machinery
+    got2 = decode_blocks(blocks, filters=[("url", "starts_with", "https://"),
+                                          ("lang", "=", "en")])
+    want2 = decode_blocks(blocks).filter(F.col("lang") == "en")
+    assert got2.count() == want2.count() > 0
+
+
+def test_starts_with_direct_decode_path(spark, tmp_path):
+    """The zero-IPC direct decode runs the same prefix stack in-task:
+    block_keep_py pruning + the byte-exact pyarrow slice mask."""
+    from sparkolumnar.datagen import write_pages_parquet
+    from sparkolumnar.engine.direct import decode_files_direct
+
+    src = str(tmp_path / "pages")
+    write_pages_parquet(src, 3000)
+    raw = spark.read.parquet(src)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(raw, cluster_by="url",
+                                 partitions=4, snapshot_id="pfx"))
+    host = raw.select("url").limit(1).collect()[0]["url"]
+    p = host.split("/p/")[0] + "/p/"
+    out = str(tmp_path / "dec")
+    res = decode_files_direct(spark, io, out,
+                              filters=[("url", "starts_with", p)])
+    want = raw.filter(F.col("url").startswith(p))
+    got = spark.read.parquet(out)
+    assert got.count() == res["n_rows"] == want.count() > 0
+    assert (got.select("url", "lang")
+            .exceptAll(want.select("url", "lang")).count() == 0)
+    # prefix pruning bites in-task too
+    assert res["n_blocks_read"] < res["n_blocks_total"]
