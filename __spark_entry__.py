@@ -372,6 +372,28 @@ def _q_url_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("doc_id").alias("max_doc_id"))
 
 
+def _q_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics (r5): COUNT / null-count / MIN / MAX per
+    column answered from block metadata ALONE — metadata_stats explodes
+    the per-block sketch entries and never touches a payload byte (the
+    wide layout prunes p_/v_ fields at the scan, same plan shape as
+    lineage reads). At 100 TB this is the difference between a
+    sub-second statistics query and a full corpus scan. Exact for
+    counts and canonical-int bounds; source/lang are short strings, so
+    their prefix bounds are exact too. Oracle recomputes every number
+    from the raw table."""
+    from sparkolumnar.engine import encode_table
+    from sparkolumnar.engine.analyze import metadata_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang",
+                                                 "n_chars")
+    blocks = encode_table(docs, partitions=4, snapshot_id="mstat")
+    st = metadata_stats(blocks, columns=["doc_id", "n_chars", "source",
+                                         "lang"])
+    return st.select("column", "n_rows", "n_nulls", "min_i64", "max_i64",
+                     "min_str", "max_str").orderBy("column")
+
+
 def _q_struct_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-CHILD zone-map pushdown end-to-end (r4-verdict item #3):
     documents metadata packed into a struct column, the table
@@ -1042,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_in_filter": _q_lang_in_filter,
         "source_range_or_filter": _q_source_range_or_filter,
         "url_prefix_filter": _q_url_prefix_filter,
+        "metadata_stats": _q_metadata_stats,
         "struct_filter_pushdown": _q_struct_filter_pushdown,
         "map_filter_pushdown": _q_map_filter_pushdown,
         "null_filter_agg": _q_null_filter_agg,
@@ -1562,6 +1585,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "metadata_stats": """
+            SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+                   MIN(doc_id) AS min_i64, MAX(doc_id) AS max_i64,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   MIN(n_chars), MAX(n_chars), NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   NULL, NULL, MIN(source), MAX(source)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*),
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   NULL, NULL, MIN(lang), MAX(lang)
+            FROM documents
+            ORDER BY "column"
         """,
         "url_prefix_filter": """
             SELECT COUNT(*) AS n_docs,

@@ -35,6 +35,53 @@ def analyze(blocks: DataFrame) -> DataFrame:
             .orderBy(F.desc("bytes_out")))
 
 
+def metadata_stats(blocks: DataFrame, columns=None) -> DataFrame:
+    """Metadata-ONLY table statistics: exact per-column row/null counts
+    plus zone-derived min/max aggregated across every block without
+    touching a single payload byte — the wide layout prunes the p_/v_
+    payload fields at the scan, so a corpus-wide COUNT / MIN / MAX at
+    100 TB reads only the blocks metadata leaves (same plan shape as
+    lineage reads, pinned by test_lineage_scan_prunes_payloads).
+
+    Returns one row per top-level column: (column, n_blocks, n_rows,
+    n_nulls, min_i64, max_i64, min_f64, max_f64, min_str, max_str).
+
+    Exactness contract: counts are exact (n_rows/n_nulls are per-block
+    facts); canonical int64 bounds are exact (ints; timestamps as unix
+    micros; dates as days; decimals p<=18 unscaled); float64 bounds are
+    exact; string/binary bounds are the 32-byte truncated prefix bounds
+    (min_str <= true min, max_str >= true max; exact whenever values
+    stay under the prefix width — see blocks.prefix_lower/prefix_upper).
+    Sketch-only child entries (dotted struct/map names) are excluded;
+    sketch families absent from an older snapshot's metadata yield null
+    bounds, never an error."""
+    elem = blocks.schema["columns"].dataType.elementType
+    fields = set(elem.names)
+    ex = blocks.select("n_rows", F.explode("columns").alias("c"))
+    ex = ex.where(~F.col("c.name").contains("."))
+    if columns is not None:
+        ex = ex.where(F.col("c.name").isin(list(columns)))
+
+    def opt(agg, field, out):
+        if field in fields:
+            return agg(F.col(f"c.{field}")).alias(out)
+        return F.lit(None).alias(out)
+
+    return (ex.groupBy(F.col("c.name").alias("column"))
+            .agg(F.count("*").alias("n_blocks"),
+                 F.sum("n_rows").alias("n_rows"),
+                 opt(F.sum, "n_nulls", "n_nulls"),
+                 opt(F.min, "min_i64", "min_i64"),
+                 opt(F.max, "max_i64", "max_i64"),
+                 opt(F.min, "min_f64", "min_f64"),
+                 opt(F.max, "max_f64", "max_f64"),
+                 (F.min("c.min_bin").cast("string") if "min_bin" in fields
+                  else F.lit(None).cast("string")).alias("min_str"),
+                 (F.max("c.max_bin").cast("string") if "max_bin" in fields
+                  else F.lit(None).cast("string")).alias("max_str"))
+            .orderBy("column"))
+
+
 def analyze_sample(df: DataFrame, rows: int = 20_000) -> DataFrame:
     """Encode a sample of `df` (driver-side) and report what the selector
     would choose per column, with sizes — the interactive counterpart of

@@ -243,3 +243,47 @@ def test_bucket_sql_matches_py4j_tree(spark):
     assert time.time() - t0 < 2.0
     # unrenderable boundary types (NTZ/naive datetimes) fall back
     assert _cluster_bucket_sql(["t"], [(dt.datetime(2025, 1, 1),)]) is None
+
+
+def test_metadata_stats_exact_and_payload_pruned(spark, tmp_path):
+    """metadata_stats answers COUNT/MIN/MAX/null-count from block
+    metadata alone: the scan reads no payload/validity bytes, counts
+    and canonical int bounds are exact, short-string bounds are exact,
+    and long-string bounds are sound 32-byte prefix bounds."""
+    from sparkolumnar.engine.analyze import metadata_stats
+
+    pages = pages_df(spark, 4000)
+    io = TableIO(spark, str(tmp_path / "ms"))
+    io.write_blocks(encode_table(pages, snapshot_id="ms1", partitions=2))
+    blocks = io.read_blocks()
+    st = metadata_stats(blocks, columns=["lang", "warc_ts", "url"])
+    plan = _plan_of(st)
+    scan = " ".join(l for l in plan.splitlines()
+                    if "FileScan" in l or "ReadSchema" in l)
+    assert "p_text" not in scan and "p_html" not in scan, scan
+    assert "v_text" not in scan, scan
+    rows = {r["column"]: r for r in st.collect()}
+    n = pages.count()
+    agg = pages.agg(F.min("lang").alias("lmin"), F.max("lang").alias("lmax"),
+                    F.min("warc_ts").alias("tmin"),
+                    F.max("warc_ts").alias("tmax"),
+                    F.min("url").alias("umin"),
+                    F.max("url").alias("umax")).collect()[0]
+    for c in ("lang", "warc_ts", "url"):
+        assert rows[c]["n_rows"] == n and rows[c]["n_nulls"] == 0
+    # 2-byte lang: prefix bounds are exact
+    assert rows["lang"]["min_str"] == agg["lmin"]
+    assert rows["lang"]["max_str"] == agg["lmax"]
+    # NTZ timestamps: canonical bounds are the wall-clock epoch micros
+    import datetime as dt
+
+    def ntz_micros(d):
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    assert rows["warc_ts"]["min_i64"] == ntz_micros(agg["tmin"])
+    assert rows["warc_ts"]["max_i64"] == ntz_micros(agg["tmax"])
+    # urls may exceed the 32-byte prefix: bounds are sound and tight
+    assert rows["url"]["min_str"] <= agg["umin"]
+    assert agg["umin"].startswith(rows["url"]["min_str"][:32])
+    assert rows["url"]["max_str"] >= agg["umax"][:len(rows["url"]["max_str"])] \
+        or rows["url"]["max_str"] >= agg["umax"]
