@@ -452,13 +452,19 @@ def test_filters_property_random_dnf(spark):
 
     def rand_leaf():
         col = rng.choice(["v", "s", "t"])
-        op = rng.choice(["=", "!=", ">=", "<=", ">", "<", "between", "in"])
+        op = rng.choice(["=", "!=", ">=", "<=", ">", "<", "between", "in",
+                         "starts_with"])
         def val():
             if col == "v":
                 return rng.randrange(-700, 700)
             if col == "s":
                 return f"key{rng.randrange(70):03d}"
             return base + dt.timedelta(minutes=rng.randrange(-100, n + 100))
+        if op == "starts_with":
+            if col != "s":
+                op = rng.choice(["=", ">="])  # prefix ops on strings only
+                return (col, op, val())
+            return (col, op, f"key{rng.randrange(70):03d}"[:rng.randrange(1, 7)])
         if op == "between":
             a, b = sorted([val(), val()])
             return (col, op, a, b)
@@ -480,7 +486,8 @@ def test_filters_property_random_dnf(spark):
                         "<": lambda: c < vals[0],
                         "between": lambda: c.between(vals[0], vals[1]),
                         "in": lambda: (c.isin(list(vals[0]))
-                                       if vals[0] else F.lit(False))}[op]()
+                                       if vals[0] else F.lit(False)),
+                        "starts_with": lambda: c.startswith(vals[0])}[op]()
                 e = leaf if e is None else (e & leaf)
             or_e = e if or_e is None else (or_e | e)
         return or_e
