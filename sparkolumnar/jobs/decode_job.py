@@ -65,6 +65,13 @@ def main(argv=None) -> None:
                          "startswith); prunes blocks via the truncated-"
                          "prefix zone bounds as the range "
                          "[prefix, incremented-prefix)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-column metadata-only statistics "
+                         "(rows, nulls, min/max from zone bounds) as one "
+                         "JSON line and exit WITHOUT decoding — reads "
+                         "only block metadata, zero payload bytes; "
+                         "--output is ignored, --columns restricts the "
+                         "reported columns")
     ap.add_argument("--direct", action="store_true",
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
@@ -111,6 +118,22 @@ def main(argv=None) -> None:
                 raise ValueError(f"--{name} expects COL=VALUE")
             flist.append((col, op, value))
     filters = flist or None
+    if args.stats:
+        if filters or args.limit is not None or args.direct:
+            raise ValueError("--stats does not combine with predicates, "
+                             "--limit or --direct (it never decodes)")
+        from sparkolumnar.engine.analyze import metadata_stats
+
+        blocks = spark.read.parquet(args.blocks)
+        rows = metadata_stats(blocks, columns=cols).collect()
+        print(json.dumps({"columns": {
+            r["column"]: {"n_blocks": r["n_blocks"], "n_rows": r["n_rows"],
+                          "n_nulls": r["n_nulls"], "min_i64": r["min_i64"],
+                          "max_i64": r["max_i64"], "min_f64": r["min_f64"],
+                          "max_f64": r["max_f64"], "min_str": r["min_str"],
+                          "max_str": r["max_str"]}
+            for r in rows}}))
+        return
     if args.direct:
         if args.limit is not None:
             raise ValueError("--direct does not combine with "
