@@ -123,33 +123,75 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + zlib.crc32(tag + body).to_bytes(4, "big"))
 
 
-def encode_png(img: np.ndarray, row_filters=None) -> bytes:
-    """Encode an (H, W) or (H, W, C) uint8 array (C in 1/2/3/4 ->
-    gray / gray+alpha / RGB / RGBA) as an 8-bit non-interlaced PNG
-    (public spec: RFC 2083 / W3C PNG). row_filters optionally forces the
-    per-scanline filter type (int or per-row list, 0..4) — the test
-    lever that exercises every unfilter path in decode_png; default is
-    filter 0 on every row."""
+def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
+    """Pack (H, W) sub-8-bit samples into MSB-first scanline bytes."""
+    h, w = vals.shape
+    per = 8 // depth
+    padded = np.zeros((h, ((w + per - 1) // per) * per), dtype=np.uint16)
+    padded[:, :w] = vals
+    shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint16)
+    return ((padded.reshape(h, -1, per) << shifts).sum(axis=2)
+            .astype(np.uint8))
+
+
+def encode_png(img: np.ndarray, row_filters=None, palette=None,
+               depth: int = 8, trns=None) -> bytes:
+    """Encode a uint8 array as a non-interlaced PNG (public spec: RFC
+    2083 / W3C PNG). Default: (H, W) or (H, W, C), C in 1/2/3/4 ->
+    8-bit gray / gray+alpha / RGB / RGBA. With palette= ((N, 3) uint8):
+    img is (H, W) palette INDICES -> color type 3 with a PLTE chunk
+    (trns= adds per-index alpha). depth in 1/2/4 packs gray or palette
+    samples MSB-first. row_filters optionally forces the per-scanline
+    filter type (int or per-row list, 0..4) — the test lever that
+    exercises every unfilter path in decode_png; default filter 0."""
     import zlib
 
     img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
-        raise MediaFormatError("encode_png expects (H, W, 1/2/3/4)")
-    h, w, c = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    extra = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        if img.ndim != 2:
+            raise MediaFormatError("palette encode expects (H, W) indices")
+        if int(img.max(initial=0)) >= min(len(pal), 1 << depth):
+            raise MediaFormatError("palette index exceeds table/depth")
+        h, w = img.shape
+        color_type, c = 3, 1
+        raw = img[:, :, None]
+        extra = _png_chunk(b"PLTE", pal.tobytes())
+        if trns is not None:
+            extra += _png_chunk(
+                b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+            raise MediaFormatError("encode_png expects (H, W, 1/2/3/4)")
+        h, w, c = img.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        if depth != 8 and (c != 1 or int(img.max(initial=0)) >= (1 << depth)):
+            raise MediaFormatError("sub-8-bit depth needs gray samples "
+                                   "under 2^depth")
+        raw = img
+    if depth == 8:
+        rows = raw.reshape(h, w * c)
+        step = c
+    elif depth in (1, 2, 4):
+        rows = _pack_bits(raw.reshape(h, w), depth)
+        step = 1
+    else:
+        raise MediaFormatError(f"unsupported encode depth {depth}")
     if row_filters is None:
         row_filters = [0] * h
     elif isinstance(row_filters, int):
         row_filters = [row_filters] * h
-    raw = img.reshape(h, w * c).astype(np.int16)
-    prev = np.zeros(w * c, dtype=np.int16)
+    rows = rows.astype(np.int16)
+    stride = rows.shape[1]
+    prev = np.zeros(stride, dtype=np.int16)
     lines = []
     for y in range(h):
-        r = raw[y]
-        left = np.concatenate([np.zeros(c, np.int16), r[:-c]])
-        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+        r = rows[y]
+        left = np.concatenate([np.zeros(step, np.int16), r[:-step]])
+        upleft = np.concatenate([np.zeros(step, np.int16), prev[:-step]])
         ft = int(row_filters[y])
         if ft == 0:
             f = r
@@ -171,23 +213,24 @@ def encode_png(img: np.ndarray, row_filters=None) -> bytes:
         lines.append(bytes([ft]) + (f & 0xFF).astype(np.uint8).tobytes())
         prev = r
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color_type, 0, 0, 0]))
+            + bytes([depth, color_type, 0, 0, 0]))
     idat = zlib.compress(b"".join(lines))
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
 def decode_png(data) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG into an (H, W, C) uint8 array
-    (C = 1/2/3/4 per color type). Pure stdlib-zlib + numpy: chunk walk
-    with CRC verification, zlib inflate of the concatenated IDAT stream,
-    then per-scanline unfiltering — None is a copy, Sub is a per-pixel
-    cumulative sum mod 256 (np.cumsum per channel), Up is one vectorized
-    add against the prior row, Average/Paeth carry a left-pixel
-    dependency and walk pixels with channel-vector ops. Rejects palette
-    (type 3), non-8-bit depths and interlaced images (honest scope: the
-    production path would link libpng/Pillow; the format logic here is
-    from the public spec only)."""
+    """Decode a non-interlaced PNG into an (H, W, C) uint8 array. Pure
+    stdlib-zlib + numpy: chunk walk with CRC verification, zlib inflate
+    of the concatenated IDAT stream, per-scanline unfiltering (None is a
+    copy, Sub is a running sum mod 256 per byte lane, Up one vectorized
+    add, Average/Paeth walk pixels with byte-vector ops), then sample
+    expansion. Supports 8-bit gray / gray+alpha / RGB / RGBA, PALETTE
+    images (color type 3, PLTE lookup -> RGB, tRNS -> RGBA) and 1/2/4-bit
+    depths for gray and palette (MSB-first bit fields; gray samples scale
+    to 0..255 per the spec). Rejects 16-bit depth and interlaced images
+    (honest scope; format logic from the public W3C/RFC 2083 spec only).
+    """
     import zlib
 
     buf = bytes(data)
@@ -196,6 +239,8 @@ def decode_png(data) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     seen_end = False
     while pos + 8 <= len(buf):
         size = int.from_bytes(buf[pos:pos + 4], "big")
@@ -210,6 +255,12 @@ def decode_png(data) -> np.ndarray:
             ihdr = body
         elif tag == b"IDAT":
             idat.append(body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise MediaFormatError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IEND":
             seen_end = True
             break
@@ -219,16 +270,21 @@ def decode_png(data) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    ok = ((color_type in _PNG_CHANNELS and depth == 8)
+          or (color_type in (0, 3) and depth in (1, 2, 4, 8)))
+    if not ok:
         raise MediaFormatError(
-            f"only 8-bit gray/RGB/alpha PNGs supported "
-            f"(depth={depth}, color_type={color_type})")
+            f"unsupported PNG shape (depth={depth}, "
+            f"color_type={color_type}); 16-bit not supported")
     if comp != 0 or filt != 0 or interlace != 0:
         raise MediaFormatError("unsupported compression/filter/interlace")
     if w <= 0 or h <= 0:
         raise MediaFormatError("degenerate PNG dimensions")
-    c = _PNG_CHANNELS[color_type]
-    stride = w * c
+    if color_type == 3 and plte is None:
+        raise MediaFormatError("palette PNG missing PLTE chunk")
+    c = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = (w * c * depth + 7) // 8  # bytes per scanline
+    bpp = max(1, (c * depth) // 8)     # filter step, bytes
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -236,6 +292,7 @@ def decode_png(data) -> np.ndarray:
     if len(raw) != h * (1 + stride):
         raise MediaFormatError("IDAT length does not match dimensions")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    units = stride // bpp  # filtering operates on bpp-byte groups
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -245,27 +302,28 @@ def decode_png(data) -> np.ndarray:
             rec = f.copy()
         elif ft == 1:
             # recon[x] = filt[x] + recon[x-bpp]: a running sum mod 256
-            # down each channel column
-            rec = (np.cumsum(f.reshape(w, c), axis=0, dtype=np.uint64)
+            # down each byte lane
+            rec = (np.cumsum(f.reshape(units, bpp), axis=0,
+                             dtype=np.uint64)
                    & 0xFF).astype(np.uint8).reshape(stride)
         elif ft == 2:
             rec = f + prev  # uint8 wraparound IS the mod-256 add
         elif ft == 3:
-            fr = f.reshape(w, c).astype(np.uint16)
-            up = prev.reshape(w, c).astype(np.uint16)
-            rec2 = np.empty((w, c), dtype=np.uint16)
-            left = np.zeros(c, dtype=np.uint16)
-            for x in range(w):
+            fr = f.reshape(units, bpp).astype(np.uint16)
+            up = prev.reshape(units, bpp).astype(np.uint16)
+            rec2 = np.empty((units, bpp), dtype=np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(units):
                 left = (fr[x] + ((left + up[x]) >> 1)) & 0xFF
                 rec2[x] = left
             rec = rec2.astype(np.uint8).reshape(stride)
         elif ft == 4:
-            fr = f.reshape(w, c).astype(np.int16)
-            up = prev.reshape(w, c).astype(np.int16)
-            rec2 = np.empty((w, c), dtype=np.int16)
-            left = np.zeros(c, dtype=np.int16)
-            upleft = np.zeros(c, dtype=np.int16)
-            for x in range(w):
+            fr = f.reshape(units, bpp).astype(np.int16)
+            up = prev.reshape(units, bpp).astype(np.int16)
+            rec2 = np.empty((units, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(units):
                 p = left + up[x] - upleft
                 pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
                                  np.abs(p - upleft))
@@ -279,6 +337,25 @@ def decode_png(data) -> np.ndarray:
             raise MediaFormatError(f"bad scanline filter type {ft}")
         out[y] = rec
         prev = rec
+    if depth < 8:
+        # MSB-first bit fields: expand each byte into 8//depth samples
+        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+        samples = ((out[:, :, None] >> shifts) & ((1 << depth) - 1))
+        out = samples.reshape(h, -1)[:, :w * c].astype(np.uint8)
+    if color_type == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise MediaFormatError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None and len(trns):
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if depth < 8:
+        # gray: scale d-bit samples to the full 0..255 range (spec 12.5)
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)
+               ).astype(np.uint8)
     return out.reshape(h, w, c)
 
 

@@ -231,7 +231,7 @@ def test_png_rejects_malformed():
     bad[30] ^= 0xFF
     with pytest.raises(MediaFormatError):
         decode_png(bytes(bad))
-    # palette color type (3) is out of scope
+    # palette (type 3) WITHOUT a PLTE chunk is malformed
     ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
             + bytes([8, 3, 0, 0, 0]))
 
@@ -667,3 +667,97 @@ def test_video_frame_stats_gif_and_dispatch(spark):
     for fi in (0, 2, 4):
         assert got[(1, fi)] == (5, int(pal[frames[fi]].sum(dtype=np.int64)))
     assert np.array_equal(decode_image(gif), pal[frames[0]])
+
+
+# --- PNG palette + sub-8-bit depths (round 5) ----------------------------
+
+
+def test_png_palette_roundtrip_all_filters():
+    from sparkolumnar.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (11, 13), dtype=np.uint8)
+    for ft in (0, 1, 2, 3, 4):
+        got = decode_png(encode_png(idx, row_filters=ft, palette=pal))
+        assert got.shape == (11, 13, 3)
+        assert np.array_equal(got, pal[idx]), ft
+
+
+def test_png_palette_trns_alpha():
+    from sparkolumnar.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(22)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (6, 9), dtype=np.uint8)
+    tr = np.array([0, 128, 255], np.uint8)  # shorter than the palette
+    got = decode_png(encode_png(idx, palette=pal, trns=tr))
+    assert got.shape == (6, 9, 4)
+    exp_a = np.full(8, 255, np.uint8)
+    exp_a[:3] = tr
+    assert np.array_equal(got[:, :, :3], pal[idx])
+    assert np.array_equal(got[:, :, 3], exp_a[idx])
+
+
+def test_png_sub8_depths_palette_and_gray():
+    from sparkolumnar.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for d in (1, 2, 4):
+        k = 1 << d
+        idx = rng.integers(0, k, (6, 10), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(idx, palette=pal[:k], depth=d)),
+            pal[:k][idx]), d
+        g = rng.integers(0, k, (5, 9), dtype=np.uint8)
+        exp = (g.astype(np.uint16) * 255 // (k - 1)).astype(
+            np.uint8)[:, :, None]
+        assert np.array_equal(decode_png(encode_png(g, depth=d)), exp), d
+    # width not divisible by the samples-per-byte count (pad bits)
+    g1 = rng.integers(0, 2, (3, 13), dtype=np.uint8)
+    got = decode_png(encode_png(g1, depth=1))
+    assert np.array_equal(got[:, :, 0], g1 * 255)
+
+
+def test_png_palette_conformance_vs_imageio(spark):
+    """Palette PNGs are lossless: ImageIO must decode my encoder's
+    output to the exact palette RGB."""
+    rng = np.random.default_rng(24)
+    jvm = spark._jvm
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 12), dtype=np.uint8)
+    from sparkolumnar.pipeline.multimodal import encode_png
+
+    mine = encode_png(idx, palette=pal, depth=4, row_filters=2)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(mine))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img.getWidth() == 12 and img.getHeight() == 7
+    for y in range(7):
+        for x in range(12):
+            rgb = img.getRGB(x, y)
+            got = ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255)
+            assert got == tuple(pal[idx[y, x]]), (y, x)
+
+
+def test_png_palette_rejects():
+    from sparkolumnar.pipeline.multimodal import (MediaFormatError,
+                                                  decode_png, encode_png)
+
+    rng = np.random.default_rng(25)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (3, 3), dtype=np.uint8)
+    with pytest.raises(MediaFormatError):
+        encode_png(np.full((2, 2), 9, np.uint8), palette=pal, depth=2)
+    # index beyond PLTE rejected at decode (hand-patch the palette short)
+    ok = bytearray(encode_png(idx, palette=pal))
+    import zlib
+    i = ok.find(b"PLTE") - 4
+    ln = int.from_bytes(ok[i:i + 4], "big")
+    body = pal[:2].tobytes()  # shrink table under max index
+    newc = (len(body).to_bytes(4, "big") + b"PLTE" + body
+            + zlib.crc32(b"PLTE" + body).to_bytes(4, "big"))
+    patched = bytes(ok[:i]) + newc + bytes(ok[i + 12 + ln:])
+    if int(idx.max()) >= 2:
+        with pytest.raises(MediaFormatError):
+            decode_png(patched)
