@@ -123,6 +123,76 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + zlib.crc32(tag + body).to_bytes(4, "big"))
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over an h*(1+stride) byte
+    image (one filter-type byte per row): None is a copy, Sub a running
+    sum mod 256 down each byte lane, Up one vectorized add against the
+    prior row, Average/Paeth walk bpp-byte groups with vector ops."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    units = stride // bpp
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        f = rows[y, 1:]
+        if ft == 0:
+            rec = f.copy()
+        elif ft == 1:
+            # recon[x] = filt[x] + recon[x-bpp]: a running sum mod 256
+            rec = (np.cumsum(f.reshape(units, bpp), axis=0,
+                             dtype=np.uint64)
+                   & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            rec = f + prev  # uint8 wraparound IS the mod-256 add
+        elif ft == 3:
+            fr = f.reshape(units, bpp).astype(np.uint16)
+            up = prev.reshape(units, bpp).astype(np.uint16)
+            rec2 = np.empty((units, bpp), dtype=np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(units):
+                left = (fr[x] + ((left + up[x]) >> 1)) & 0xFF
+                rec2[x] = left
+            rec = rec2.astype(np.uint8).reshape(stride)
+        elif ft == 4:
+            fr = f.reshape(units, bpp).astype(np.int16)
+            up = prev.reshape(units, bpp).astype(np.int16)
+            rec2 = np.empty((units, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(units):
+                p = left + up[x] - upleft
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
+                                 np.abs(p - upleft))
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, up[x], upleft))
+                left = (fr[x] + pred) & 0xFF
+                rec2[x] = left
+                upleft = up[x]
+            rec = rec2.astype(np.uint8).reshape(stride)
+        else:
+            raise MediaFormatError(f"bad scanline filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _expand_samples(rows: np.ndarray, n_samples: int,
+                    depth: int) -> np.ndarray:
+    """(h, stride) scanline bytes -> (h, n_samples) values: identity at
+    depth 8, MSB-first bit-field extraction below."""
+    if depth == 8:
+        return rows[:, :n_samples]
+    shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+    samples = ((rows[:, :, None] >> shifts) & ((1 << depth) - 1))
+    return samples.reshape(rows.shape[0], -1)[:, :n_samples].astype(
+        np.uint8)
+
+
 def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
     """Pack (H, W) sub-8-bit samples into MSB-first scanline bytes."""
     h, w = vals.shape
@@ -135,15 +205,17 @@ def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray, row_filters=None, palette=None,
-               depth: int = 8, trns=None) -> bytes:
-    """Encode a uint8 array as a non-interlaced PNG (public spec: RFC
-    2083 / W3C PNG). Default: (H, W) or (H, W, C), C in 1/2/3/4 ->
-    8-bit gray / gray+alpha / RGB / RGBA. With palette= ((N, 3) uint8):
-    img is (H, W) palette INDICES -> color type 3 with a PLTE chunk
-    (trns= adds per-index alpha). depth in 1/2/4 packs gray or palette
-    samples MSB-first. row_filters optionally forces the per-scanline
-    filter type (int or per-row list, 0..4) — the test lever that
-    exercises every unfilter path in decode_png; default filter 0."""
+               depth: int = 8, trns=None, interlace: bool = False) -> bytes:
+    """Encode a uint8 array as a PNG (public spec: RFC 2083 / W3C PNG).
+    Default: (H, W) or (H, W, C), C in 1/2/3/4 -> 8-bit gray /
+    gray+alpha / RGB / RGBA. With palette= ((N, 3) uint8): img is
+    (H, W) palette INDICES -> color type 3 with a PLTE chunk (trns=
+    adds per-index alpha). depth in 1/2/4 packs gray or palette samples
+    MSB-first. interlace=True writes Adam7 (seven independently
+    filtered passes). row_filters optionally forces the per-scanline
+    filter type (int or, non-interlaced only, a per-row list, 0..4) —
+    the test lever that exercises every unfilter path in decode_png;
+    default filter 0."""
     import zlib
 
     img = np.asarray(img, dtype=np.uint8)
@@ -172,48 +244,68 @@ def encode_png(img: np.ndarray, row_filters=None, palette=None,
             raise MediaFormatError("sub-8-bit depth needs gray samples "
                                    "under 2^depth")
         raw = img
-    if depth == 8:
-        rows = raw.reshape(h, w * c)
-        step = c
-    elif depth in (1, 2, 4):
-        rows = _pack_bits(raw.reshape(h, w), depth)
-        step = 1
-    else:
+    if depth not in (1, 2, 4, 8):
         raise MediaFormatError(f"unsupported encode depth {depth}")
-    if row_filters is None:
-        row_filters = [0] * h
-    elif isinstance(row_filters, int):
-        row_filters = [row_filters] * h
-    rows = rows.astype(np.int16)
-    stride = rows.shape[1]
-    prev = np.zeros(stride, dtype=np.int16)
-    lines = []
-    for y in range(h):
-        r = rows[y]
-        left = np.concatenate([np.zeros(step, np.int16), r[:-step]])
-        upleft = np.concatenate([np.zeros(step, np.int16), prev[:-step]])
-        ft = int(row_filters[y])
-        if ft == 0:
-            f = r
-        elif ft == 1:
-            f = r - left
-        elif ft == 2:
-            f = r - prev
-        elif ft == 3:
-            f = r - ((left + prev) >> 1)
-        elif ft == 4:
-            p = left + prev - upleft
-            pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prev),
-                             np.abs(p - upleft))
-            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
-                            np.where(pb_ <= pc_, prev, upleft))
-            f = r - pred
-        else:
-            raise MediaFormatError(f"bad filter type {ft}")
-        lines.append(bytes([ft]) + (f & 0xFF).astype(np.uint8).tobytes())
-        prev = r
+    step = c if depth == 8 else 1
+
+    def pack(sub):
+        ph = sub.shape[0]
+        if depth == 8:
+            return sub.reshape(ph, -1)
+        return _pack_bits(sub.reshape(ph, -1), depth)
+
+    def filt_lines(rows, filters):
+        rows = rows.astype(np.int16)
+        stride = rows.shape[1]
+        prev = np.zeros(stride, dtype=np.int16)
+        lines = []
+        for y in range(rows.shape[0]):
+            r = rows[y]
+            left = np.concatenate([np.zeros(step, np.int16), r[:-step]])
+            upleft = np.concatenate([np.zeros(step, np.int16),
+                                     prev[:-step]])
+            ft = int(filters[y])
+            if ft == 0:
+                f = r
+            elif ft == 1:
+                f = r - left
+            elif ft == 2:
+                f = r - prev
+            elif ft == 3:
+                f = r - ((left + prev) >> 1)
+            elif ft == 4:
+                p = left + prev - upleft
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prev),
+                                 np.abs(p - upleft))
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, prev, upleft))
+                f = r - pred
+            else:
+                raise MediaFormatError(f"bad filter type {ft}")
+            lines.append(bytes([ft])
+                         + (f & 0xFF).astype(np.uint8).tobytes())
+            prev = r
+        return lines
+
+    if interlace:
+        if row_filters is not None and not isinstance(row_filters, int):
+            raise MediaFormatError(
+                "interlaced encode takes a single row_filters type")
+        ft = 0 if row_filters is None else int(row_filters)
+        lines = []
+        for xs, ys, xst, yst in _ADAM7:
+            sub = raw[ys::yst, xs::xst]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += filt_lines(pack(sub), [ft] * sub.shape[0])
+    else:
+        if row_filters is None:
+            row_filters = [0] * h
+        elif isinstance(row_filters, int):
+            row_filters = [row_filters] * h
+        lines = filt_lines(pack(raw), row_filters)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([depth, color_type, 0, 0, 0]))
+            + bytes([depth, color_type, 0, 0, int(interlace)]))
     idat = zlib.compress(b"".join(lines))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
@@ -276,74 +368,47 @@ def decode_png(data) -> np.ndarray:
         raise MediaFormatError(
             f"unsupported PNG shape (depth={depth}, "
             f"color_type={color_type}); 16-bit not supported")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise MediaFormatError("unsupported compression/filter/interlace")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise MediaFormatError("unsupported compression/filter method")
     if w <= 0 or h <= 0:
         raise MediaFormatError("degenerate PNG dimensions")
     if color_type == 3 and plte is None:
         raise MediaFormatError("palette PNG missing PLTE chunk")
     c = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = (w * c * depth + 7) // 8  # bytes per scanline
-    bpp = max(1, (c * depth) // 8)     # filter step, bytes
+    bpp = max(1, (c * depth) // 8)  # filter step, bytes
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise MediaFormatError(f"bad IDAT stream: {e}") from None
-    if len(raw) != h * (1 + stride):
-        raise MediaFormatError("IDAT length does not match dimensions")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    units = stride // bpp  # filtering operates on bpp-byte groups
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = int(rows[y, 0])
-        f = rows[y, 1:]
-        if ft == 0:
-            rec = f.copy()
-        elif ft == 1:
-            # recon[x] = filt[x] + recon[x-bpp]: a running sum mod 256
-            # down each byte lane
-            rec = (np.cumsum(f.reshape(units, bpp), axis=0,
-                             dtype=np.uint64)
-                   & 0xFF).astype(np.uint8).reshape(stride)
-        elif ft == 2:
-            rec = f + prev  # uint8 wraparound IS the mod-256 add
-        elif ft == 3:
-            fr = f.reshape(units, bpp).astype(np.uint16)
-            up = prev.reshape(units, bpp).astype(np.uint16)
-            rec2 = np.empty((units, bpp), dtype=np.uint16)
-            left = np.zeros(bpp, dtype=np.uint16)
-            for x in range(units):
-                left = (fr[x] + ((left + up[x]) >> 1)) & 0xFF
-                rec2[x] = left
-            rec = rec2.astype(np.uint8).reshape(stride)
-        elif ft == 4:
-            fr = f.reshape(units, bpp).astype(np.int16)
-            up = prev.reshape(units, bpp).astype(np.int16)
-            rec2 = np.empty((units, bpp), dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            upleft = np.zeros(bpp, dtype=np.int16)
-            for x in range(units):
-                p = left + up[x] - upleft
-                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
-                                 np.abs(p - upleft))
-                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
-                                np.where(pb_ <= pc_, up[x], upleft))
-                left = (fr[x] + pred) & 0xFF
-                rec2[x] = left
-                upleft = up[x]
-            rec = rec2.astype(np.uint8).reshape(stride)
-        else:
-            raise MediaFormatError(f"bad scanline filter type {ft}")
-        out[y] = rec
-        prev = rec
-    if depth < 8:
-        # MSB-first bit fields: expand each byte into 8//depth samples
-        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
-        samples = ((out[:, :, None] >> shifts) & ((1 << depth) - 1))
-        out = samples.reshape(h, -1)[:, :w * c].astype(np.uint8)
+    if interlace == 0:
+        stride = (w * c * depth + 7) // 8  # bytes per scanline
+        if len(raw) != h * (1 + stride):
+            raise MediaFormatError("IDAT length does not match dimensions")
+        samples = _expand_samples(
+            _png_unfilter(raw, h, stride, bpp), w * c, depth
+        ).reshape(h, w, c)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the pixel grid by each pass's (start, step) lattice
+        samples = np.zeros((h, w, c), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no bytes at all
+            stride_p = (pw * c * depth + 7) // 8
+            nbytes = ph * (1 + stride_p)
+            if pos + nbytes > len(raw):
+                raise MediaFormatError("truncated interlaced IDAT stream")
+            sub = _png_unfilter(raw[pos:pos + nbytes], ph, stride_p, bpp)
+            pos += nbytes
+            samples[ys::yst, xs::xst] = _expand_samples(
+                sub, pw * c, depth).reshape(ph, pw, c)
+        if pos != len(raw):
+            raise MediaFormatError("IDAT length does not match passes")
     if color_type == 3:
-        idx = out.reshape(h, w)
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise MediaFormatError("palette index out of range")
         rgb = plte[idx]
@@ -354,9 +419,9 @@ def decode_png(data) -> np.ndarray:
         return rgb
     if depth < 8:
         # gray: scale d-bit samples to the full 0..255 range (spec 12.5)
-        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)
-               ).astype(np.uint8)
-    return out.reshape(h, w, c)
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+                   ).astype(np.uint8)
+    return samples
 
 
 def decode_image(data) -> np.ndarray:
