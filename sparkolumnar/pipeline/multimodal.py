@@ -312,17 +312,18 @@ def encode_png(img: np.ndarray, row_filters=None, palette=None,
 
 
 def decode_png(data) -> np.ndarray:
-    """Decode a non-interlaced PNG into an (H, W, C) uint8 array. Pure
-    stdlib-zlib + numpy: chunk walk with CRC verification, zlib inflate
-    of the concatenated IDAT stream, per-scanline unfiltering (None is a
-    copy, Sub is a running sum mod 256 per byte lane, Up one vectorized
-    add, Average/Paeth walk pixels with byte-vector ops), then sample
+    """Decode a PNG into an (H, W, C) uint8 array. Pure stdlib-zlib +
+    numpy: chunk walk with CRC verification, zlib inflate of the
+    concatenated IDAT stream, per-scanline unfiltering (None is a copy,
+    Sub is a running sum mod 256 per byte lane, Up one vectorized add,
+    Average/Paeth walk pixels with byte-vector ops), then sample
     expansion. Supports 8-bit gray / gray+alpha / RGB / RGBA, PALETTE
-    images (color type 3, PLTE lookup -> RGB, tRNS -> RGBA) and 1/2/4-bit
-    depths for gray and palette (MSB-first bit fields; gray samples scale
-    to 0..255 per the spec). Rejects 16-bit depth and interlaced images
-    (honest scope; format logic from the public W3C/RFC 2083 spec only).
-    """
+    images (color type 3, PLTE lookup -> RGB, tRNS -> RGBA), 1/2/4-bit
+    depths for gray and palette (MSB-first bit fields; gray samples
+    scale to 0..255 per the spec), and Adam7 INTERLACE (seven
+    independently-filtered passes scattered onto the lattice). Rejects
+    16-bit depth (honest scope; format logic from the public W3C /
+    RFC 2083 spec only)."""
     import zlib
 
     buf = bytes(data)
