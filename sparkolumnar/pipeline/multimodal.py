@@ -51,35 +51,65 @@ class MediaFormatError(ValueError):
     """Raised when bytes are not a decodable media payload."""
 
 
-def encode_bmp(img: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
-    (BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, BGR order)."""
+def encode_bmp(img: np.ndarray, palette=None, bpp: int = 8) -> bytes:
+    """Encode an uncompressed BMP (BITMAPINFOHEADER, bottom-up rows
+    padded to 4 bytes). Default: (H, W, 3) uint8 RGB -> 24-bit BGR.
+    With palette= ((N, 3) uint8 RGB): img is (H, W) palette INDICES ->
+    bpp-bit indexed BMP (bpp 1/4/8, MSB-first sub-byte packing, BGR0
+    color-table quads)."""
     img = np.asarray(img, dtype=np.uint8)
-    if img.ndim != 3 or img.shape[2] != 3:
-        raise MediaFormatError("encode_bmp expects an (H, W, 3) array")
-    h, w = img.shape[:2]
-    stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    table = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        if img.ndim != 2:
+            raise MediaFormatError("palette encode expects (H, W) indices")
+        if bpp not in (1, 4, 8):
+            raise MediaFormatError("indexed BMP bpp must be 1, 4 or 8")
+        if int(img.max(initial=0)) >= min(len(pal), 1 << bpp):
+            raise MediaFormatError("palette index exceeds table/bpp")
+        h, w = img.shape
+        flipped = img[::-1]  # bottom-up
+        if bpp == 8:
+            packed = flipped
+        else:
+            packed = _pack_bits(flipped, bpp)
+        stride = (packed.shape[1] + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :packed.shape[1]] = packed
+        quads = np.zeros((len(pal), 4), dtype=np.uint8)
+        quads[:, :3] = pal[:, ::-1]  # BGR0
+        table = quads.tobytes()
+        n_colors = len(pal)
+    else:
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise MediaFormatError("encode_bmp expects an (H, W, 3) array")
+        h, w = img.shape[:2]
+        bpp = 24
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        n_colors = 0
     pixel_bytes = rows.tobytes()
-    offset = 14 + 40
+    offset = 14 + 40 + len(table)
     header = (b"BM"
               + (offset + len(pixel_bytes)).to_bytes(4, "little")
               + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little"))
     info = ((40).to_bytes(4, "little")
             + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
             + (0).to_bytes(4, "little")
             + len(pixel_bytes).to_bytes(4, "little")
             + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
-            + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
-    return header + info + pixel_bytes
+            + n_colors.to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    return header + info + table + pixel_bytes
 
 
 def decode_bmp(data) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP into an (H, W, 3) uint8 RGB
-    array. Accepts bottom-up (positive height) and top-down (negative
-    height) row order; rejects compressed or non-24bpp variants."""
+    """Decode an uncompressed BMP into an (H, W, 3) uint8 RGB array:
+    24-bit BGR, or 1/4/8-bit palette-indexed (BGR0 color-table lookup,
+    MSB-first sub-byte indices). Accepts bottom-up (positive height) and
+    top-down (negative height) row order; rejects compressed variants
+    and 16/32-bit pixel formats."""
     buf = bytes(data)
     if len(buf) < 54 or buf[:2] != b"BM":
         raise MediaFormatError("not a BMP payload")
@@ -91,21 +121,36 @@ def decode_bmp(data) -> np.ndarray:
     h = int.from_bytes(buf[22:26], "little", signed=True)
     bpp = int.from_bytes(buf[28:30], "little")
     compression = int.from_bytes(buf[30:34], "little")
-    if bpp != 24 or compression != 0:
+    n_colors = int.from_bytes(buf[46:50], "little")
+    if bpp not in (1, 4, 8, 24) or compression != 0:
         raise MediaFormatError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})")
+            f"only uncompressed 1/4/8-bit-indexed or 24-bit BMP "
+            f"supported (bpp={bpp}, compression={compression})")
     top_down = h < 0
     h = abs(h)
     if w <= 0 or h <= 0:
         raise MediaFormatError("degenerate BMP dimensions")
-    stride = (w * 3 + 3) & ~3
+    stride = ((w * bpp + 31) // 32) * 4
     need = offset + stride * h
     if len(buf) < need:
         raise MediaFormatError("truncated BMP pixel data")
     rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
                          offset=offset).reshape(h, stride)
-    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    else:
+        if not n_colors:
+            n_colors = 1 << bpp
+        tbl_off = 14 + hdr_size
+        if tbl_off + 4 * n_colors > offset or 4 * n_colors > len(buf):
+            raise MediaFormatError("BMP color table exceeds pixel offset")
+        quads = np.frombuffer(buf, dtype=np.uint8, count=4 * n_colors,
+                              offset=tbl_off).reshape(n_colors, 4)
+        pal = quads[:, 2::-1]  # BGR0 -> RGB
+        idx = _expand_samples(rows, w, bpp) if bpp < 8 else rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise MediaFormatError("BMP palette index out of range")
+        img = pal[idx]
     if not top_down:
         img = img[::-1]
     return np.ascontiguousarray(img)

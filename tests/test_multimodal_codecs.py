@@ -803,3 +803,56 @@ def test_png_adam7_conformance_vs_imageio(spark):
             rgb = ref.getRGB(x, y)
             got = ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255)
             assert got == tuple(img[y, x]), (y, x)
+
+
+# --- BMP palette-indexed (round 5) ---------------------------------------
+
+
+def test_bmp_indexed_roundtrip_1_4_8bpp():
+    """1/4/8-bit indexed BMP: BGR0 color-table lookup, MSB-first
+    sub-byte indices, bottom-up rows, 4-byte stride padding at odd
+    widths."""
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    for bpp in (1, 4, 8):
+        k = 1 << bpp if bpp < 8 else 256
+        for h, w in [(1, 1), (3, 5), (6, 13), (9, 31)]:
+            idx = rng.integers(0, k, (h, w), dtype=np.uint8)
+            got = decode_bmp(encode_bmp(idx, palette=pal[:k], bpp=bpp))
+            assert np.array_equal(got, pal[:k][idx]), (bpp, h, w)
+
+
+def test_bmp_indexed_conformance_vs_imageio(spark):
+    """Indexed BMPs are lossless: ImageIO must decode my 4-bit indexed
+    output to the exact palette RGB."""
+    rng = np.random.default_rng(42)
+    jvm = spark._jvm
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 11), dtype=np.uint8)
+    mine = encode_bmp(idx, palette=pal, bpp=4)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(mine))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img.getWidth() == 11 and img.getHeight() == 6
+    for y in range(6):
+        for x in range(11):
+            rgb = img.getRGB(x, y)
+            got = ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255)
+            assert got == tuple(pal[idx[y, x]]), (y, x)
+
+
+def test_bmp_indexed_rejects():
+    rng = np.random.default_rng(43)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    with pytest.raises(MediaFormatError):
+        encode_bmp(np.full((2, 2), 5, np.uint8), palette=pal, bpp=1)
+    b = bytearray(encode_bmp(np.zeros((2, 2), np.uint8), palette=pal,
+                             bpp=4))
+    b[28:30] = (16).to_bytes(2, "little")  # 16bpp unsupported
+    with pytest.raises(MediaFormatError):
+        decode_bmp(bytes(b))
+    # color table running past the pixel offset rejects
+    b2 = bytearray(encode_bmp(np.zeros((2, 2), np.uint8), palette=pal,
+                              bpp=8))
+    b2[46:50] = (4096).to_bytes(4, "little")
+    with pytest.raises(MediaFormatError):
+        decode_bmp(bytes(b2))
