@@ -372,6 +372,30 @@ def _q_url_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.max("doc_id").alias("max_doc_id"))
 
 
+def _q_winnow_fingerprint_profile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Winnowing ROLLING-HASH document fingerprints (r5; SIGMOD 2003
+    MOSS technique): 5-gram polynomial rolling hashes over code points,
+    sliding minima over every 4 consecutive hashes, distinct minima =
+    the fingerprint set (any shared substring of length >= 8 guarantees
+    a shared fingerprint — a bucketed fuzzy-dup candidate generator).
+    The oracle recomputes EVERY fingerprint bit-for-bit in SQL: the
+    same polynomial with precomputed power-mod literals, a windowed MIN
+    over complete windows, and the same distinct-set aggregation."""
+    from sparkolumnar.pipeline import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    j = fps.join(docs.select("doc_id", "lang"), "doc_id")
+    return (j.groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_fps"),
+                 F.sum("fp").alias("sum_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp"))
+            .orderBy("lang"))
+
+
 def _q_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics (r5): COUNT / null-count / MIN / MAX per
     column answered from block metadata ALONE — metadata_stats explodes
@@ -1065,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_range_or_filter": _q_source_range_or_filter,
         "url_prefix_filter": _q_url_prefix_filter,
         "metadata_stats": _q_metadata_stats,
+        "winnow_fingerprint_profile": _q_winnow_fingerprint_profile,
         "struct_filter_pushdown": _q_struct_filter_pushdown,
         "map_filter_pushdown": _q_map_filter_pushdown,
         "null_filter_agg": _q_null_filter_agg,
@@ -1585,6 +1610,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (source BETWEEN 'src2' AND 'src39~')
                OR (lang = 'zh' AND n_chars > 600)
+        """,
+        "winnow_fingerprint_profile": """
+            WITH d AS (
+                SELECT doc_id, lang, text, length(text) AS n
+                FROM documents WHERE length(text) >= 5
+            ), h AS (
+                SELECT d.doc_id, d.lang, d.n, p.p,
+                       (CAST(unicode(substr(d.text, CAST(p.p + 1 AS INT), 1)) AS BIGINT)
+                          * 1604566856 % 2147483647
+                      + CAST(unicode(substr(d.text, CAST(p.p + 2 AS INT), 1)) AS BIGINT)
+                          * 1049561761 % 2147483647
+                      + CAST(unicode(substr(d.text, CAST(p.p + 3 AS INT), 1)) AS BIGINT)
+                          * 1426104154 % 2147483647
+                      + CAST(unicode(substr(d.text, CAST(p.p + 4 AS INT), 1)) AS BIGINT)
+                          * 1000003 % 2147483647
+                      + CAST(unicode(substr(d.text, CAST(p.p + 5 AS INT), 1)) AS BIGINT))
+                      % 2147483647 AS hv
+                FROM d
+                JOIN (SELECT unnest(range(1000)) AS p) p ON p.p + 5 <= d.n
+            ), m AS (
+                SELECT doc_id, lang, n, p,
+                       MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS mv
+                FROM h
+            ), sel AS (
+                SELECT DISTINCT doc_id, lang, mv FROM m WHERE p + 8 <= n
+            )
+            SELECT lang,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_fps,
+                   CAST(SUM(mv) AS BIGINT) AS sum_fp,
+                   MIN(mv) AS min_fp,
+                   MAX(mv) AS max_fp
+            FROM sel GROUP BY lang ORDER BY lang
         """,
         "metadata_stats": """
             SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,

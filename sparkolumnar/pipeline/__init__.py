@@ -21,5 +21,6 @@ from .similarity import (brute_force_topk, cosine_neardup_pairs,  # noqa: F401
                          hyperplane_lsh_signatures, hyperplane_neardup_pairs,
                          ivf_build, ivf_query, ivf_topk)
 from .textstats import (fingerprint, lang_id, quality_score,  # noqa: F401
-                        repetition_stats, token_stats)
+                        repetition_stats, token_stats,
+                        winnow_fingerprints)
 from .jpeg import JpegError, decode_jpeg, encode_jpeg  # noqa: F401,E402

@@ -177,3 +177,57 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                         - F.col("n_distinct_shingles")).cast("long"))
            .drop("__toks", "__sh"))
     return out
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5, window: int = 4,
+                        base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS technique): polynomial ROLLING HASHES of the k
+    code-point grams, a sliding minimum over every `window` consecutive
+    hashes, and the DISTINCT window-minima values as the document's
+    fingerprint set. Guarantees of the paper: any shared substring of
+    length >= window + k - 1 between two documents yields at least one
+    shared fingerprint, so a fingerprint equi-join is a scale-safe
+    fuzzy-duplicate candidate generator (bucketed, not all-pairs) that
+    complements the MinHash family in pipeline/dedup.py.
+
+    h(i) = sum_j cp[i+j] * base^(k-1-j) mod `mod` over UTF code points
+    — integer-exact and term-orderable, so a DuckDB oracle recomputes
+    every fingerprint bit-for-bit (oracle query winnow_fingerprint_
+    profile). One mapInPandas pass; k-gram hashing and the window
+    minima are numpy sliding_window_view operations per document.
+
+    Returns (id_col, fp) exploded, one row per fingerprint."""
+    import numpy as np
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    powers = np.array([pow(base, k - 1 - j, mod) for j in range(k)],
+                      dtype=np.uint64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sw = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            ids, fps = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                cps = np.frombuffer(
+                    str(txt).encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                if len(cps) < k:
+                    continue
+                h = (sw(cps, k) * powers % mod).sum(axis=1) % mod
+                mins = (sw(h, window).min(axis=1) if len(h) >= window
+                        else np.array([h.min()], dtype=np.uint64))
+                sel = np.unique(mins)
+                ids.extend([int(i)] * len(sel))
+                fps.extend(int(v) for v in sel)
+            yield pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
+                                "fp": np.array(fps, dtype=np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, fp long")

@@ -462,3 +462,35 @@ def test_shingle_hashes_vectorized_identity():
             assert np.array_equal(g, w)
     finally:
         dd._SHINGLE_CHUNK_BYTES = old
+
+
+def test_winnow_fingerprints_guarantee_and_join(spark):
+    """Winnowing guarantee (SIGMOD 2003): documents sharing a substring
+    of length >= window + k - 1 share at least one fingerprint, so a
+    fingerprint equi-join surfaces the fuzzy-duplicate pair; unrelated
+    documents share none (probabilistically, distinct alphabets here)."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.pipeline import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, "AAA " + shared + " BBB"),
+            (2, "xyzzy plugh " + shared + " qwert"),
+            (3, "0123456789 0123456789 0123456789 012345")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, window=4).cache()
+    per = {r["doc_id"]: r["n"] for r in
+           fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(per[i] > 0 for i in (1, 2, 3))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (a.join(b, F.col("a.fp") == F.col("b.fp"))
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("x"),
+                     F.col("b.doc_id").alias("y")).distinct().collect())
+    got = {(r["x"], r["y"]) for r in pairs}
+    assert (1, 2) in got       # shared 44-char substring >= 8
+    assert (1, 3) not in got and (2, 3) not in got
+    # deterministic: same text -> identical fingerprint set
+    again = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    assert fps.exceptAll(again).count() == 0
