@@ -9,7 +9,7 @@ from .dedup import (connected_components, dedup_groups,  # noqa: F401
                     exact_dedup, minhash_signatures, minhash_neardup_pairs,
                     minhash_wordgram_neardup_pairs,
                     minhash_wordgram_signatures, ngram_jaccard_verify,
-                    simhash64_md5, simhash_buckets)
+                    simhash64_md5, simhash_buckets, winnow_neardup_pairs)
 from .multimodal import (attach_media_meta, audio_stats,  # noqa: F401
                          decode_and_featurize, decode_avi, decode_bmp,
                          decode_image, decode_png, decode_video_frames,

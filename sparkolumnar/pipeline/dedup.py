@@ -560,3 +560,36 @@ def neardup_dedup(df: DataFrame, text_col: str, id_col: str,
                           checkpoint=checkpoint)
     keep = groups.filter(F.col("keep") == 1).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def winnow_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 5, window: int = 4,
+                         min_shared: int = 2,
+                         max_bucket: int = 256) -> DataFrame:
+    """Fuzzy-duplicate candidate pairs via winnowing fingerprints
+    (textstats.winnow_fingerprints, SIGMOD 2003): documents sharing any
+    substring of length >= window + k - 1 share a fingerprint, so the
+    fingerprint equi-join surfaces containment/boilerplate overlaps the
+    whole-document MinHash jaccard can miss.
+
+    Returns (a, b, n_shared) with a < b, keeping pairs that share at
+    least `min_shared` fingerprints.
+
+    Scale shape (same rules as minhash_neardup_pairs): fingerprint rows
+    carry IDS ONLY through the self-join shuffle, and hot fingerprints —
+    boilerplate substrings present in more than `max_bucket` documents,
+    each otherwise emitting count^2/2 pairs — are dropped via a
+    broadcast anti-join on a map-side-combined count. Bucketed, never
+    all-pairs."""
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    hot = (fps.groupBy("fp").count()
+           .filter(F.col("count") > max_bucket).select("fp"))
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    left = fps.select(F.col(id_col).alias("a"), "fp")
+    right = fps.select(F.col(id_col).alias("b"), "fp")
+    return (left.join(right, "fp")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

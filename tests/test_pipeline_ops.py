@@ -494,3 +494,36 @@ def test_winnow_fingerprints_guarantee_and_join(spark):
     # deterministic: same text -> identical fingerprint set
     again = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
     assert fps.exceptAll(again).count() == 0
+
+
+def test_winnow_neardup_pairs_containment_and_hot_cap(spark):
+    """winnow_neardup_pairs surfaces containment overlaps (a long
+    substring shared by two docs) and the hot-fingerprint cap drops
+    boilerplate shared by every document."""
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.pipeline import winnow_neardup_pairs
+
+    shared = "a remarkably specific sentence that both documents contain"
+    # negatives use DISJOINT alphabets (digits / consonant runs) so no
+    # 5-gram can collide with the English docs even by accident
+    rows = [(1, "intro text. " + shared + " and more."),
+            (2, "totally different framing: " + shared + " epilogue."),
+            (3, "0123456789012345678901234567890123456789"),
+            (4, "zzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_neardup_pairs(df, "text", "doc_id", min_shared=2)
+    got = {(r["a"], r["b"]): r["n_shared"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)
+    # boilerplate present in EVERY doc: max_bucket=3 drops its
+    # fingerprints, so docs sharing ONLY the boilerplate pair-match less
+    boiler = " COMMON FOOTER TEXT APPENDED EVERYWHERE IN THE CORPUS"
+    rows2 = [(i, f"unique body {i} {'x' * i} zz{i}qq" + boiler)
+             for i in range(1, 6)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    uncapped = winnow_neardup_pairs(df2, "text", "doc_id",
+                                    min_shared=1, max_bucket=10_000)
+    capped = winnow_neardup_pairs(df2, "text", "doc_id",
+                                  min_shared=1, max_bucket=3)
+    assert uncapped.count() > capped.count()
