@@ -156,6 +156,35 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shape SIX-table join (r5; broadens the §2.2 join
+    category beyond the single-join top_customers): lineitem joins
+    orders (fact-fact, shuffle on orderkey), then customer / supplier /
+    nation / region as BROADCAST dimensions — at 100 TB the fact-side
+    shuffle is the only exchange; every dimension ships once per
+    executor. Year predicate filtered before the join (pushed to the
+    orders scan), revenue in integer cents for an exact cross-engine
+    compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1996)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.sum(cents).alias("revenue_cents"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue_cents"), F.asc("n_name")))
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast join + window top-k (join/window categories of §2.2)."""
     from pyspark.sql import Window as W
@@ -1065,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
+        "regional_revenue": _q_regional_revenue,
         "event_sessions": _q_event_sessions,
         "text_feature_sums": _q_text_feature_sums,
         "fingerprint_dedup": _q_fingerprint_dedup,
@@ -1477,6 +1507,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND EXTRACT(year FROM o_orderdate) = 1996
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name
         """,
         "top_customers": """
             SELECT ROW_NUMBER() OVER (ORDER BY n_orders DESC, sum_cents DESC,

@@ -287,3 +287,17 @@ def test_metadata_stats_exact_and_payload_pruned(spark, tmp_path):
     assert agg["umin"].startswith(rows["url"]["min_str"][:32])
     assert rows["url"]["max_str"] >= agg["umax"][:len(rows["url"]["max_str"])] \
         or rows["url"]["max_str"] >= agg["umax"]
+
+
+def test_regional_revenue_join_plan_broadcasts_dims(spark):
+    """The Q5-shape six-table join must broadcast all four dimension
+    tables: at 100 TB only the fact-fact lineitem-orders join may
+    shuffle. AQE can later convert it too, but the compiled plan must
+    not shuffle a dimension."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["regional_revenue"](spark, "/root/testdata/sf0.01")
+    plan = _plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    shuffles = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffles <= 1, plan
