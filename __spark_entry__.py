@@ -185,6 +185,38 @@ def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue_cents"), F.asc("n_name")))
 
 
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP super-aggregates (r5; §2.2 aggregation surface beyond
+    plain GROUP BY): per-(returnflag, linestatus), per-returnflag and
+    grand-total rows computed in ONE pass over the fact table (Spark's
+    Expand operator feeds the same partial+final hash aggregation — no
+    second scan at 100 TB), with grouping_id disambiguating the
+    super-aggregate levels. Integer-exact outputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.grouping_id().alias("gid"))
+            .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+
+def _q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (r5): Spark's percentile() (true
+    linear-interpolated quantile, not the approx sketch) against
+    DuckDB's quantile_cont — both engines implement the same
+    interpolation, so the values compare exactly after the canonical
+    9-decimal rounding. The sketch-based approx_percentile stays out of
+    the oracle set on purpose (approximate answers don't cross-check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+                 F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+                 F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag"))
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast join + window top-k (join/window categories of §2.2)."""
     from pyspark.sql import Window as W
@@ -1095,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "regional_revenue": _q_regional_revenue,
+        "rollup_pricing": _q_rollup_pricing,
+        "quantile_profile": _q_quantile_profile,
         "event_sessions": _q_event_sessions,
         "text_feature_sums": _q_text_feature_sums,
         "fingerprint_dedup": _q_fingerprint_dedup,
@@ -1507,6 +1541,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   GROUPING(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        "quantile_profile": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.5) AS q50,
+                   quantile_cont(l_quantity, 0.75) AS q75,
+                   quantile_cont(l_extendedprice, 0.9) AS p90,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "regional_revenue": """
             SELECT n_name,
