@@ -185,6 +185,42 @@ def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue_cents"), F.asc("n_name")))
 
 
+def _q_status_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (r5): per returnflag, the SORTED distinct
+    linestatus array (collect_set -> sort_array, deterministic and
+    order-insensitive across partitions — the only safe way to
+    oracle-check an array agg) plus per-group counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sort_array(F.collect_set("l_linestatus"))
+                 .alias("statuses"),
+                 F.countDistinct("l_linestatus").alias("n_statuses"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag"))
+
+
+def _q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frames (r5): per-customer running order total
+    ordered by (orderdate, orderkey) — the unique orderkey tiebreak
+    makes RANGE and ROWS frames agree, so the running sum is
+    deterministic and both engines compute the identical prefix sums.
+    Checksummed per customer-bucket so the oracle compares a small,
+    integer-exact result."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (W.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = o.withColumn("running_cents", F.sum(cents).over(w))
+    return (run.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(F.sum("running_cents").alias("sum_running"),
+                 F.max("running_cents").alias("max_running"),
+                 F.count("*").alias("n"))
+            .orderBy("bucket"))
+
+
 def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP super-aggregates (r5; §2.2 aggregation surface beyond
     plain GROUP BY): per-(returnflag, linestatus), per-returnflag and
@@ -1129,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _q_regional_revenue,
         "rollup_pricing": _q_rollup_pricing,
         "quantile_profile": _q_quantile_profile,
+        "status_arrays": _q_status_arrays,
+        "running_order_totals": _q_running_order_totals,
         "event_sessions": _q_event_sessions,
         "text_feature_sums": _q_text_feature_sums,
         "fingerprint_dedup": _q_fingerprint_dedup,
@@ -1541,6 +1579,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "status_arrays": """
+            SELECT l_returnflag,
+                   list_sort(list(DISTINCT l_linestatus)) AS statuses,
+                   COUNT(DISTINCT l_linestatus) AS n_statuses,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "running_order_totals": """
+            WITH run AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS running_cents
+                FROM orders
+            )
+            SELECT o_custkey % 10 AS bucket,
+                   CAST(SUM(running_cents) AS BIGINT) AS sum_running,
+                   MAX(running_cents) AS max_running,
+                   COUNT(*) AS n
+            FROM run GROUP BY bucket ORDER BY bucket
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
