@@ -856,3 +856,28 @@ def test_bmp_indexed_rejects():
     b2[46:50] = (4096).to_bytes(4, "little")
     with pytest.raises(MediaFormatError):
         decode_bmp(bytes(b2))
+
+
+def test_gif_lzw_hypothesis_roundtrip():
+    """Generative property over the raw LZW layer: any index stream at
+    any legal min-code-size round-trips, including streams long enough
+    to force width bumps and the 4096-entry table reset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkolumnar.pipeline.gif import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(2, 8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(st.integers(0, (1 << mcs) - 1),
+                     min_size=1, max_size=4000))))
+    def prop(case):
+        mcs, vals = case
+        arr = np.array(vals, dtype=np.uint8)
+        enc = _lzw_encode(arr, mcs)
+        dec = _lzw_decode(enc, mcs, len(arr))
+        assert np.array_equal(dec, arr)
+
+    prop()
