@@ -197,8 +197,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     h(i) = sum_j cp[i+j] * base^(k-1-j) mod `mod` over UTF code points
     — integer-exact and term-orderable, so a DuckDB oracle recomputes
     every fingerprint bit-for-bit (oracle query winnow_fingerprint_
-    profile). One mapInPandas pass; k-gram hashing and the window
-    minima are numpy sliding_window_view operations per document.
+    profile). One mapInPandas pass, vectorized ACROSS documents (the
+    _shingle_hashes discipline): one concatenated code-point buffer per
+    batch, boundary-straddling grams and windows masked out, per-doc
+    distinct minima via one global lexsort — no per-document Python
+    loop in the hot path.
 
     Returns (id_col, fp) exploded, one row per fingerprint."""
     import numpy as np
@@ -213,21 +216,61 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
         sw = np.lib.stride_tricks.sliding_window_view
         for pdf in batches:
-            ids, fps = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                cps = np.frombuffer(
-                    str(txt).encode("utf-32-le"), dtype="<u4"
-                ).astype(np.uint64)
-                if len(cps) < k:
-                    continue
-                h = (sw(cps, k) * powers % mod).sum(axis=1) % mod
-                mins = (sw(h, window).min(axis=1) if len(h) >= window
-                        else np.array([h.min()], dtype=np.uint64))
-                sel = np.unique(mins)
-                ids.extend([int(i)] * len(sel))
-                fps.extend(int(v) for v in sel)
-            yield pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
-                                "fp": np.array(fps, dtype=np.int64)})
+            encs = [str(t).encode("utf-32-le") for t in pdf[text_col]]
+            lens = np.array([len(e) // 4 for e in encs], dtype=np.int64)
+            ids_all = pdf[id_col].to_numpy()
+            keep = lens >= k
+            if not keep.any():
+                yield pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                    "fp": np.array([], dtype=np.int64)})
+                continue
+            doc_ids = ids_all[keep].astype(np.int64)
+            dl = lens[keep]
+            cps = np.frombuffer(
+                b"".join(e for e, m in zip(encs, keep) if m),
+                dtype="<u4").astype(np.uint64)
+            # k-gram hashes over the ONE concatenated buffer; a gram
+            # starting within k-1 of a doc's end would straddle — drop
+            n_h = dl - k + 1                     # valid grams per doc
+            starts = np.cumsum(dl) - dl          # doc starts in cps
+            g = sw(cps, k)                       # (N-k+1, k) view
+            h_all = (g * powers % mod).sum(axis=1) % mod
+            didx = np.repeat(np.arange(len(dl)), n_h)
+            gpos = (np.arange(n_h.sum())
+                    - np.repeat(np.cumsum(n_h) - n_h, n_h)
+                    + np.repeat(starts, n_h))
+            h = h_all[gpos]                      # compacted per-doc runs
+            # sliding minima over each doc's contiguous hash run: windows
+            # are positions in the COMPACTED array; one crossing a doc
+            # boundary is masked. Short docs (< window hashes) take the
+            # doc-wide min, matching the per-doc formula exactly.
+            long = n_h >= window
+            mins_parts = []
+            min_docs = []
+            if long.any():
+                wmins = sw(h, window).min(axis=1)
+                wdoc = didx[:len(wmins)]
+                ok = wdoc == didx[window - 1:]   # window inside one doc
+                mins_parts.append(wmins[ok])
+                min_docs.append(wdoc[ok])
+            if (~long).any():
+                # reduceat segments must be contiguous: reduce over
+                # EVERY doc's run, then select the short docs
+                seg_starts = np.cumsum(n_h) - n_h
+                shorts = np.flatnonzero(~long)
+                mins_parts.append(
+                    np.minimum.reduceat(h, seg_starts)[shorts])
+                min_docs.append(shorts)
+            mv = np.concatenate(mins_parts)
+            md = np.concatenate(min_docs)
+            # per-doc distinct: one global lexsort + consecutive dedupe
+            order = np.lexsort((mv, md))
+            ds, vs = md[order], mv[order]
+            keep2 = np.ones(len(ds), dtype=bool)
+            keep2[1:] = (ds[1:] != ds[:-1]) | (vs[1:] != vs[:-1])
+            ds, vs = ds[keep2], vs[keep2]
+            yield pd.DataFrame({id_col: doc_ids[ds],
+                                "fp": vs.astype(np.int64)})
 
     return df.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, fp long")
