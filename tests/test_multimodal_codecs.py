@@ -881,3 +881,44 @@ def test_gif_lzw_hypothesis_roundtrip():
         assert np.array_equal(dec, arr)
 
     prop()
+
+
+def test_image_stats_all_four_formats_one_batch(spark):
+    """One binary column mixing BMP, PNG (palette), GIF and bit-exact
+    constant-tile JPEG payloads: decode_image dispatches per payload and
+    every decoded stat matches the source pixels."""
+    from sparkolumnar.pipeline import image_stats
+    from sparkolumnar.pipeline.gif import encode_gif
+    from sparkolumnar.pipeline.jpeg import encode_jpeg
+    from sparkolumnar.pipeline.multimodal import encode_png
+
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    ones = np.ones((8, 8), dtype=np.int64)
+    rows, want = [], []
+    for i in range(16):
+        kind = i % 4
+        if kind == 0:  # BMP
+            img = rng.integers(0, 256, (4 + i % 3, 5, 3), dtype=np.uint8)
+            payload = encode_bmp(img)
+        elif kind == 1:  # palette PNG
+            idx = rng.integers(0, 16, (3 + i % 4, 6), dtype=np.uint8)
+            img = pal[idx]
+            payload = encode_png(idx, palette=pal, depth=4)
+        elif kind == 2:  # GIF (first frame)
+            idx = rng.integers(0, 16, (5, 4 + i % 3), dtype=np.uint8)
+            img = pal[idx]
+            payload = encode_gif([idx], pal)
+        else:  # constant-tile ones-qtable JPEG: bit-exact, gray C=1
+            tiles = ((i * 13 + np.arange(2) * 7) % 256).astype(
+                np.uint8)[None, :]
+            img = tiles.repeat(8, 0).repeat(8, 1)[:, :, None]
+            payload = encode_jpeg(img[:, :, 0], qt_luma=ones)
+        rows.append((i, payload))
+        want.append((i, img.shape[1], img.shape[0],
+                     int(img.sum(dtype=np.int64))))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = sorted(tuple(r) for r in
+                 image_stats(df, "media")
+                 .select("id", "width", "height", "px_sum").collect())
+    assert got == sorted(want)
