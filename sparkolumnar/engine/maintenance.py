@@ -1,0 +1,85 @@
+"""Table maintenance: blocks compaction (the OPTIMIZE of this engine).
+
+Streaming encode (streaming/encode_stream.py) writes one snapshot per
+micro-batch, and frequent small batches leave many small blocks — each
+with its own metadata row, sketches and FSST tables, and each a separate
+task at decode time. compact_snapshot rewrites a snapshot's rows into
+fewer, full-size blocks through the NORMAL encode path (same selector,
+same sketches, same exactly-once layout), optionally re-clustering on
+the way — the routine production maintenance any 100 TB table needs.
+
+Safety order: the new snapshot is fully written and row-count-verified
+against the old snapshot's metadata BEFORE the old directory is removed
+(delete_old=True); a crash mid-compact leaves both snapshots readable
+and the compact re-runnable (dynamic overwrite replaces the new
+snapshot's parts deterministically).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from .decode import decode_blocks
+from .encode import BALANCED, encode_table
+from .tableio import TableIO
+
+
+def compact_snapshot(io: TableIO, snapshot_id: str,
+                     new_snapshot_id: Optional[str] = None,
+                     key: Optional[str] = None,
+                     partitions: Optional[int] = None,
+                     cluster_by=None, mode: str = BALANCED,
+                     verify: bool = True,
+                     delete_old: bool = False) -> dict:
+    """Rewrite `snapshot_id`'s blocks into `new_snapshot_id` (default
+    "<id>-compact") with fewer/larger blocks. decode(verify=True)
+    recomputes every column checksum before anything is rewritten;
+    key=/cluster_by=/partitions= choose the new layout (re-clustering
+    during compaction is how a streaming table gains zone-map locality
+    after the fact). Returns per-side block/row/byte counts."""
+    new_id = new_snapshot_id or f"{snapshot_id}-compact"
+    if new_id == snapshot_id:
+        raise ValueError("compaction must write a NEW snapshot id")
+    bytes_out = F.expr(
+        "aggregate(columns, 0L, (acc, c) -> acc + c.bytes_out)")
+    blocks = io.read_blocks().where(F.col("snapshot_id") == snapshot_id)
+    old = blocks.agg(F.count("*").alias("b"), F.sum("n_rows").alias("r"),
+                     F.sum(bytes_out).alias("o")).collect()[0]
+    if not old["b"]:
+        raise ValueError(f"snapshot {snapshot_id!r} has no blocks")
+    rows_df = decode_blocks(blocks, verify=verify)
+    new_blocks = encode_table(rows_df, key=key, partitions=partitions,
+                              sort_within=key is not None,
+                              cluster_by=cluster_by, mode=mode,
+                              snapshot_id=new_id)
+    io.write_blocks(new_blocks)
+    new = (io.read_blocks().where(F.col("snapshot_id") == new_id)
+           .agg(F.count("*").alias("b"), F.sum("n_rows").alias("r"),
+                F.sum(bytes_out).alias("o")).collect()[0])
+    if new["r"] != old["r"]:
+        raise RuntimeError(
+            f"compaction row mismatch: {old['r']} -> {new['r']} "
+            f"(old snapshot untouched)")
+    if delete_old:
+        _delete_snapshot_dir(io, snapshot_id)
+    return {"snapshot_id": snapshot_id, "new_snapshot_id": new_id,
+            "n_rows": int(new["r"]),
+            "old_blocks": int(old["b"]), "new_blocks": int(new["b"]),
+            "old_bytes_out": int(old["o"]), "new_bytes_out": int(new["o"]),
+            "deleted_old": bool(delete_old)}
+
+
+def _delete_snapshot_dir(io: TableIO, snapshot_id: str) -> None:
+    """Remove one snapshot's partition directory, fs-agnostically (the
+    same pyarrow.fs discipline as engine/direct.py task IO)."""
+    from pyarrow import fs as pafs
+
+    path = f"{io.blocks_path}/snapshot_id={snapshot_id}"
+    try:
+        filesystem, p = pafs.FileSystem.from_uri(path)
+    except (ValueError, OSError):
+        filesystem, p = pafs.LocalFileSystem(), path
+    info = filesystem.get_file_info(p)
+    if info.type != pafs.FileType.NotFound:
+        filesystem.delete_dir(p)

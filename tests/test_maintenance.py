@@ -1,0 +1,62 @@
+"""Blocks compaction: fewer/larger blocks, bit-identical rows, safe
+delete ordering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkolumnar.datagen import pages_df
+from sparkolumnar.engine import compact_snapshot, decode_blocks, encode_table
+from sparkolumnar.engine.tableio import TableIO
+
+
+def test_compact_snapshot_merges_blocks_bit_identical(spark, tmp_path):
+    pages = pages_df(spark, 6000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    # fragmented layout: 12 small blocks (a streaming-shaped snapshot)
+    io.write_blocks(encode_table(pages, snapshot_id="frag", partitions=12))
+    res = compact_snapshot(io, "frag", partitions=2)
+    assert res["old_blocks"] == 12 and res["new_blocks"] == 2
+    assert res["n_rows"] == 6000 and not res["deleted_old"]
+    blocks = io.read_blocks()
+    new = decode_blocks(blocks.where(F.col("snapshot_id")
+                                     == res["new_snapshot_id"]))
+    old = decode_blocks(blocks.where(F.col("snapshot_id") == "frag"))
+    assert new.count() == 6000
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_compact_recluster_and_delete_old(spark, tmp_path):
+    """Compaction can re-cluster (zone locality after the fact) and
+    delete the old snapshot only after the new one verifies."""
+    pages = pages_df(spark, 6000)
+    io = TableIO(spark, str(tmp_path / "t2"))
+    io.write_blocks(encode_table(pages, snapshot_id="s0", partitions=8))
+    res = compact_snapshot(io, "s0", new_snapshot_id="s0c",
+                           cluster_by="lang", partitions=2,
+                           delete_old=True)
+    assert res["deleted_old"]
+    snaps = {r["snapshot_id"] for r in
+             io.read_blocks().select("snapshot_id").distinct().collect()}
+    assert snaps == {"s0c"}
+    dec = decode_blocks(io.read_blocks())
+    assert dec.count() == 6000
+    assert dec.select("url", "text").exceptAll(
+        pages.select("url", "text")).count() == 0
+    # clustered layout: lang equality now prunes blocks
+    from sparkolumnar.engine import zone_filter_eq
+
+    blocks = io.read_blocks()
+    rare = (pages.groupBy("lang").count().orderBy("count")
+            .limit(1).collect()[0]["lang"])
+    assert zone_filter_eq(blocks, "lang", rare).count() < blocks.count()
+
+
+def test_compact_rejects_same_id_and_missing(spark, tmp_path):
+    pages = pages_df(spark, 1000)
+    io = TableIO(spark, str(tmp_path / "t3"))
+    io.write_blocks(encode_table(pages, snapshot_id="a", partitions=2))
+    with pytest.raises(ValueError, match="NEW snapshot id"):
+        compact_snapshot(io, "a", new_snapshot_id="a")
+    with pytest.raises(ValueError, match="no blocks"):
+        compact_snapshot(io, "nope")
