@@ -13,6 +13,12 @@ against the old snapshot's metadata BEFORE the old directory is removed
 (delete_old=True); a crash mid-compact leaves both snapshots readable
 and the compact re-runnable (dynamic overwrite replaces the new
 snapshot's parts deterministically).
+
+Layout note: compaction re-runs the row layout from scratch — pass key=
+(hash+sort) or cluster_by= to re-establish row order, or the rewrite is
+storage-ordered and RLE/FSST runs can come out slightly shorter (a
+4->1-block compact of a url-sorted snapshot measured ~7% larger without
+key="url"; identical rows either way).
 """
 from __future__ import annotations
 

@@ -29,3 +29,28 @@ def test_decode_job_stats_flag(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="--stats"):
         decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
                          "--output", "x", "--stats", "--limit", "5"])
+
+
+def test_compact_job_cli(spark, tmp_path, capsys):
+    from sparkolumnar.jobs import compact_job
+
+    pages = pages_df(spark, 3000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages, key="url", sort_within=True,
+                                 snapshot_id="frag", partitions=6))
+    compact_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                      "--snapshot", "frag", "--partitions", "1",
+                      "--key", "url", "--delete-old"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["old_blocks"] == 6 and out["new_blocks"] == 1
+    assert out["n_rows"] == 3000 and out["deleted_old"]
+    from sparkolumnar.engine import decode_blocks
+
+    dec = decode_blocks(io.read_blocks())
+    assert dec.count() == 3000
+    assert dec.select("url", "text").exceptAll(
+        pages.select("url", "text")).count() == 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                          "--snapshot", "x", "--key", "url",
+                          "--cluster-by", "lang"])
