@@ -38,22 +38,30 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                      cluster_by=None, mode: str = BALANCED,
                      verify: bool = True,
                      delete_old: bool = False) -> dict:
-    """Rewrite `snapshot_id`'s blocks into `new_snapshot_id` (default
-    "<id>-compact") with fewer/larger blocks. decode(verify=True)
-    recomputes every column checksum before anything is rewritten;
-    key=/cluster_by=/partitions= choose the new layout (re-clustering
-    during compaction is how a streaming table gains zone-map locality
-    after the fact). Returns per-side block/row/byte counts."""
-    new_id = new_snapshot_id or f"{snapshot_id}-compact"
-    if new_id == snapshot_id:
+    """Rewrite one snapshot's — or, the streaming case, a LIST of
+    snapshots' — blocks into `new_snapshot_id` with fewer/larger
+    blocks (default new id: "<first-id>-compact"). A micro-batch
+    stream writes one snapshot per batch, so nightly maintenance
+    passes the whole day's snapshot ids here and gets back ONE
+    well-laid-out snapshot. decode(verify=True) recomputes every
+    column checksum before anything is rewritten; key=/cluster_by=/
+    partitions= choose the new layout (re-clustering during compaction
+    is how a streaming table gains zone-map locality after the fact).
+    Returns per-side block/row/byte counts."""
+    ids = ([snapshot_id] if isinstance(snapshot_id, str)
+           else list(snapshot_id))
+    if not ids:
+        raise ValueError("need at least one snapshot id")
+    new_id = new_snapshot_id or f"{ids[0]}-compact"
+    if new_id in ids:
         raise ValueError("compaction must write a NEW snapshot id")
     bytes_out = F.expr(
         "aggregate(columns, 0L, (acc, c) -> acc + c.bytes_out)")
-    blocks = io.read_blocks().where(F.col("snapshot_id") == snapshot_id)
+    blocks = io.read_blocks().where(F.col("snapshot_id").isin(ids))
     old = blocks.agg(F.count("*").alias("b"), F.sum("n_rows").alias("r"),
                      F.sum(bytes_out).alias("o")).collect()[0]
     if not old["b"]:
-        raise ValueError(f"snapshot {snapshot_id!r} has no blocks")
+        raise ValueError(f"snapshots {ids!r} have no blocks")
     rows_df = decode_blocks(blocks, verify=verify)
     new_blocks = encode_table(rows_df, key=key, partitions=partitions,
                               sort_within=key is not None,
@@ -66,10 +74,11 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
     if new["r"] != old["r"]:
         raise RuntimeError(
             f"compaction row mismatch: {old['r']} -> {new['r']} "
-            f"(old snapshot untouched)")
+            f"(old snapshots untouched)")
     if delete_old:
-        _delete_snapshot_dir(io, snapshot_id)
-    return {"snapshot_id": snapshot_id, "new_snapshot_id": new_id,
+        for sid in ids:
+            _delete_snapshot_dir(io, sid)
+    return {"snapshot_ids": ids, "new_snapshot_id": new_id,
             "n_rows": int(new["r"]),
             "old_blocks": int(old["b"]), "new_blocks": int(new["b"]),
             "old_bytes_out": int(old["o"]), "new_bytes_out": int(new["o"]),

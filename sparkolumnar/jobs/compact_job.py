@@ -24,7 +24,10 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", required=True)
-    ap.add_argument("--snapshot", required=True)
+    ap.add_argument("--snapshot", required=True,
+                    help="snapshot id, or a comma-separated LIST of ids "
+                         "(streaming micro-batch snapshots merged into "
+                         "one well-laid-out snapshot)")
     ap.add_argument("--new-snapshot", default=None)
     ap.add_argument("--key", default=None)
     ap.add_argument("--partitions", type=int, default=None)
@@ -54,7 +57,9 @@ def main(argv=None) -> None:
 
     io = TableIO(spark, os.path.dirname(args.blocks.rstrip("/")))
     cluster = args.cluster_by.split(",") if args.cluster_by else None
-    res = compact_snapshot(io, args.snapshot,
+    snap = (args.snapshot.split(",") if "," in args.snapshot
+            else args.snapshot)
+    res = compact_snapshot(io, snap,
                            new_snapshot_id=args.new_snapshot,
                            key=args.key, partitions=args.partitions,
                            cluster_by=cluster, mode=args.mode,

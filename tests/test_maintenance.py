@@ -60,3 +60,34 @@ def test_compact_rejects_same_id_and_missing(spark, tmp_path):
         compact_snapshot(io, "a", new_snapshot_id="a")
     with pytest.raises(ValueError, match="no blocks"):
         compact_snapshot(io, "nope")
+
+
+def test_compact_merges_multiple_streaming_snapshots(spark, tmp_path):
+    """The streaming case: one snapshot per micro-batch -> nightly
+    maintenance merges the whole list into ONE snapshot, bit-identical
+    union, olds deleted only after verification."""
+    io = TableIO(spark, str(tmp_path / "ms"))
+    parts = []
+    for b in range(4):
+        batch = pages_df(spark, 1500, seed=100 + b)
+        parts.append(batch)
+        io.write_blocks(encode_table(batch, snapshot_id=f"batch{b}",
+                                     partitions=3))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    res = compact_snapshot(io, [f"batch{b}" for b in range(4)],
+                           new_snapshot_id="merged", key="url",
+                           partitions=2, delete_old=True)
+    assert res["old_blocks"] == 12 and res["new_blocks"] == 2
+    assert res["n_rows"] == 6000 and res["deleted_old"]
+    assert res["snapshot_ids"] == [f"batch{b}" for b in range(4)]
+    snaps = {r["snapshot_id"] for r in
+             io.read_blocks().select("snapshot_id").distinct().collect()}
+    assert snaps == {"merged"}
+    dec = decode_blocks(io.read_blocks())
+    assert dec.count() == 6000
+    assert dec.select("url", "text").exceptAll(
+        union.select("url", "text")).count() == 0
+    with pytest.raises(ValueError, match="NEW snapshot id"):
+        compact_snapshot(io, ["merged", "x"], new_snapshot_id="merged")
