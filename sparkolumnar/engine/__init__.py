@@ -6,5 +6,6 @@ from .decode import (decode_blocks, schema_of_blocks,  # noqa: F401
 from .direct import (decode_files_direct, encode_files_direct,  # noqa: F401
                      encode_job_direct_write, encode_table_direct_write)
 from .encode import encode_table  # noqa: F401
-from .maintenance import compact_snapshot  # noqa: F401
+from .maintenance import (compact_snapshot,  # noqa: F401
+                          list_snapshots)
 from .selector import BALANCED, FAST, SIZE, select_encode  # noqa: F401

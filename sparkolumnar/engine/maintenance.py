@@ -98,3 +98,21 @@ def _delete_snapshot_dir(io: TableIO, snapshot_id: str) -> None:
     info = filesystem.get_file_info(p)
     if info.type != pafs.FileType.NotFound:
         filesystem.delete_dir(p)
+
+
+def list_snapshots(io: TableIO):
+    """Per-snapshot inventory — blocks, parts, rows, encoded bytes,
+    and rows-per-block (the compaction signal: a streaming table shows
+    many snapshots with small rows_per_block) — computed from metadata
+    leaves only (payload fields pruned at the scan, any table size)."""
+    bytes_out = F.expr(
+        "aggregate(columns, 0L, (acc, c) -> acc + c.bytes_out)")
+    return (io.read_blocks()
+            .groupBy("snapshot_id")
+            .agg(F.count("*").alias("n_blocks"),
+                 F.countDistinct("part_id").alias("n_parts"),
+                 F.sum("n_rows").alias("n_rows"),
+                 F.sum(bytes_out).alias("bytes_out"),
+                 (F.sum("n_rows") / F.count("*"))
+                 .alias("rows_per_block"))
+            .orderBy("snapshot_id"))

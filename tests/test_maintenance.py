@@ -91,3 +91,24 @@ def test_compact_merges_multiple_streaming_snapshots(spark, tmp_path):
         union.select("url", "text")).count() == 0
     with pytest.raises(ValueError, match="NEW snapshot id"):
         compact_snapshot(io, ["merged", "x"], new_snapshot_id="merged")
+
+
+def test_list_snapshots_inventory_payload_free(spark, tmp_path):
+    from sparkolumnar.engine import list_snapshots
+
+    io = TableIO(spark, str(tmp_path / "inv"))
+    io.write_blocks(encode_table(pages_df(spark, 2000, seed=5),
+                                 snapshot_id="a", partitions=4))
+    io.write_blocks(encode_table(pages_df(spark, 1000, seed=6),
+                                 snapshot_id="b", partitions=1))
+    inv = list_snapshots(io)
+    rows = {r["snapshot_id"]: r for r in inv.collect()}
+    assert rows["a"]["n_blocks"] == 4 and rows["a"]["n_rows"] == 2000
+    assert rows["b"]["n_blocks"] == 1 and rows["b"]["n_rows"] == 1000
+    assert rows["a"]["rows_per_block"] == 500.0
+    assert rows["a"]["bytes_out"] > 0
+    # metadata-only: the scan must not read payload bytes
+    plan = inv._jdf.queryExecution().executedPlan().toString()
+    scan = " ".join(l for l in plan.splitlines()
+                    if "FileScan" in l or "ReadSchema" in l)
+    assert "p_text" not in scan and "p_html" not in scan, scan
