@@ -112,3 +112,37 @@ def test_list_snapshots_inventory_payload_free(spark, tmp_path):
     scan = " ".join(l for l in plan.splitlines()
                     if "FileScan" in l or "ReadSchema" in l)
     assert "p_text" not in scan and "p_html" not in scan, scan
+
+
+def test_streaming_then_compact_lifecycle(spark, tmp_path):
+    """The full streaming-table lifecycle: micro-batch encode stream ->
+    list_snapshots shows the fragmentation -> compact the whole snapshot
+    list into one clustered snapshot -> bit-identical, prunable."""
+    from sparkolumnar.datagen import write_pages_parquet
+    from sparkolumnar.engine import list_snapshots
+    from sparkolumnar.streaming import encode_stream
+
+    src = str(tmp_path / "src")
+    write_pages_parquet(src, 2000, n_files=4)
+    static = spark.read.parquet(src)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(src))
+    io = TableIO(spark, str(tmp_path / "sink"))
+    q = encode_stream(stream, io,
+                      checkpoint_location=str(tmp_path / "ckpt"),
+                      key="url", partitions=2)
+    q.awaitTermination(180)
+    inv = {r["snapshot_id"]: r for r in list_snapshots(io).collect()}
+    assert len(inv) >= 2  # one snapshot per micro-batch
+    res = compact_snapshot(io, list(inv), new_snapshot_id="daily",
+                           cluster_by="url", partitions=1,
+                           delete_old=True)
+    assert res["n_rows"] == 2000
+    assert res["old_blocks"] == sum(r["n_blocks"] for r in inv.values())
+    inv2 = {r["snapshot_id"]: r for r in list_snapshots(io).collect()}
+    assert set(inv2) == {"daily"}
+    dec = decode_blocks(io.read_blocks(), verify=True)
+    assert dec.count() == 2000
+    assert dec.select("url", "text").exceptAll(
+        static.select("url", "text")).count() == 0
