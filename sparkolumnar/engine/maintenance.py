@@ -62,6 +62,20 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                      F.sum(bytes_out).alias("o")).collect()[0]
     if not old["b"]:
         raise ValueError(f"snapshots {ids!r} have no blocks")
+    # schema-evolution guard: a union of blocks with DIFFERENT column
+    # sets would feed the decode mapInArrow inconsistent batches and die
+    # deep in the JVM Arrow layer — fail loudly with the actual sets
+    # instead (compact each schema generation separately; decode_blocks
+    # compat=True can then read them against the current schema)
+    col_sets = (blocks.select(F.array_sort(F.expr(
+        "transform(filter(columns, c -> NOT contains(c.name, '.')), "
+        "c -> c.name)")).alias("cols"))
+        .distinct().limit(8).collect())
+    if len(col_sets) > 1:
+        raise ValueError(
+            "cannot compact blocks with differing schemas in one pass: "
+            f"{sorted(tuple(r['cols']) for r in col_sets)} — compact "
+            "each schema generation separately")
     rows_df = decode_blocks(blocks, verify=verify)
     new_blocks = encode_table(rows_df, key=key, partitions=partitions,
                               sort_within=key is not None,

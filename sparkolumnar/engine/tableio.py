@@ -55,7 +55,15 @@ class TableIO:
          .parquet(self.blocks_path))
 
     def read_blocks(self) -> DataFrame:
-        return self.spark.read.parquet(self.blocks_path)
+        # mergeSchema: a schema-evolved table holds block files whose wide
+        # payload columns (p_<col>/v_<col>) differ per snapshot generation;
+        # without merging, the scan adopts one footer's schema and silently
+        # drops the payload fields newer blocks need (decode then fails with
+        # "payload field not in scan"). Iceberg handles this natively; the
+        # parquet fallback must opt in. Footer-merge cost is per-file
+        # metadata only, no data read.
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(self.blocks_path))
 
     def has_blocks(self) -> bool:
         return _has_parquet(self.blocks_path)

@@ -146,3 +146,24 @@ def test_streaming_then_compact_lifecycle(spark, tmp_path):
     assert dec.count() == 2000
     assert dec.select("url", "text").exceptAll(
         static.select("url", "text")).count() == 0
+
+
+def test_compact_rejects_mixed_schemas_loudly(spark, tmp_path):
+    """Schema-evolved streaming tables: compacting blocks with different
+    column sets in one pass would die deep in the JVM Arrow layer — the
+    guard raises a clear error naming the sets instead."""
+    import pandas as pd
+
+    io = TableIO(spark, str(tmp_path / "mx"))
+    d1 = spark.createDataFrame(pd.DataFrame({"k": range(10),
+                                             "a": ["x"] * 10}))
+    d2 = spark.createDataFrame(pd.DataFrame({"k": range(10, 20),
+                                             "a": ["y"] * 10,
+                                             "b": range(10)}))
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    with pytest.raises(ValueError, match="differing schemas"):
+        compact_snapshot(io, ["g1", "g2"])
+    # each generation compacts fine on its own
+    r = compact_snapshot(io, "g2", partitions=1)
+    assert r["n_rows"] == 10
