@@ -47,6 +47,41 @@ def test_backward_compat_missing_column_null_filled(spark, small_df):
     assert all(r["extra"] is None for r in rows)
 
 
+def test_mixed_generation_table_compat_read(spark, tmp_path):
+    """A table whose blocks span TWO schema generations (streaming schema
+    evolution: later snapshots carry an extra column) reads end-to-end with
+    compat=True against the current schema — requires read_blocks to merge
+    parquet footers so the newer generation's payload fields survive the
+    scan, then per-block null-fill for the older generation."""
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "evo"))
+    d1 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10), "a": ["x"] * 10}))
+    d2 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10, 20), "a": ["y"] * 10, "b": list(range(10))}))
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("a", T.StringType()),
+                        T.StructField("b", T.LongType())])
+    blocks = io.read_blocks()
+    rows = decode_blocks(blocks, schema=sch, compat=True).orderBy("k").collect()
+    assert len(rows) == 20
+    assert all(r["b"] is None for r in rows[:10])
+    assert [r["b"] for r in rows[10:]] == list(range(10))
+    # filters on the evolved column keep cross-generation semantics:
+    # old rows are null-filled -> equality never matches them, is_null
+    # matches exactly them (old blocks carry no 'b' sketches; pruning
+    # must degrade to keep, not drop)
+    eq = decode_blocks(blocks, schema=sch, compat=True,
+                       filters=[("b", "=", 3)]).collect()
+    assert [(r["k"], r["b"]) for r in eq] == [(13, 3)]
+    nulls = decode_blocks(blocks, schema=sch, compat=True,
+                          filters=[("b", "is_null")]).collect()
+    assert sorted(r["k"] for r in nulls) == list(range(10))
+
+
 def test_codec_override_forced(spark, small_df):
     from sparkolumnar.engine.lineage import lineage_of
 
