@@ -167,6 +167,40 @@ def schema_of_blocks(blocks_df: DataFrame,
     return T.StructType(fields)
 
 
+def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
+    """Union Spark schema across ALL blocks' metadata — for tables whose
+    snapshots span schema generations (streaming schema evolution), where
+    `schema_of_blocks`' single-block sample would miss later-added columns.
+    One metadata-only distributed aggregate (payload columns pruned away by
+    the wide layout); columns ordered by first position in a block then
+    name, so appended columns land after the original ones. A column whose
+    arrow type differs across generations raises — type evolution is not
+    supported (the reference's indexed-optional compat adds/removes
+    columns only, compatible.rs)."""
+    from pyspark.sql import functions as F
+
+    rows = (blocks_df
+            .select(F.posexplode("columns").alias("pos", "c"))
+            .where(F.col("c.codec") != SKETCH_CODEC)
+            .groupBy(F.col("c.name").alias("name"))
+            .agg(F.min("pos").alias("pos"),
+                 F.collect_set("c.arrow_type").alias("types"))
+            .orderBy("pos", "name").collect())
+    if not rows:
+        raise ValueError("blocks table is empty; pass an explicit schema")
+    fields = []
+    for r in rows:
+        if len(r["types"]) != 1:
+            raise ValueError(
+                f"column {r['name']!r} has conflicting arrow types across "
+                f"blocks: {sorted(r['types'])} — type evolution is not "
+                "supported; decode each schema generation separately")
+        fields.append(T.StructField(
+            r["name"], from_arrow_type(arrow_type_from_str(r["types"][0])),
+            True))
+    return T.StructType(fields)
+
+
 def _prefix_budgets(blocks_df: DataFrame, limit: int,
                     offset: int = 0) -> dict:
     """Per-block (skip, take) row windows covering rows

@@ -72,6 +72,13 @@ def main(argv=None) -> None:
                          "only block metadata, zero payload bytes; "
                          "--output is ignored, --columns restricts the "
                          "reported columns")
+    ap.add_argument("--merge-schema", action="store_true",
+                    help="merge parquet footers across block files: "
+                         "needed when the table's snapshots span schema "
+                         "generations (streaming schema evolution), so "
+                         "the newer generation's payload columns survive "
+                         "the scan; off by default because footer-merge "
+                         "is a per-file metadata job")
     ap.add_argument("--direct", action="store_true",
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
@@ -150,10 +157,32 @@ def main(argv=None) -> None:
                           "blocks_read": res["n_blocks_read"],
                           "blocks_total": res["n_blocks_total"]}))
         return
-    blocks = spark.read.parquet(args.blocks)
-    out = decode_blocks(blocks, verify=args.verify, columns=cols,
-                        limit=args.limit, offset=args.offset,
-                        filters=filters)
+    if args.merge_schema:
+        from sparkolumnar.engine.decode import union_schema_of_blocks
+
+        # schema-evolved table: merge footers so every generation's payload
+        # columns survive the scan, infer the UNION schema from all blocks'
+        # metadata, and decode compat (older blocks null-fill added columns)
+        blocks = (spark.read.option("mergeSchema", "true")
+                  .parquet(args.blocks))
+        schema = union_schema_of_blocks(blocks)
+        if cols is not None:
+            have = {f.name for f in schema.fields}
+            missing = [c for c in cols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"requested columns {missing} not in the blocks table "
+                    f"(available: {sorted(have)})")
+            schema = type(schema)([f for f in schema.fields
+                                   if f.name in cols])
+        out = decode_blocks(blocks, schema=schema, compat=True,
+                            verify=args.verify, limit=args.limit,
+                            offset=args.offset, filters=filters)
+    else:
+        blocks = spark.read.parquet(args.blocks)
+        out = decode_blocks(blocks, verify=args.verify, columns=cols,
+                            limit=args.limit, offset=args.offset,
+                            filters=filters)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 

@@ -31,6 +31,42 @@ def test_decode_job_stats_flag(spark, tmp_path, capsys):
                          "--output", "x", "--stats", "--limit", "5"])
 
 
+def test_decode_job_merge_schema_flag(spark, tmp_path, capsys):
+    """--merge-schema decodes a schema-evolved table (snapshots with
+    different column sets) against the union schema, null-filling the
+    older generation; without it the footer sample may drop the newer
+    payload columns."""
+    import pandas as pd
+
+    from sparkolumnar.jobs import decode_job
+
+    io = TableIO(spark, str(tmp_path / "evo"))
+    d1 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10), "a": ["x"] * 10}))
+    d2 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10, 20), "a": ["y"] * 10, "b": list(range(10))}))
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    decode_job.main(["--blocks", str(tmp_path / "evo" / "blocks"),
+                     "--output", str(tmp_path / "dec"),
+                     "--merge-schema", "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 20
+    got = (spark.read.parquet(str(tmp_path / "dec"))
+           .orderBy("k").collect())
+    assert [r["b"] for r in got] == [None] * 10 + list(range(10))
+    # --columns projection still prunes; unknown column still errors
+    decode_job.main(["--blocks", str(tmp_path / "evo" / "blocks"),
+                     "--output", str(tmp_path / "dec2"),
+                     "--merge-schema", "--columns", "k,b"])
+    got2 = spark.read.parquet(str(tmp_path / "dec2"))
+    assert set(got2.columns) == {"k", "b"}
+    with pytest.raises(ValueError, match="nope"):
+        decode_job.main(["--blocks", str(tmp_path / "evo" / "blocks"),
+                         "--output", str(tmp_path / "dec3"),
+                         "--merge-schema", "--columns", "nope"])
+
+
 def test_compact_job_cli(spark, tmp_path, capsys):
     from sparkolumnar.jobs import compact_job
 
