@@ -57,7 +57,12 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
         raise ValueError("compaction must write a NEW snapshot id")
     bytes_out = F.expr(
         "aggregate(columns, 0L, (acc, c) -> acc + c.bytes_out)")
-    blocks = io.read_blocks().where(F.col("snapshot_id").isin(ids))
+    # merge_schema: this read feeds decode — on a table whose OTHER
+    # snapshots span schema generations, the scan must carry every
+    # generation's payload columns even when the ids compacted here are
+    # homogeneous (the guard below rejects mixing them in one pass)
+    blocks = (io.read_blocks(merge_schema=True)
+              .where(F.col("snapshot_id").isin(ids)))
     old = blocks.agg(F.count("*").alias("b"), F.sum("n_rows").alias("r"),
                      F.sum(bytes_out).alias("o")).collect()[0]
     if not old["b"]:

@@ -54,16 +54,20 @@ class TableIO:
          .partitionBy("snapshot_id", "part_id")
          .parquet(self.blocks_path))
 
-    def read_blocks(self) -> DataFrame:
-        # mergeSchema: a schema-evolved table holds block files whose wide
-        # payload columns (p_<col>/v_<col>) differ per snapshot generation;
-        # without merging, the scan adopts one footer's schema and silently
-        # drops the payload fields newer blocks need (decode then fails with
-        # "payload field not in scan"). Iceberg handles this natively; the
-        # parquet fallback must opt in. Footer-merge cost is per-file
-        # metadata only, no data read.
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(self.blocks_path))
+    def read_blocks(self, merge_schema: bool = False) -> DataFrame:
+        # merge_schema=True: a schema-evolved table holds block files whose
+        # wide payload columns (p_<col>/v_<col>) differ per snapshot
+        # generation; without footer merging, the scan adopts one footer's
+        # schema and drops the payload fields newer blocks need (decode
+        # then fails with "payload field not in scan"). Iceberg handles
+        # this natively; the parquet fallback must opt in. Off by default:
+        # the merge is a per-file footer job, and metadata-only readers
+        # (lineage checkpointing, list_snapshots) don't need it — the
+        # metadata columns are present in every file.
+        if merge_schema:
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(self.blocks_path))
+        return self.spark.read.parquet(self.blocks_path)
 
     def has_blocks(self) -> bool:
         return _has_parquet(self.blocks_path)
@@ -121,7 +125,9 @@ class IcebergTableIO(TableIO):
             (blocks.writeTo(self.blocks_table)
              .partitionedBy("snapshot_id", "part_id").create())
 
-    def read_blocks(self) -> DataFrame:
+    def read_blocks(self, merge_schema: bool = False) -> DataFrame:
+        # Iceberg tracks schema evolution in table metadata; no footer
+        # merge is ever needed — the flag is accepted and ignored
         return self.spark.table(self.blocks_table)
 
     def has_blocks(self) -> bool:

@@ -65,7 +65,7 @@ def test_mixed_generation_table_compat_read(spark, tmp_path):
     sch = T.StructType([T.StructField("k", T.LongType()),
                         T.StructField("a", T.StringType()),
                         T.StructField("b", T.LongType())])
-    blocks = io.read_blocks()
+    blocks = io.read_blocks(merge_schema=True)
     rows = decode_blocks(blocks, schema=sch, compat=True).orderBy("k").collect()
     assert len(rows) == 20
     assert all(r["b"] is None for r in rows[:10])
