@@ -27,7 +27,7 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
                   checkpoint_location: str, key: Optional[str] = None,
                   mode: str = BALANCED, partitions: Optional[int] = None,
                   trigger_available_now: bool = True,
-                  cluster_by=None):
+                  cluster_by=None, snapshot_prefix: str = "stream"):
     """Start a streaming query encoding `stream_df` into io's blocks table.
 
     cluster_by: range-cluster each micro-batch before encoding (the same
@@ -35,6 +35,16 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
     snapshots carry the zone-map/bloom pruning layout too — a range probe
     over the accumulated blocks table then prunes inside EVERY
     micro-batch's snapshot, not just batch-written ones.
+
+    snapshot_prefix: snapshot ids are "<prefix>-<batch id>". A RESTART
+    from the same checkpoint continues batch ids, so the default is safe
+    there — but a NEW streaming query into the same table (fresh
+    checkpoint: new source, or a schema-evolved generation) restarts
+    batch ids at 0, and reusing the default prefix would make batch 0
+    dynamically OVERWRITE the first stream's "stream-0" snapshot. Give
+    each distinct query its own prefix ("gen2", ...); the generations
+    then coexist as ordinary snapshots (read them together with
+    read_blocks(merge_schema=True) + decode compat if schemas differ).
 
     Returns the StreamingQuery; callers manage await/stop.
     """
@@ -44,9 +54,9 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
         if batch_df.isEmpty():
             return
         encode_job(spark, batch_df, io, key=key,
-                   snapshot_id=f"stream-{batch_id}", mode=mode,
+                   snapshot_id=f"{snapshot_prefix}-{batch_id}", mode=mode,
                    partitions=partitions, sort_within=key is not None,
-                   run_id=f"b{batch_id}", plan=None,
+                   run_id=f"{snapshot_prefix}-b{batch_id}", plan=None,
                    cluster_by=cluster_by)
 
     writer = (stream_df.writeStream

@@ -57,6 +57,47 @@ def test_streaming_encode_available_now(spark, tmp_path):
         static.select("url", "text")).count() == 0
 
 
+def test_two_streams_schema_evolution_lifecycle(spark, tmp_path):
+    """Two SEPARATE streaming queries into one table — the second a
+    schema-evolved generation with an extra column and its own
+    snapshot_prefix (fresh checkpoints restart batch ids at 0; without
+    the prefix, generation 2's batch 0 would dynamically overwrite
+    generation 1's "stream-0" snapshot). The whole table then reads with
+    merge_schema + union schema + compat, old rows null-filled."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.streaming import encode_stream
+
+    g1 = str(tmp_path / "g1_src")
+    g2 = str(tmp_path / "g2_src")
+    (spark.createDataFrame(pd.DataFrame(
+        {"k": range(10), "a": ["x"] * 10}))
+     .repartition(2).write.parquet(g1))
+    (spark.createDataFrame(pd.DataFrame(
+        {"k": range(10, 20), "a": ["y"] * 10, "b": list(range(10))}))
+     .repartition(2).write.parquet(g2))
+    io = TableIO(spark, str(tmp_path / "sink"))
+    for src, prefix, ckpt in ((g1, "gen1", "c1"), (g2, "gen2", "c2")):
+        static = spark.read.parquet(src)
+        stream = (spark.readStream.schema(static.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = encode_stream(stream, io,
+                          checkpoint_location=str(tmp_path / ckpt),
+                          partitions=1, snapshot_prefix=prefix)
+        q.awaitTermination(180)
+    blocks = io.read_blocks(merge_schema=True)
+    snaps = {r["snapshot_id"]
+             for r in blocks.select("snapshot_id").distinct().collect()}
+    assert any(s.startswith("gen1-") for s in snaps)
+    assert any(s.startswith("gen2-") for s in snaps)
+    schema = union_schema_of_blocks(blocks)
+    assert [f.name for f in schema.fields] == ["k", "a", "b"]
+    rows = (decode_blocks(blocks, schema=schema, compat=True)
+            .orderBy("k").collect())
+    assert len(rows) == 20
+    assert all(r["b"] is None for r in rows[:10])
+    assert [r["b"] for r in rows[10:]] == list(range(10))
+
+
 def test_analyze_api(spark):
     from sparkolumnar.datagen import pages_df
     from sparkolumnar.engine.analyze import analyze, analyze_sample
