@@ -72,10 +72,8 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
     # deep in the JVM Arrow layer — fail loudly with the actual sets
     # instead (compact each schema generation separately; decode_blocks
     # compat=True can then read them against the current schema)
-    col_sets = (blocks.select(F.array_sort(F.expr(
-        "transform(filter(columns, c -> NOT contains(c.name, '.')), "
-        "c -> c.name)")).alias("cols"))
-        .distinct().limit(8).collect())
+    col_sets = (blocks.select(_decodable_columns_expr().alias("cols"))
+                .distinct().limit(8).collect())
     if len(col_sets) > 1:
         raise ValueError(
             "cannot compact blocks with differing schemas in one pass: "
@@ -104,6 +102,16 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
             "deleted_old": bool(delete_old)}
 
 
+def _decodable_columns_expr():
+    """Sorted decodable column names of a block (sketch-only metadata
+    entries excluded by their codec marker, not by name shape)."""
+    from .blocks import SKETCH_CODEC
+
+    return F.array_sort(F.expr(
+        f"transform(filter(columns, c -> c.codec != '{SKETCH_CODEC}'), "
+        "c -> c.name)"))
+
+
 def _delete_snapshot_dir(io: TableIO, snapshot_id: str) -> None:
     """Remove one snapshot's partition directory, fs-agnostically (the
     same pyarrow.fs discipline as engine/direct.py task IO)."""
@@ -121,9 +129,13 @@ def _delete_snapshot_dir(io: TableIO, snapshot_id: str) -> None:
 
 def list_snapshots(io: TableIO):
     """Per-snapshot inventory — blocks, parts, rows, encoded bytes,
-    and rows-per-block (the compaction signal: a streaming table shows
-    many snapshots with small rows_per_block) — computed from metadata
-    leaves only (payload fields pruned at the scan, any table size)."""
+    rows-per-block (the compaction signal: a streaming table shows
+    many snapshots with small rows_per_block), and the snapshot's
+    decodable column set (`columns`) — so schema-evolved tables show
+    which snapshots form one generation (compact_snapshot accepts only
+    same-generation lists; group ids by equal `columns` to drive
+    per-generation compaction). Computed from metadata leaves only
+    (payload fields pruned at the scan, any table size)."""
     bytes_out = F.expr(
         "aggregate(columns, 0L, (acc, c) -> acc + c.bytes_out)")
     return (io.read_blocks()
@@ -133,5 +145,6 @@ def list_snapshots(io: TableIO):
                  F.sum("n_rows").alias("n_rows"),
                  F.sum(bytes_out).alias("bytes_out"),
                  (F.sum("n_rows") / F.count("*"))
-                 .alias("rows_per_block"))
+                 .alias("rows_per_block"),
+                 F.first(_decodable_columns_expr()).alias("columns"))
             .orderBy("snapshot_id"))

@@ -107,6 +107,11 @@ def test_list_snapshots_inventory_payload_free(spark, tmp_path):
     assert rows["b"]["n_blocks"] == 1 and rows["b"]["n_rows"] == 1000
     assert rows["a"]["rows_per_block"] == 500.0
     assert rows["a"]["bytes_out"] > 0
+    # schema-generation visibility: the decodable column set per snapshot
+    # (sketch-only entries excluded) — equal sets = compactable together
+    assert rows["a"]["columns"] == rows["b"]["columns"]
+    assert set(rows["a"]["columns"]) == set(
+        pages_df(spark, 1, seed=5).columns)
     # metadata-only: the scan must not read payload bytes
     plan = inv._jdf.queryExecution().executedPlan().toString()
     scan = " ".join(l for l in plan.splitlines()
