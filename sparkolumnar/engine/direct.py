@@ -339,7 +339,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         files_per_task: int = 1,
                         filesystem=None,
                         filters=None,
-                        blocks_root: Optional[str] = None) -> dict:
+                        blocks_root: Optional[str] = None,
+                        schema=None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -359,9 +360,26 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     one row group per block, so pruned blocks' payload bytes stay on
     disk), and the exact row predicate applies to the decoded batches
     before the write. The two flagship 100 TB features — zero-IPC decode
-    and automatic pruning — compose."""
+    and automatic pruning — compose.
+
+    schema: optional Spark StructType for SCHEMA-EVOLVED tables (snapshots
+    with different column sets). Every task then decodes compat against
+    this target — older generations' missing columns null-filled, unknown
+    columns ignored — so the output directory is ONE uniform parquet
+    schema. Without it, each task writes its generation's own columns and
+    a consumer reading the directory without footer merging silently
+    drops the newer columns. Infer the union with
+    decode.union_schema_of_blocks (or pass the current table schema)."""
     from .decode import (block_keep_py, exact_filter_mask_py,
                          make_decode_fn, _normalize_filters)
+
+    compat_target = None
+    if schema is not None:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        compat_target = pa.schema([pa.field(f.name,
+                                            to_arrow_type(f.dataType))
+                                   for f in schema.fields])
 
     if filesystem is not None and blocks_root is not None:
         files = list_parquet_files(spark, blocks_root, filesystem)
@@ -400,6 +418,21 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
             # (the direct path writes files, dropping them afterwards
             # would mean a second pass — document instead)
             columns = list(columns) + missing
+        if compat_target is not None:
+            from .decode import filter_root_columns_of as _froots
+
+            names = {f.name for f in compat_target}
+            bad = [c for c in _froots(filters, dict.fromkeys(names))
+                   if c not in names]
+            if bad:
+                raise ValueError(
+                    f"compat decode with filters: filter columns {bad} "
+                    f"must be part of the provided schema")
+    # scan projection source: explicit columns, else the compat target's
+    # fields (other generations' payload bytes then stay on disk)
+    scan_want = columns
+    if scan_want is None and compat_target is not None:
+        scan_want = [f.name for f in compat_target]
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     meta_schema = pa.schema([pa.field("part_id", pa.int32()),
@@ -430,7 +463,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
 
         from .blocks import payload_field, validity_field
 
-        fn = make_decode_fn(verify=verify, columns=columns)
+        fn = make_decode_fn(verify=verify, columns=columns,
+                            target=compat_target)
         for b in batches:
             for row in b.to_pylist():
                 pid, paths = int(row["part_id"]), row["paths"]
@@ -442,13 +476,13 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                     pf = pq.ParquetFile(rfs.open_input_file(rpath))
                     have = set(pf.schema_arrow.names)
                     read_cols = None
-                    if columns is not None:
+                    if scan_want is not None:
                         # projection reaches the pyarrow scan: unrequested
                         # columns' payload bytes are never read from disk
                         read_cols = (
                             [c for c in ("block_id", "seq", "n_rows",
                                          "columns") if c in have]
-                            + [f for c in columns
+                            + [f for c in scan_want
                                for f in (payload_field(c),
                                          validity_field(c)) if f in have])
                     if filters:

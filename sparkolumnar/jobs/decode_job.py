@@ -151,8 +151,18 @@ def main(argv=None) -> None:
         from sparkolumnar.engine.tableio import TableIO
 
         io = TableIO(spark, os.path.dirname(args.blocks.rstrip("/")))
+        schema = None
+        if args.merge_schema:
+            from sparkolumnar.engine.decode import union_schema_of_blocks
+
+            # schema-evolved table: every task decodes compat against the
+            # union schema so the output directory is ONE parquet schema
+            schema = union_schema_of_blocks(
+                spark.read.option("mergeSchema", "true")
+                .parquet(args.blocks))
         res = decode_files_direct(spark, io, args.output, columns=cols,
-                                  verify=args.verify, filters=filters)
+                                  verify=args.verify, filters=filters,
+                                  schema=schema)
         print(json.dumps({"rows": res["n_rows"],
                           "blocks_read": res["n_blocks_read"],
                           "blocks_total": res["n_blocks_total"]}))

@@ -90,6 +90,47 @@ def test_direct_decode_to_parquet(spark, pages_dir, tmp_path):
     assert got2.exceptAll(raw.select("url", "lang")).count() == 0
 
 
+def test_direct_decode_schema_evolved_table_compat(spark, tmp_path):
+    """Direct decode of a schema-evolved table: schema= makes every task
+    decode compat against the union schema, so the output directory is
+    ONE uniform parquet schema — older generation null-filled; without
+    schema=, each task would write its generation's own columns and a
+    plain read of the output would silently drop the newer column."""
+    import pandas as pd
+
+    from sparkolumnar.engine import encode_table
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+
+    io = TableIO(spark, str(tmp_path / "evo"))
+    d1 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10), "a": ["x"] * 10}))
+    d2 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10, 20), "a": ["y"] * 10, "b": list(range(10))}))
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    schema = union_schema_of_blocks(io.read_blocks(merge_schema=True))
+    out = str(tmp_path / "dec")
+    res = decode_files_direct(spark, io, out, verify=True, schema=schema)
+    assert res["n_rows"] == 20
+    got = spark.read.parquet(out).orderBy("k").collect()
+    assert len(got) == 20
+    assert all(r["b"] is None for r in got[:10])
+    assert [r["b"] for r in got[10:]] == list(range(10))
+    # filters on the evolved column: old blocks (no 'b' sketches) degrade
+    # to keep, null-filled rows never match equality
+    out2 = str(tmp_path / "dec2")
+    res2 = decode_files_direct(spark, io, out2, schema=schema,
+                               filters=[("b", "=", 3)])
+    assert res2["n_rows"] == 1
+    got2 = spark.read.parquet(out2).collect()
+    assert [(r["k"], r["b"]) for r in got2] == [(13, 3)]
+    # filter column outside the provided schema fails loudly
+    old = type(schema)([f for f in schema.fields if f.name != "b"])
+    with pytest.raises(ValueError, match="must be part"):
+        decode_files_direct(spark, io, str(tmp_path / "dec3"),
+                            schema=old, filters=[("b", "=", 3)])
+
+
 def test_direct_blocks_interoperate_with_spark_written(spark, pages_dir,
                                                        tmp_path):
     """A table where one snapshot was direct-written and another was

@@ -65,6 +65,15 @@ def test_decode_job_merge_schema_flag(spark, tmp_path, capsys):
         decode_job.main(["--blocks", str(tmp_path / "evo" / "blocks"),
                          "--output", str(tmp_path / "dec3"),
                          "--merge-schema", "--columns", "nope"])
+    # --direct composes: zero-IPC tasks decode compat against the union
+    # schema, output directory is one uniform parquet schema
+    decode_job.main(["--blocks", str(tmp_path / "evo" / "blocks"),
+                     "--output", str(tmp_path / "dec4"),
+                     "--merge-schema", "--direct", "--verify"])
+    out4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out4["rows"] == 20
+    got4 = spark.read.parquet(str(tmp_path / "dec4")).orderBy("k").collect()
+    assert [r["b"] for r in got4] == [None] * 10 + list(range(10))
 
 
 def test_compact_job_cli(spark, tmp_path, capsys):
