@@ -1152,6 +1152,32 @@ def _q_encode_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type").orderBy("event_id"))
 
 
+def _q_schema_evolution_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Whole-table schema evolution: generation 1 encodes a SUBSET of the
+    documents columns (doc_id, lang), generation 2 adds n_chars; the two
+    snapshots' blocks coexist in one table (unionByName with
+    allowMissingColumns is the in-memory twin of TableIO's
+    read_blocks(merge_schema=True) footer merge) and decode compat
+    against the union schema — generation-1 rows null-fill n_chars.
+    The reference's indexed-optional column compatibility
+    (compatible.rs:23-166) lifted from per-row to whole-table."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    g1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select("doc_id", "lang"))
+    g2 = (docs.filter(F.col("doc_id") % 2 == 1)
+          .select("doc_id", "lang", "n_chars"))
+    b1 = encode_table(g1, snapshot_id="evo1", partitions=2)
+    b2 = encode_table(g2, snapshot_id="evo2", partitions=2)
+    blocks = b1.unionByName(b2, allowMissingColumns=True)
+    schema = union_schema_of_blocks(blocks)
+    return (decode_blocks(blocks, schema=schema, compat=True, verify=True)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1198,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": _q_neardup_groups,
         "corpus_dedup_stats": _q_corpus_dedup_stats,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
+        "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
         "minhash_neardup": _q_minhash_neardup,
@@ -1723,6 +1750,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "encode_roundtrip_documents": """
             SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+        """,
+        "schema_evolution_roundtrip": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "decode_limit_preview": """
             SELECT doc_id, lang, n_chars FROM documents
