@@ -167,6 +167,34 @@ def schema_of_blocks(blocks_df: DataFrame,
     return T.StructType(fields)
 
 
+def _widen_types(type_strs):
+    """Widest type of a same-family numeric promotion chain (the type
+    evolution Iceberg permits: int -> long, float -> double, and the
+    narrower widths below them), or None if the types span families —
+    signed/unsigned/float never mix, nothing non-numeric promotes.
+    Sound because decode_block_row casts each block's natural-typed
+    array to the target with pyarrow's safe cast (checksum verification
+    runs BEFORE the cast, on the stored type)."""
+    fam = best = None
+    for s in type_strs:
+        t = arrow_type_from_str(s)
+        if pa.types.is_signed_integer(t):
+            f = "i"
+        elif pa.types.is_unsigned_integer(t):
+            f = "u"
+        elif pa.types.is_floating(t):
+            f = "f"
+        else:
+            return None
+        if fam is None:
+            fam = f
+        elif fam != f:
+            return None
+        if best is None or t.bit_width > best.bit_width:
+            best = t
+    return best
+
+
 def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
     """Union Spark schema across ALL blocks' metadata — for tables whose
     snapshots span schema generations (streaming schema evolution), where
@@ -174,9 +202,10 @@ def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
     One metadata-only distributed aggregate (payload columns pruned away by
     the wide layout); columns ordered by first position in a block then
     name, so appended columns land after the original ones. A column whose
-    arrow type differs across generations raises — type evolution is not
-    supported (the reference's indexed-optional compat adds/removes
-    columns only, compatible.rs)."""
+    arrow type differs across generations resolves to the WIDEST type of a
+    same-family numeric chain (int -> long, float -> double — the widening
+    Iceberg permits; decode casts older blocks up safely); any other type
+    conflict raises."""
     from pyspark.sql import functions as F
 
     rows = (blocks_df
@@ -190,14 +219,17 @@ def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
         raise ValueError("blocks table is empty; pass an explicit schema")
     fields = []
     for r in rows:
-        if len(r["types"]) != 1:
-            raise ValueError(
-                f"column {r['name']!r} has conflicting arrow types across "
-                f"blocks: {sorted(r['types'])} — type evolution is not "
-                "supported; decode each schema generation separately")
-        fields.append(T.StructField(
-            r["name"], from_arrow_type(arrow_type_from_str(r["types"][0])),
-            True))
+        if len(r["types"]) == 1:
+            typ = arrow_type_from_str(r["types"][0])
+        else:
+            typ = _widen_types(r["types"])
+            if typ is None:
+                raise ValueError(
+                    f"column {r['name']!r} has conflicting arrow types "
+                    f"across blocks: {sorted(r['types'])} — only "
+                    "same-family numeric widening is supported; decode "
+                    "each schema generation separately")
+        fields.append(T.StructField(r["name"], from_arrow_type(typ), True))
     return T.StructType(fields)
 
 

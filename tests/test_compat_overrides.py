@@ -82,6 +82,43 @@ def test_mixed_generation_table_compat_read(spark, tmp_path):
     assert sorted(r["k"] for r in nulls) == list(range(10))
 
 
+def test_union_schema_numeric_widening(spark, tmp_path):
+    """Type evolution: a column stored int32 in one generation and int64
+    in another resolves to the widest same-family type (the widening
+    Iceberg permits); decode casts older blocks up AFTER checksum
+    verification on the stored type. Cross-family conflicts raise."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "w"))
+    s1 = T.StructType([T.StructField("k", T.IntegerType()),
+                       T.StructField("v", T.FloatType())])
+    s2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.DoubleType()),
+                       T.StructField("b", T.LongType())])
+    d1 = spark.createDataFrame([(i, 1.5) for i in range(10)], s1)
+    d2 = spark.createDataFrame([(i, 2.5, i - 10)
+                                for i in range(10, 20)], s2)
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    blocks = io.read_blocks(merge_schema=True)
+    sch = union_schema_of_blocks(blocks)
+    assert dict((f.name, f.dataType.simpleString()) for f in sch.fields) \
+        == {"k": "bigint", "v": "double", "b": "bigint"}
+    rows = (decode_blocks(blocks, schema=sch, compat=True, verify=True)
+            .orderBy("k").collect())
+    assert [r["k"] for r in rows] == list(range(20))
+    assert [r["v"] for r in rows] == [1.5] * 10 + [2.5] * 10
+    # int vs float never mixes
+    s3 = T.StructType([T.StructField("k", T.DoubleType()),
+                       T.StructField("v", T.FloatType())])
+    io.write_blocks(encode_table(
+        spark.createDataFrame([(99.0, 9.5)], s3),
+        snapshot_id="g3", partitions=1))
+    with pytest.raises(ValueError, match="numeric widening"):
+        union_schema_of_blocks(io.read_blocks(merge_schema=True))
+
+
 def test_codec_override_forced(spark, small_df):
     from sparkolumnar.engine.lineage import lineage_of
 
