@@ -37,7 +37,8 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                      partitions: Optional[int] = None,
                      cluster_by=None, mode: str = BALANCED,
                      verify: bool = True,
-                     delete_old: bool = False) -> dict:
+                     delete_old: bool = False,
+                     unify_schema: bool = False) -> dict:
     """Rewrite one snapshot's — or, the streaming case, a LIST of
     snapshots' — blocks into `new_snapshot_id` with fewer/larger
     blocks (default new id: "<first-id>-compact"). A micro-batch
@@ -47,7 +48,15 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
     column checksum before anything is rewritten; key=/cluster_by=/
     partitions= choose the new layout (re-clustering during compaction
     is how a streaming table gains zone-map locality after the fact).
-    Returns per-side block/row/byte counts."""
+    Returns per-side block/row/byte counts.
+
+    unify_schema=True is SCHEMA-MIGRATION compaction: snapshots whose
+    column sets (or numeric widths) differ are decoded compat against
+    their union schema (union_schema_of_blocks) and rewritten as ONE
+    snapshot in the current schema — older generations' missing
+    columns null-filled, narrower numerics widened. The default
+    rejects mixed schemas loudly instead, because unification is a
+    rewrite the operator should opt into."""
     ids = ([snapshot_id] if isinstance(snapshot_id, str)
            else list(snapshot_id))
     if not ids:
@@ -67,19 +76,30 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                      F.sum(bytes_out).alias("o")).collect()[0]
     if not old["b"]:
         raise ValueError(f"snapshots {ids!r} have no blocks")
-    # schema-evolution guard: a union of blocks with DIFFERENT column
-    # sets would feed the decode mapInArrow inconsistent batches and die
-    # deep in the JVM Arrow layer — fail loudly with the actual sets
-    # instead (compact each schema generation separately; decode_blocks
-    # compat=True can then read them against the current schema)
-    col_sets = (blocks.select(_decodable_columns_expr().alias("cols"))
-                .distinct().limit(8).collect())
-    if len(col_sets) > 1:
-        raise ValueError(
-            "cannot compact blocks with differing schemas in one pass: "
-            f"{sorted(tuple(r['cols']) for r in col_sets)} — compact "
-            "each schema generation separately")
-    rows_df = decode_blocks(blocks, verify=verify)
+    if unify_schema:
+        from .decode import union_schema_of_blocks
+
+        # schema-migration rewrite: decode every generation compat
+        # against the union schema; the re-encode below then stamps the
+        # whole snapshot with that one schema
+        rows_df = decode_blocks(blocks,
+                                schema=union_schema_of_blocks(blocks),
+                                compat=True, verify=verify)
+    else:
+        # schema-evolution guard: a union of blocks with DIFFERENT
+        # column sets would feed the decode mapInArrow inconsistent
+        # batches and die deep in the JVM Arrow layer — fail loudly with
+        # the actual sets instead (pass unify_schema=True to migrate the
+        # generations into one schema, or compact each separately)
+        col_sets = (blocks.select(_decodable_columns_expr().alias("cols"))
+                    .distinct().limit(8).collect())
+        if len(col_sets) > 1:
+            raise ValueError(
+                "cannot compact blocks with differing schemas in one "
+                f"pass: {sorted(tuple(r['cols']) for r in col_sets)} — "
+                "pass unify_schema=True to migrate them into the union "
+                "schema, or compact each schema generation separately")
+        rows_df = decode_blocks(blocks, verify=verify)
     new_blocks = encode_table(rows_df, key=key, partitions=partitions,
                               sort_within=key is not None,
                               cluster_by=cluster_by, mode=mode,

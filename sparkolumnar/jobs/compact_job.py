@@ -41,6 +41,14 @@ def main(argv=None) -> None:
                     help="skip the per-column checksum recompute on the "
                          "decode side (verification is ON by default)")
     ap.add_argument("--delete-old", action="store_true")
+    ap.add_argument("--unify-schema", action="store_true",
+                    help="schema-MIGRATION compaction: snapshots whose "
+                         "column sets (or numeric widths) differ are "
+                         "decoded compat against their union schema and "
+                         "rewritten as one snapshot in the current "
+                         "schema (older generations null-filled, "
+                         "narrower numerics widened); without it, mixed "
+                         "schemas are rejected loudly")
     args = ap.parse_args(argv)
     if args.key and args.cluster_by:
         raise ValueError("--key and --cluster-by are mutually exclusive")
@@ -64,7 +72,8 @@ def main(argv=None) -> None:
                            key=args.key, partitions=args.partitions,
                            cluster_by=cluster, mode=args.mode,
                            verify=not args.no_verify,
-                           delete_old=args.delete_old)
+                           delete_old=args.delete_old,
+                           unify_schema=args.unify_schema)
     print(json.dumps(res))
 
 

@@ -99,3 +99,28 @@ def test_compact_job_cli(spark, tmp_path, capsys):
         compact_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
                           "--snapshot", "x", "--key", "url",
                           "--cluster-by", "lang"])
+
+
+def test_compact_job_cli_unify_schema(spark, tmp_path, capsys):
+    """--unify-schema migrates mixed-schema generations into ONE snapshot
+    in the union schema via the CLI."""
+    import pandas as pd
+
+    from sparkolumnar.engine import decode_blocks
+    from sparkolumnar.jobs import compact_job
+
+    io = TableIO(spark, str(tmp_path / "m"))
+    d1 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10), "a": ["x"] * 10}))
+    d2 = spark.createDataFrame(pd.DataFrame(
+        {"k": range(10, 20), "a": ["y"] * 10, "b": list(range(10))}))
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    compact_job.main(["--blocks", str(tmp_path / "m" / "blocks"),
+                      "--snapshot", "g1,g2", "--new-snapshot", "mig",
+                      "--partitions", "1", "--key", "k",
+                      "--unify-schema", "--delete-old"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 20 and out["deleted_old"]
+    got = decode_blocks(io.read_blocks(), verify=True).orderBy("k").collect()
+    assert [r["b"] for r in got] == [None] * 10 + list(range(10))

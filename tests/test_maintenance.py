@@ -172,3 +172,13 @@ def test_compact_rejects_mixed_schemas_loudly(spark, tmp_path):
     # each generation compacts fine on its own
     r = compact_snapshot(io, "g2", partitions=1)
     assert r["n_rows"] == 10
+    # unify_schema=True MIGRATES the generations into one snapshot in
+    # the union schema: g1 rows null-fill 'b', and the result decodes
+    # homogeneously without merge_schema/compat
+    r2 = compact_snapshot(io, ["g1", "g2"], new_snapshot_id="mig",
+                          partitions=1, key="k", unify_schema=True,
+                          delete_old=True)
+    assert r2["n_rows"] == 20
+    got = decode_blocks(io.read_blocks().where(
+        F.col("snapshot_id") == "mig"), verify=True).orderBy("k").collect()
+    assert [r["b"] for r in got] == [None] * 10 + list(range(10))
