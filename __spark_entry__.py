@@ -1178,6 +1178,42 @@ def _q_schema_evolution_roundtrip(spark: SparkSession,
             .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
 
 
+def _q_struct_evolution_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Struct-FIELD schema evolution: generation 1 encodes meta as
+    struct<lang,n_chars:int>, generation 2's meta gains a src_len field
+    AND widens n_chars to long. union_schema_of_blocks merges the struct
+    types field-wise (field union + same-family numeric widening,
+    recursively); compat decode rebuilds each generation's struct
+    child-wise — gen-1 rows null-fill src_len and cast n_chars int->long
+    AFTER checksum verification on the stored type. The reference's
+    indexed-optional compatibility (compatible.rs:23-166) applied INSIDE
+    a container column."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    g1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select("doc_id", F.struct(
+              F.col("lang"),
+              F.col("n_chars").cast("int").alias("n_chars")).alias("meta")))
+    g2 = (docs.filter(F.col("doc_id") % 2 == 1)
+          .select("doc_id", F.struct(
+              F.col("lang"), F.col("n_chars"),
+              F.length("source").cast("long").alias("src_len"))
+              .alias("meta")))
+    b1 = encode_table(g1, snapshot_id="sevo1", partitions=2)
+    b2 = encode_table(g2, snapshot_id="sevo2", partitions=2)
+    blocks = b1.unionByName(b2, allowMissingColumns=True)
+    schema = union_schema_of_blocks(blocks)
+    return (decode_blocks(blocks, schema=schema, compat=True, verify=True)
+            .select("doc_id",
+                    F.col("meta.lang").alias("meta_lang"),
+                    F.col("meta.n_chars").alias("meta_n_chars"),
+                    F.col("meta.src_len").alias("meta_src_len"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1225,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_stats": _q_corpus_dedup_stats,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
+        "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
         "minhash_neardup": _q_minhash_neardup,
@@ -1754,6 +1791,13 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_roundtrip": """
             SELECT doc_id, lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "struct_evolution_roundtrip": """
+            SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(length(source) AS BIGINT)
+                   END AS meta_src_len
             FROM documents ORDER BY doc_id
         """,
         "decode_limit_preview": """

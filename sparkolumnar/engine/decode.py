@@ -22,6 +22,54 @@ from .blocks import (SKETCH_CODEC, arrow_type_from_str, canonical_checksum,
                      payload_field, validity_field)
 
 
+def _compat_cast(arr: pa.Array, typ: pa.DataType) -> pa.Array:
+    """Cast a decoded column to its compat-target type. Leaves use
+    pyarrow's safe cast (always AFTER checksum verification, which runs on
+    the stored type). pyarrow's cast refuses struct widening (adding
+    fields), so containers are rebuilt child-wise: target children present
+    in the source recurse, children added by a later schema generation
+    null-fill, top-level validity is preserved — the reference's
+    indexed-optional compatibility (compatible.rs:23-166) applied INSIDE
+    container columns."""
+    if arr.type.equals(typ):
+        return arr
+    if pa.types.is_struct(arr.type) and pa.types.is_struct(typ):
+        have = {arr.type.field(i).name: arr.field(i)
+                for i in range(arr.type.num_fields)}
+        children = [(_compat_cast(have[f.name], f.type) if f.name in have
+                     else pa.nulls(len(arr), f.type)) for f in typ]
+        return pa.StructArray.from_arrays(
+            children, fields=list(typ),
+            mask=arr.is_null() if arr.null_count else None)
+    try:
+        return arr.cast(typ)
+    except (pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError):
+        # list/map whose element type needs a container rebuild
+        # (e.g. list<struct> gaining a field)
+        for is_kind, cls in ((pa.types.is_list, pa.ListArray),
+                             (pa.types.is_large_list, pa.LargeListArray)):
+            if is_kind(arr.type) and is_kind(typ):
+                return cls.from_arrays(
+                    arr.offsets, _compat_cast(arr.values, typ.value_type),
+                    mask=arr.is_null() if arr.null_count else None)
+        if pa.types.is_map(arr.type) and pa.types.is_map(typ):
+            # MapArray.from_arrays has no mask parameter; rebuild from the
+            # source's own validity+offsets buffers with recast entries.
+            # Decoded arrays are freshly built (offset 0) — normalize via
+            # slice-copy if ever not, so the buffers line up.
+            if arr.offset:
+                arr = arr.combine_chunks() if isinstance(
+                    arr, pa.ChunkedArray) else pa.concat_arrays([arr])
+            entries = pa.StructArray.from_arrays(
+                [arr.keys, _compat_cast(arr.items, typ.item_type)],
+                fields=[typ.key_field, typ.item_field])
+            return pa.Array.from_buffers(
+                typ, len(arr), arr.buffers()[:2],
+                null_count=arr.null_count, children=[entries])
+        raise
+
+
 def decode_block_row(row: dict, verify: bool = False,
                      columns: Optional[List[str]] = None,
                      target: Optional[pa.Schema] = None,
@@ -93,7 +141,7 @@ def decode_block_row(row: dict, verify: bool = False,
         # backward compat: null-fill target columns missing from the block,
         # and emit in target order
         by_name = dict(zip((f.name for f in fields), arrays))
-        arrays = [by_name[f.name].cast(f.type) if f.name in by_name
+        arrays = [_compat_cast(by_name[f.name], f.type) if f.name in by_name
                   else pa.nulls(k, f.type) for f in target]
         fields = list(target)
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
@@ -167,32 +215,87 @@ def schema_of_blocks(blocks_df: DataFrame,
     return T.StructType(fields)
 
 
-def _widen_types(type_strs):
-    """Widest type of a same-family numeric promotion chain (the type
-    evolution Iceberg permits: int -> long, float -> double, and the
-    narrower widths below them), or None if the types span families —
-    signed/unsigned/float never mix, nothing non-numeric promotes.
-    Sound because decode_block_row casts each block's natural-typed
-    array to the target with pyarrow's safe cast (checksum verification
-    runs BEFORE the cast, on the stored type)."""
-    fam = best = None
-    for s in type_strs:
-        t = arrow_type_from_str(s)
+def _widen_numeric(a: pa.DataType, b: pa.DataType):
+    """Wider of two same-family numeric types (the leaf evolution Iceberg
+    permits: int -> long, float -> double, and the narrower widths below
+    them), or None — signed/unsigned/float never mix, nothing non-numeric
+    promotes."""
+    def fam(t):
         if pa.types.is_signed_integer(t):
-            f = "i"
-        elif pa.types.is_unsigned_integer(t):
-            f = "u"
-        elif pa.types.is_floating(t):
-            f = "f"
-        else:
+            return "i"
+        if pa.types.is_unsigned_integer(t):
+            return "u"
+        if pa.types.is_floating(t):
+            return "f"
+        return None
+
+    fa, fb = fam(a), fam(b)
+    if fa is None or fa != fb:
+        return None
+    return a if a.bit_width >= b.bit_width else b
+
+
+def _merge_arrow_types(a: pa.DataType, b: pa.DataType):
+    """Evolution-merged type of two generations' arrow types, or None when
+    they cannot combine: same-family numeric widening at the leaves,
+    field-UNION for structs (a field present in only one generation is
+    null-filled when decoding the other — the reference's indexed-optional
+    compatibility, compatible.rs:23-166, applied inside containers),
+    element recursion for (large_)lists and map values. Sound because
+    decode_block_row compat-casts each block from its stored type AFTER
+    checksum verification (_compat_cast rebuilds containers child-wise)."""
+    if a.equals(b):
+        return a
+    num = _widen_numeric(a, b)
+    if num is not None:
+        return num
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        b_by = {f.name: f for f in b}
+        a_names = {f.name for f in a}
+        fields = []
+        for f in a:
+            if f.name in b_by:
+                m = _merge_arrow_types(f.type, b_by[f.name].type)
+                if m is None:
+                    return None
+                fields.append(pa.field(f.name, m))
+            else:
+                fields.append(pa.field(f.name, f.type))
+        fields.extend(f for f in b if f.name not in a_names)
+        return pa.struct(fields)
+    for is_kind, ctor in ((pa.types.is_list, pa.list_),
+                          (pa.types.is_large_list, pa.large_list)):
+        if is_kind(a) and is_kind(b):
+            m = _merge_arrow_types(a.value_type, b.value_type)
+            if m is None:
+                return None
+            return ctor(pa.field(a.value_field.name, m))
+    if pa.types.is_map(a) and pa.types.is_map(b):
+        if not a.key_type.equals(b.key_type):
             return None
-        if fam is None:
-            fam = f
-        elif fam != f:
+        m = _merge_arrow_types(a.item_type, b.item_type)
+        if m is None:
             return None
-        if best is None or t.bit_width > best.bit_width:
-            best = t
-    return best
+        return pa.map_(a.key_type, m)
+    return None
+
+
+def _widen_types(type_strs):
+    """Fold _merge_arrow_types over a column's observed type strings.
+    collect_set order is nondeterministic, so the fold runs over
+    (len, str)-sorted strings: deterministic output, and in the common
+    append-a-field evolution the shorter (older) struct comes first, so
+    added fields land after the original ones."""
+    merged = None
+    for s in sorted(set(type_strs), key=lambda s: (len(s), s)):
+        t = arrow_type_from_str(s)
+        if merged is None:
+            merged = t
+            continue
+        merged = _merge_arrow_types(merged, t)
+        if merged is None:
+            return None
+    return merged
 
 
 def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
@@ -202,10 +305,12 @@ def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
     One metadata-only distributed aggregate (payload columns pruned away by
     the wide layout); columns ordered by first position in a block then
     name, so appended columns land after the original ones. A column whose
-    arrow type differs across generations resolves to the WIDEST type of a
-    same-family numeric chain (int -> long, float -> double — the widening
-    Iceberg permits; decode casts older blocks up safely); any other type
-    conflict raises."""
+    arrow type differs across generations resolves via _merge_arrow_types:
+    the WIDEST type of a same-family numeric chain (int -> long,
+    float -> double — the widening Iceberg permits), the field-UNION of
+    struct generations (a struct may gain or lose fields; missing fields
+    null-fill at decode), recursively through list elements and map
+    values; any other conflict raises."""
     from pyspark.sql import functions as F
 
     rows = (blocks_df
@@ -227,7 +332,8 @@ def union_schema_of_blocks(blocks_df: DataFrame) -> T.StructType:
                 raise ValueError(
                     f"column {r['name']!r} has conflicting arrow types "
                     f"across blocks: {sorted(r['types'])} — only "
-                    "same-family numeric widening is supported; decode "
+                    "same-family numeric widening, struct field-union and "
+                    "list/map element recursion are supported; decode "
                     "each schema generation separately")
         fields.append(T.StructField(r["name"], from_arrow_type(typ), True))
     return T.StructType(fields)

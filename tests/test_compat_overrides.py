@@ -119,6 +119,131 @@ def test_union_schema_numeric_widening(spark, tmp_path):
         union_schema_of_blocks(io.read_blocks(merge_schema=True))
 
 
+def test_struct_field_evolution_roundtrip(spark, tmp_path):
+    """Struct-FIELD evolution: generation 2's struct column gains a field
+    and widens a numeric child. union_schema_of_blocks merges the struct
+    types field-wise (field union + same-family widening, recursively);
+    decode compat rebuilds each generation's struct child-wise
+    (_compat_cast) — gen-1 rows null-fill the added field, verify=True
+    still checksums on the stored type. The reference's indexed-optional
+    compatibility (compatible.rs:23-166) applied INSIDE a container."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "sevo"))
+    s1 = T.StructType([T.StructField("k", T.LongType()), T.StructField(
+        "meta", T.StructType([T.StructField("lang", T.StringType()),
+                              T.StructField("n", T.IntegerType())]))])
+    s2 = T.StructType([T.StructField("k", T.LongType()), T.StructField(
+        "meta", T.StructType([T.StructField("lang", T.StringType()),
+                              T.StructField("n", T.LongType()),
+                              T.StructField("score", T.DoubleType())]))])
+    d1 = spark.createDataFrame(
+        [(i, (f"l{i % 3}", i * 10)) for i in range(10)], s1)
+    d2 = spark.createDataFrame(
+        [(i, (f"l{i % 3}", i * 10, i / 2.0)) for i in range(10, 20)], s2)
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    blocks = io.read_blocks(merge_schema=True)
+    sch = union_schema_of_blocks(blocks)
+    meta_t = dict((f.name, f.dataType) for f in sch.fields)["meta"]
+    assert [(f.name, f.dataType.simpleString()) for f in meta_t.fields] \
+        == [("lang", "string"), ("n", "bigint"), ("score", "double")]
+    rows = (decode_blocks(blocks, schema=sch, compat=True, verify=True)
+            .orderBy("k").collect())
+    assert [r["k"] for r in rows] == list(range(20))
+    assert [r["meta"]["n"] for r in rows] == [i * 10 for i in range(20)]
+    assert all(r["meta"]["score"] is None for r in rows[:10])
+    assert [r["meta"]["score"] for r in rows[10:]] == [
+        i / 2.0 for i in range(10, 20)]
+    # filters on an evolved struct CHILD keep cross-generation semantics:
+    # gen-1 blocks carry no meta.score sketch entry -> pruning degrades to
+    # keep; the exact filter then sees nulls for gen-1 rows
+    eq = decode_blocks(blocks, schema=sch, compat=True,
+                       filters=[("meta.score", ">=", 9.0)]).collect()
+    assert sorted(r["k"] for r in eq) == list(range(18, 20))
+    nulls = decode_blocks(blocks, schema=sch, compat=True,
+                          filters=[("meta.score", "is_null")]).collect()
+    assert sorted(r["k"] for r in nulls) == list(range(10))
+
+
+def test_struct_evolution_nulls_and_removed_field(spark, tmp_path):
+    """Symmetric direction (a field REMOVED in gen 2 is null-filled for
+    gen-2 rows) and top-level struct nulls survive the child-wise
+    rebuild."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "revo"))
+    s1 = T.StructType([T.StructField("k", T.LongType()), T.StructField(
+        "m", T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType())]))])
+    s2 = T.StructType([T.StructField("k", T.LongType()), T.StructField(
+        "m", T.StructType([T.StructField("a", T.LongType())]))])
+    d1 = spark.createDataFrame(
+        [(0, (7, "x")), (1, None), (2, (9, None))], s1)
+    d2 = spark.createDataFrame([(3, (11,)), (4, None)], s2)
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    blocks = io.read_blocks(merge_schema=True)
+    sch = union_schema_of_blocks(blocks)
+    rows = (decode_blocks(blocks, schema=sch, compat=True, verify=True)
+            .orderBy("k").collect())
+    assert [r["m"] and (r["m"]["a"], r["m"]["b"]) for r in rows] == [
+        (7, "x"), None, (9, None), (11, None), None]
+
+
+def test_list_struct_evolution(spark, tmp_path):
+    """Element-type evolution through a list: list<struct> gains a field
+    across generations — the merge recurses through list elements and the
+    compat rebuild recasts the flattened child, preserving list nulls and
+    offsets."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "levo"))
+    e1 = T.StructType([T.StructField("t", T.StringType())])
+    e2 = T.StructType([T.StructField("t", T.StringType()),
+                       T.StructField("w", T.LongType())])
+    s1 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("tags", T.ArrayType(e1))])
+    s2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("tags", T.ArrayType(e2))])
+    d1 = spark.createDataFrame(
+        [(0, [("a",), ("b",)]), (1, None), (2, [])], s1)
+    d2 = spark.createDataFrame([(3, [("c", 5)])], s2)
+    io.write_blocks(encode_table(d1, snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(d2, snapshot_id="g2", partitions=1))
+    blocks = io.read_blocks(merge_schema=True)
+    sch = union_schema_of_blocks(blocks)
+    rows = (decode_blocks(blocks, schema=sch, compat=True, verify=True)
+            .orderBy("k").collect())
+    as_py = [r["tags"] and [(t["t"], t["w"]) for t in r["tags"]]
+             for r in rows]
+    assert as_py == [[("a", None), ("b", None)], None, [], [("c", 5)]]
+
+
+def test_struct_union_cross_family_conflict_raises(spark, tmp_path):
+    """A struct child that changes FAMILY across generations (int ->
+    string) cannot merge — union inference must raise loudly, naming the
+    column."""
+    from sparkolumnar.engine.decode import union_schema_of_blocks
+    from sparkolumnar.engine.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "cevo"))
+    mk = lambda t: T.StructType([T.StructField("k", T.LongType()),
+                                 T.StructField("m", T.StructType(
+                                     [T.StructField("a", t)]))])
+    io.write_blocks(encode_table(
+        spark.createDataFrame([(0, (1,))], mk(T.LongType())),
+        snapshot_id="g1", partitions=1))
+    io.write_blocks(encode_table(
+        spark.createDataFrame([(1, ("x",))], mk(T.StringType())),
+        snapshot_id="g2", partitions=1))
+    with pytest.raises(ValueError, match="'m'"):
+        union_schema_of_blocks(io.read_blocks(merge_schema=True))
+
+
 def test_codec_override_forced(spark, small_df):
     from sparkolumnar.engine.lineage import lineage_of
 
