@@ -150,6 +150,13 @@ def decode_block_row(row: dict, verify: bool = False,
 _BASE_COLS = ("block_id", "snapshot_id", "part_id", "seq", "n_rows",
               "columns")
 
+# merge-on-read deletes (engine/deletes.py): the OR-aggregated position
+# bitmap joined onto the block scan, its popcount (budget pass only), and
+# the physically-unique block coordinates the join is keyed by
+DELETE_MASK_COL = "_del_mask"
+DELETE_COUNT_COL = "_del_n"
+COORD_COLS = ["snapshot_id", "part_id", "seq"]
+
 
 def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
                    target: Optional[pa.Schema] = None,
@@ -160,16 +167,21 @@ def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
     snapshot share one, and a block_id-keyed window would silently decode
     duplicates with the wrong (overwritten) window."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         for b in batches:
             names = b.schema.names
             # metadata columns go through to_pylist (small structs); the
             # multi-MB payload/validity binaries are accessed zero-copy via
             # Arrow buffers — to_pylist on those would copy every payload
-            # into a Python bytes object before decoding
+            # into a Python bytes object before decoding. The delete
+            # bitmap rides with the metadata (n_rows/8 bytes — tiny next
+            # to payloads).
             meta_rows = b.select(
-                [n for n in names if n in _BASE_COLS]).to_pylist()
+                [n for n in names
+                 if n in _BASE_COLS or n == DELETE_MASK_COL]).to_pylist()
             pay_cols = [(n, b.column(i)) for i, n in enumerate(names)
-                        if n not in _BASE_COLS]
+                        if n not in _BASE_COLS and n != DELETE_MASK_COL]
             for j, row in enumerate(meta_rows):
                 budget = None
                 if budgets is not None:
@@ -177,12 +189,30 @@ def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
                         (row["snapshot_id"], row["part_id"], row["seq"]))
                     if budget is None:
                         continue
+                dmask = row.pop(DELETE_MASK_COL, None)
                 for name, col in pay_cols:
                     s = col[j]
                     row[name] = (memoryview(s.as_buffer())
                                  if s.is_valid else None)
-                out = decode_block_row(row, verify=verify, columns=columns,
-                                       target=target, budget=budget)
+                if dmask is None:
+                    out = decode_block_row(row, verify=verify,
+                                           columns=columns, target=target,
+                                           budget=budget)
+                else:
+                    # merge-on-read deletes: decode the WHOLE block (so
+                    # verify still checksums the stored columns), mask
+                    # deleted rows out, and only then apply any (skip,
+                    # take) budget — budgets count LIVE rows when deletes
+                    # are present (decode_blocks computed them from
+                    # n_rows - n_deleted)
+                    out = decode_block_row(row, verify=verify,
+                                           columns=columns, target=target)
+                    bits = np.unpackbits(
+                        np.frombuffer(dmask, np.uint8))[:row["n_rows"]]
+                    out = out.filter(pa.array(~bits.astype(bool)))
+                    if budget is not None:
+                        skip, take = budget
+                        out = out.slice(skip, take)
                 if out.num_rows:
                     yield out
 
@@ -1427,7 +1457,8 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                   limit: Optional[int] = None,
                   offset: int = 0,
                   filters=None,
-                  prepass: bool = True) -> DataFrame:
+                  prepass: bool = True,
+                  deletes: Optional[DataFrame] = None) -> DataFrame:
     """Decode a blocks DataFrame back into the original table.
 
     columns: optional projection — only these columns' payload/validity
@@ -1468,6 +1499,16 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     from a block are null-filled (the reference's indexed-optional-column
     forward/backward compatibility, re-expressed).
 
+    deletes: optional merge-on-read position-delete rows (DELETES_SCHEMA,
+    written by engine.deletes.delete_where / TableIO.read_deletes()).
+    Bitmaps are OR-aggregated per block and BROADCAST-joined onto the
+    block scan by the physically-unique (snapshot_id, part_id, seq)
+    coordinates — payload bytes never shuffle — and deleted rows are
+    masked out AFTER decode and checksum verification (checksums cover
+    the stored columns). Composes with filters (they see live rows
+    only), compat, verify, projection, and limit/offset (budgets count
+    LIVE rows).
+
     limit=n (optionally with offset=m) decodes only rows
     [m, m + n) of the table (blocks ordered by snapshot_id, part_id, seq)
     — the reference's take_n_finalize / lazy iteration re-expressed
@@ -1492,6 +1533,11 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
     #                         empty the frame (limit past EOF, filters
     #                         pruning everything) — empty result, not error
     exact = None
+    del_agg = None
+    if deletes is not None:
+        from .deletes import aggregate_deletes
+
+        del_agg = aggregate_deletes(deletes)
     if filters:
         groups = _normalize_filters(filters)
         types = _blocks_arrow_types(blocks_df)
@@ -1500,7 +1546,17 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
             blocks_df = _partition_prepass(blocks_df)
         exact = _exact_filter_expr(groups)
     if limit is not None and exact is None:
-        budgets = _prefix_budgets(blocks_df, limit, offset)
+        budget_src = blocks_df
+        if del_agg is not None:
+            # budgets count LIVE rows: subtract each block's delete
+            # popcount before the prefix walk (the decode fn mirrors this
+            # by masking first, then slicing the (skip, take) window)
+            budget_src = (blocks_df.join(
+                F.broadcast(del_agg.select(*COORD_COLS, DELETE_COUNT_COL)),
+                COORD_COLS, "left")
+                .withColumn("n_rows", F.col("n_rows") - F.coalesce(
+                    F.col(DELETE_COUNT_COL), F.lit(0))))
+        budgets = _prefix_budgets(budget_src, limit, offset)
         if budgets:
             keys = list(budgets)  # insertion order == sorted block order
             blocks_df = blocks_df.where(_budget_range_pred(keys[0], keys[-1]))
@@ -1552,6 +1608,13 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                        for f in (payload_field(c), validity_field(c))
                        if f in have]
         blocks_df = blocks_df.select(*keep)
+    if del_agg is not None:
+        # broadcast hash join keyed by the physically-unique coordinates:
+        # the payload scan never shuffles, each task looks its blocks'
+        # bitmaps up locally (Iceberg's per-task delete-file loading)
+        blocks_df = blocks_df.join(
+            F.broadcast(del_agg.select(*COORD_COLS, DELETE_MASK_COL)),
+            COORD_COLS, "left")
     out = blocks_df.mapInArrow(
         make_decode_fn(verify, dec_columns, target, budgets), schema)
     if exact is not None:

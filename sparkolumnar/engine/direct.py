@@ -126,6 +126,59 @@ def _snapshot_of_files(files: Sequence[str], files_per_task: int = 1) -> str:
     return h.hexdigest()[:16]
 
 
+def _path_block_coords(path: str):
+    """(snapshot_id, part_id) parsed from a blocks file's hive path
+    (.../snapshot_id=X/part_id=N/file.parquet)."""
+    sid = pid = None
+    for comp in path.split("/"):
+        if comp.startswith("snapshot_id="):
+            sid = comp[len("snapshot_id="):]
+        elif comp.startswith("part_id="):
+            pid = int(comp[len("part_id="):])
+    return sid, pid
+
+
+def _load_seq_masks(deletes_path: str, sid, pid, filesystem) -> dict:
+    """{seq: OR'd MSB-first delete bitmap} for one (snapshot, part) — the
+    in-task twin of deletes.aggregate_deletes, reading ONLY this
+    coordinate's delete rows (the snapshot_id directory is pruned by the
+    hive partitioning, part_id by a row filter over the tiny rows)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    dfs, droot = _fs_for(deletes_path, filesystem)
+    dset = pads.dataset(droot, format="parquet", partitioning="hive",
+                        filesystem=dfs)
+    t = dset.to_table(columns=["seq", "positions"],
+                      filter=((pads.field("snapshot_id") == sid)
+                              & (pads.field("part_id") == pid)))
+    masks: dict = {}
+    for s, b in zip(t.column("seq").to_pylist(),
+                    t.column("positions").to_pylist()):
+        a = np.frombuffer(b, np.uint8)
+        cur = masks.get(s)
+        if cur is None:
+            masks[s] = a.copy()
+        else:
+            if len(a) > len(cur):
+                cur, a = a.copy(), cur
+                masks[s] = cur
+            cur[:len(a)] |= a
+    return {s: a.tobytes() for s, a in masks.items()}
+
+
+def _append_del_masks(batch_iter, seq_masks: dict):
+    """Append the _del_mask column make_decode_fn consumes (None for
+    blocks this part's delete rows don't touch)."""
+    from .decode import DELETE_MASK_COL
+
+    for bb in batch_iter:
+        seqs = bb.column(bb.schema.get_field_index("seq")).to_pylist()
+        yield bb.append_column(
+            pa.field(DELETE_MASK_COL, pa.binary()),
+            pa.array([seq_masks.get(s) for s in seqs], pa.binary()))
+
+
 def _task_attempt_token() -> str:
     """Attempt-unique token for temp file names: with speculative
     execution or a zombie attempt surviving a stage retry, two attempts
@@ -340,7 +393,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         filesystem=None,
                         filters=None,
                         blocks_root: Optional[str] = None,
-                        schema=None) -> dict:
+                        schema=None,
+                        deletes_path: Optional[str] = None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -369,7 +423,15 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     schema. Without it, each task writes its generation's own columns and
     a consumer reading the directory without footer merging silently
     drops the newer columns. Infer the union with
-    decode.union_schema_of_blocks (or pass the current table schema)."""
+    decode.union_schema_of_blocks (or pass the current table schema).
+
+    deletes_path: the table's merge-on-read position-delete file set
+    (engine/deletes.py; usually io.deletes_path when io.has_deletes()).
+    Each task derives its blocks files' (snapshot_id, part_id) from the
+    hive path, reads ONLY those coordinates' delete rows (snapshot_id is
+    the deletes partition key, so the pyarrow scan prunes directories),
+    ORs the bitmaps per block and masks deleted rows out after decode —
+    the in-task twin of decode_blocks(deletes=), zero IPC preserved."""
     from .decode import (block_keep_py, exact_filter_mask_py,
                          make_decode_fn, _normalize_filters)
 
@@ -465,6 +527,7 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
 
         fn = make_decode_fn(verify=verify, columns=columns,
                             target=compat_target)
+        del_cache: dict = {}  # (snapshot_id, part_id) -> {seq: bitmap}
         for b in batches:
             for row in b.to_pylist():
                 pid, paths = int(row["part_id"]), row["paths"]
@@ -474,6 +537,14 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                 for path in paths:
                     rfs, rpath = _fs_for(path, filesystem)
                     pf = pq.ParquetFile(rfs.open_input_file(rpath))
+                    seq_masks = None
+                    if deletes_path is not None:
+                        coords = _path_block_coords(path)
+                        if coords not in del_cache:
+                            del_cache[coords] = _load_seq_masks(
+                                deletes_path, *coords,
+                                filesystem=filesystem)
+                        seq_masks = del_cache[coords] or None
                     have = set(pf.schema_arrow.names)
                     read_cols = None
                     if scan_want is not None:
@@ -510,6 +581,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         it = dset.to_batches(
                             columns=read_cols,
                             filter=pads.field("seq").isin(keep))
+                        if seq_masks:
+                            it = _append_del_masks(it, seq_masks)
                         for out in fn(it):
                             mask = exact_filter_mask_py(out, filters,
                                                         session_tz)
@@ -520,7 +593,10 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         continue
                     blocks_total += pf.metadata.num_rows
                     blocks_read += pf.metadata.num_rows
-                    for out in fn(pf.iter_batches(columns=read_cols)):
+                    it = pf.iter_batches(columns=read_cols)
+                    if seq_masks:
+                        it = _append_del_masks(it, seq_masks)
+                    for out in fn(it):
                         out_batches.append(out)
                         n += out.num_rows
                     pf.close()

@@ -76,6 +76,22 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                      F.sum(bytes_out).alias("o")).collect()[0]
     if not old["b"]:
         raise ValueError(f"snapshots {ids!r} have no blocks")
+    # merge-on-read deletes MUST be applied here: rewriting the rows into
+    # a new snapshot without them would resurrect deleted rows (the new
+    # coordinates match no delete bitmap). Compaction is also what makes
+    # deletes physical — the rewritten snapshot has no delete rows, and
+    # the old ones are purged with their snapshot directories below.
+    dels = io.read_deletes() if hasattr(io, "read_deletes") else None
+    n_deleted = 0
+    if dels is not None:
+        dels = dels.where(F.col("snapshot_id").isin(ids))
+        from .deletes import DELETE_COUNT_COL, aggregate_deletes
+
+        n_deleted = int((aggregate_deletes(dels)
+                         .agg(F.sum(DELETE_COUNT_COL))
+                         .collect()[0][0]) or 0)
+        if not n_deleted:
+            dels = None
     if unify_schema:
         from .decode import union_schema_of_blocks
 
@@ -84,7 +100,7 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
         # whole snapshot with that one schema
         rows_df = decode_blocks(blocks,
                                 schema=union_schema_of_blocks(blocks),
-                                compat=True, verify=verify)
+                                compat=True, verify=verify, deletes=dels)
     else:
         # schema-evolution guard: a union of blocks with DIFFERENT
         # column sets would feed the decode mapInArrow inconsistent
@@ -99,7 +115,7 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
                 f"pass: {sorted(tuple(r['cols']) for r in col_sets)} — "
                 "pass unify_schema=True to migrate them into the union "
                 "schema, or compact each schema generation separately")
-        rows_df = decode_blocks(blocks, verify=verify)
+        rows_df = decode_blocks(blocks, verify=verify, deletes=dels)
     new_blocks = encode_table(rows_df, key=key, partitions=partitions,
                               sort_within=key is not None,
                               cluster_by=cluster_by, mode=mode,
@@ -108,15 +124,21 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
     new = (io.read_blocks().where(F.col("snapshot_id") == new_id)
            .agg(F.count("*").alias("b"), F.sum("n_rows").alias("r"),
                 F.sum(bytes_out).alias("o")).collect()[0])
-    if new["r"] != old["r"]:
+    if new["r"] != old["r"] - n_deleted:
         raise RuntimeError(
-            f"compaction row mismatch: {old['r']} -> {new['r']} "
-            f"(old snapshots untouched)")
+            f"compaction row mismatch: {old['r']} stored - {n_deleted} "
+            f"deleted -> {new['r']} (old snapshots untouched)")
     if delete_old:
         for sid in ids:
             _delete_snapshot_dir(io, sid)
+            # purge the snapshot's delete rows with it (atomic directory
+            # drop — the deletes table is partitioned by snapshot_id, so
+            # other snapshots' rows are never rewritten). Orphaned rows
+            # from a crash here are harmless: their coordinates match no
+            # surviving block.
+            _delete_deletes_dir(io, sid)
     return {"snapshot_ids": ids, "new_snapshot_id": new_id,
-            "n_rows": int(new["r"]),
+            "n_rows": int(new["r"]), "n_deletes_applied": int(n_deleted),
             "old_blocks": int(old["b"]), "new_blocks": int(new["b"]),
             "old_bytes_out": int(old["o"]), "new_bytes_out": int(new["o"]),
             "deleted_old": bool(delete_old)}
@@ -135,9 +157,19 @@ def _decodable_columns_expr():
 def _delete_snapshot_dir(io: TableIO, snapshot_id: str) -> None:
     """Remove one snapshot's partition directory, fs-agnostically (the
     same pyarrow.fs discipline as engine/direct.py task IO)."""
+    _drop_dir(f"{io.blocks_path}/snapshot_id={snapshot_id}")
+
+
+def _delete_deletes_dir(io: TableIO, snapshot_id: str) -> None:
+    """Remove one snapshot's delete-rows partition directory (see
+    TableIO.write_deletes — partitioned by snapshot_id exactly so this
+    purge is one atomic directory drop)."""
+    _drop_dir(f"{io.deletes_path}/snapshot_id={snapshot_id}")
+
+
+def _drop_dir(path: str) -> None:
     from pyarrow import fs as pafs
 
-    path = f"{io.blocks_path}/snapshot_id={snapshot_id}"
     try:
         filesystem, p = pafs.FileSystem.from_uri(path)
     except (ValueError, OSError):

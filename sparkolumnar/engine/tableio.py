@@ -38,6 +38,7 @@ class TableIO:
         self.base = base
         self.blocks_path = os.path.join(base, "blocks")
         self.checkpoint_path = os.path.join(base, "checkpoint")
+        self.deletes_path = os.path.join(base, "deletes")
 
     # -- blocks ---------------------------------------------------------
 
@@ -71,6 +72,25 @@ class TableIO:
 
     def has_blocks(self) -> bool:
         return _has_parquet(self.blocks_path)
+
+    # -- deletes (merge-on-read position bitmaps) -----------------------
+
+    def write_deletes(self, df: DataFrame) -> None:
+        # append-only, like Iceberg delete files: each op adds rows,
+        # readers OR bitmaps per block, compaction retires them.
+        # Partitioned by snapshot_id so compaction PURGES a rewritten
+        # snapshot's delete rows by dropping one directory — atomic,
+        # never rewriting other snapshots' rows (no resurrection window)
+        (df.write.mode("append").partitionBy("snapshot_id")
+         .parquet(self.deletes_path))
+
+    def read_deletes(self) -> Optional[DataFrame]:
+        if not self.has_deletes():
+            return None
+        return self.spark.read.parquet(self.deletes_path)
+
+    def has_deletes(self) -> bool:
+        return _has_parquet(self.deletes_path)
 
     # -- checkpoint -----------------------------------------------------
 

@@ -71,7 +71,9 @@ def main(argv=None) -> None:
                          "JSON line and exit WITHOUT decoding — reads "
                          "only block metadata, zero payload bytes; "
                          "--output is ignored, --columns restricts the "
-                         "reported columns")
+                         "reported columns. Reports STORED rows — "
+                         "merge-on-read deletes are bitmaps, not "
+                         "metadata, so they do not adjust these counts")
     ap.add_argument("--merge-schema", action="store_true",
                     help="merge parquet footers across block files: "
                          "needed when the table's snapshots span schema "
@@ -79,6 +81,12 @@ def main(argv=None) -> None:
                          "the newer generation's payload columns survive "
                          "the scan; off by default because footer-merge "
                          "is a per-file metadata job")
+    ap.add_argument("--ignore-deletes", action="store_true",
+                    help="skip the table's merge-on-read position "
+                         "deletes (<base>/deletes, written by "
+                         "delete_job): by default deleted rows are "
+                         "masked out of every decode; this flag reads "
+                         "the stored rows as written")
     ap.add_argument("--direct", action="store_true",
                     help="write-in-UDF direct decode: tasks read blocks "
                          "files with pyarrow and write the decoded "
@@ -125,6 +133,14 @@ def main(argv=None) -> None:
                 raise ValueError(f"--{name} expects COL=VALUE")
             flist.append((col, op, value))
     filters = flist or None
+    # merge-on-read deletes apply by DEFAULT — a reader must not see
+    # deleted rows unless it explicitly opts into the stored bytes
+    import os as _os
+
+    from sparkolumnar.engine.tableio import TableIO as _TIO
+
+    _io = _TIO(spark, _os.path.dirname(args.blocks.rstrip("/")))
+    deletes = None if args.ignore_deletes else _io.read_deletes()
     if args.stats:
         if filters or args.limit is not None or args.direct:
             raise ValueError("--stats does not combine with predicates, "
@@ -162,7 +178,10 @@ def main(argv=None) -> None:
                 .parquet(args.blocks))
         res = decode_files_direct(spark, io, args.output, columns=cols,
                                   verify=args.verify, filters=filters,
-                                  schema=schema)
+                                  schema=schema,
+                                  deletes_path=(io.deletes_path
+                                                if deletes is not None
+                                                else None))
         print(json.dumps({"rows": res["n_rows"],
                           "blocks_read": res["n_blocks_read"],
                           "blocks_total": res["n_blocks_total"]}))
@@ -187,12 +206,13 @@ def main(argv=None) -> None:
                                    if f.name in cols])
         out = decode_blocks(blocks, schema=schema, compat=True,
                             verify=args.verify, limit=args.limit,
-                            offset=args.offset, filters=filters)
+                            offset=args.offset, filters=filters,
+                            deletes=deletes)
     else:
         blocks = spark.read.parquet(args.blocks)
         out = decode_blocks(blocks, verify=args.verify, columns=cols,
                             limit=args.limit, offset=args.offset,
-                            filters=filters)
+                            filters=filters, deletes=deletes)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 

@@ -124,3 +124,43 @@ def test_compact_job_cli_unify_schema(spark, tmp_path, capsys):
     assert out["n_rows"] == 20 and out["deleted_old"]
     got = decode_blocks(io.read_blocks(), verify=True).orderBy("k").collect()
     assert [r["b"] for r in got] == [None] * 10 + list(range(10))
+
+
+def test_delete_job_and_decode_job_apply_deletes(spark, tmp_path, capsys):
+    """delete_job writes merge-on-read bitmaps; decode_job applies them
+    by DEFAULT (readers must not see deleted rows), --ignore-deletes
+    opts back into the stored bytes, --direct applies them in-task."""
+    from sparkolumnar.jobs import decode_job, delete_job
+
+    pages = pages_df(spark, 3000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages, snapshot_id="del1", partitions=2))
+    n_en = pages.filter(pages.lang == "en").count()
+    delete_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--eq", "lang=en"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_rows_matched"] == n_en and st["n_blocks_matched"] >= 1
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec"), "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3000 - n_en
+    got = spark.read.parquet(str(tmp_path / "dec"))
+    assert got.filter(got.lang == "en").count() == 0
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec_raw"),
+                     "--ignore-deletes"])
+    raw = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert raw["rows"] == 3000
+
+    # deletes AND predicates compose; --direct applies bitmaps in-task
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec_d"),
+                     "--direct", "--not-null", "url"])
+    outd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outd["rows"] == 3000 - n_en
+
+    # delete_job refuses an empty predicate (never implicit delete-all)
+    with pytest.raises(ValueError, match="predicate"):
+        delete_job.main(["--blocks", str(tmp_path / "t" / "blocks")])
