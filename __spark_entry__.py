@@ -1214,6 +1214,37 @@ def _q_struct_evolution_roundtrip(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+def _q_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes (engine/deletes.py — Iceberg-v2
+    position-delete bitmaps re-expressed for the blocks layout): two
+    OVERLAPPING delete ops write one tiny bitmap row per matched block
+    (no data block rewritten; unmatched blocks are zone/bloom-pruned
+    without a payload byte read), readers OR the bitmaps per block
+    coordinate, broadcast-join them onto the block scan, and mask
+    deleted rows out AFTER decode + checksum verification. The
+    reference has no deletes (columnar/src/lib.rs:114-133) — engine
+    extension; the oracle is the equivalent anti-filter on the raw
+    rows. Runs the production shape end-to-end: blocks materialized
+    through TableIO (delete bitmaps are keyed by STORED block
+    coordinates, so the table must be written before deleting — see
+    compute_deletes' docstring)."""
+    import tempfile
+
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.deletes import delete_where
+    from sparkolumnar.engine.tableio import TableIO
+
+    docs = _t(spark, sf_dir, "documents")
+    io = TableIO(spark, tempfile.mkdtemp(prefix="sparkolumnar_mordel_"))
+    io.write_blocks(encode_table(docs, key="doc_id", snapshot_id="mordel",
+                                 sort_within=True, partitions=4))
+    delete_where(io, [("lang", "=", "en")])
+    delete_where(io, [("n_chars", "<", 200)])  # overlapping second op
+    out = decode_blocks(io.read_blocks(), deletes=io.read_deletes(),
+                        verify=True)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1261,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_stats": _q_corpus_dedup_stats,
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
+        "merge_on_read_delete": _q_merge_on_read_delete,
         "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -1792,6 +1824,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
             FROM documents ORDER BY doc_id
+        """,
+        "merge_on_read_delete": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (lang = 'en') AND NOT (n_chars < 200)
+            ORDER BY doc_id
         """,
         "struct_evolution_roundtrip": """
             SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,

@@ -141,7 +141,17 @@ def compute_deletes(blocks_df: DataFrame, filters,
     A block whose schema generation predates a predicate column
     evaluates that column as all-null (null comparisons never match —
     IS NULL deletes DO reach old generations, exactly like the read
-    path's cross-generation filter semantics)."""
+    path's cross-generation filter semantics).
+
+    blocks_df must be MATERIALIZED blocks (TableIO.read_blocks — the
+    delete_where path — or a persisted/collected DataFrame), never a
+    still-lazy encode_table plan: bitmaps are keyed by (snapshot_id,
+    part_id, seq), and encode derives part_id from the task's
+    partition id, which plan composition renumbers — a union of two
+    delete scans over one lazy encode offsets the second branch's
+    partition ids (Spark concatenates union partitions), silently
+    producing bitmaps that match no block at read time. Stored tables
+    pin their coordinates at write; that is the supported shape."""
     from .decode import (_BASE_COLS, _apply_block_filters,
                          _blocks_arrow_types, _normalize_filters,
                          _partition_prepass, arrow_type_from_str,
