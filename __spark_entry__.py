@@ -1245,6 +1245,32 @@ def _q_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def _q_merge_on_read_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (engine/updates.py): copy-on-write of the
+    MATCHED rows only — they re-encode as one new deterministic
+    snapshot while position-delete bitmaps mask the originals; blocks
+    the predicate cannot touch are never rewritten, never even decoded
+    past the zone/bloom prune. Assignment expressions see the original
+    row values and cast back to the stored type. The reference has no
+    DML (columnar/src/lib.rs:114-133) — engine extension; the oracle
+    is the equivalent CASE projection over the raw rows."""
+    import tempfile
+
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.tableio import TableIO
+    from sparkolumnar.engine.updates import update_where
+
+    docs = _t(spark, sf_dir, "documents")
+    io = TableIO(spark, tempfile.mkdtemp(prefix="sparkolumnar_morupd_"))
+    io.write_blocks(encode_table(docs, key="doc_id", snapshot_id="base",
+                                 sort_within=True, partitions=4))
+    update_where(io, [("lang", "=", "en")],
+                 {"n_chars": "n_chars + 1000"})
+    out = decode_blocks(io.read_blocks(), deletes=io.read_deletes(),
+                        verify=True)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1293,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip_documents": _q_encode_roundtrip_documents,
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
         "merge_on_read_delete": _q_merge_on_read_delete,
+        "merge_on_read_update": _q_merge_on_read_update,
         "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -1829,6 +1856,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE NOT (lang = 'en') AND NOT (n_chars < 200)
             ORDER BY doc_id
+        """,
+        "merge_on_read_update": """
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'en' THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "struct_evolution_roundtrip": """
             SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,

@@ -1,0 +1,151 @@
+"""Merge-on-read row-level UPDATE — copy-on-write of the MATCHED rows
+only, composed from the two primitives the table already has: an encode
+append (the updated rows become one new snapshot) plus position-delete
+bitmaps over the old snapshots (engine/deletes.py). Unmatched blocks are
+never rewritten, never even decoded past the zone/bloom/prefix prune —
+the same merge-on-read economics as Iceberg v2's UPDATE.
+
+Commit protocol (ordered so every crash window re-runs to convergence):
+
+1. the update snapshot id is DETERMINISTIC: ``upd<H>x<K>`` where H
+   hashes (predicate, assignments) and K hashes the ids of the
+   snapshots being updated — every snapshot except this update's own
+   output (excluded by the ``upd<H>`` prefix, so a crashed run that
+   already wrote blocks derives the SAME id when re-run);
+2. matched rows are decoded LIVE (existing delete bitmaps applied — a
+   previously deleted row is never resurrected) from the OLD snapshots
+   only, assignments applied, and encoded as the update snapshot.
+   write_blocks' dynamic (snapshot_id, part_id) overwrite makes this
+   step idempotent: a re-run re-derives identical rows from the
+   ORIGINAL stored rows (its own half-written output is excluded from
+   the scan), so even non-idempotent expressions like ``x = x + 1``
+   apply exactly once;
+3. delete bitmaps for the predicate are written over the old
+   snapshots (bitmaps OR at read time — rewriting them is a no-op).
+
+Crash after 2: the update's rows are visible alongside the not-yet-
+deleted originals until the re-run completes step 3 (transient
+duplicates, converging; a real table format would make 2+3 one atomic
+snapshot commit — that is exactly the IcebergTableIO seam). Running the
+SAME logical update again after new data arrived derives a NEW id (K
+changed), so the earlier update's output is never overwritten — its
+rows are ordinary old-snapshot rows to the new run.
+
+Reference parity note: the reference has no DML at all (its public API
+is columnar/src/lib.rs:114-133); this is engine-extension scope.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+from pyspark.sql import functions as F
+
+UPDATE_PREFIX = "upd"
+
+
+def _update_snapshot_id(filters, assignments: Dict[str, str],
+                        snapshot_ids) -> str:
+    """Deterministic ``upd<H>x<K>``: H = hash(predicate, assignments); K =
+    hash of the target snapshot set. Callers exclude ids starting with
+    ``upd<H>`` from snapshot_ids BEFORE calling, so a crashed run's own
+    half-committed output never perturbs its re-derived id."""
+    h = hashlib.sha256(repr(sorted(
+        (c, str(e)) for c, e in assignments.items())).encode())
+    h.update(repr(filters).encode())
+    head = f"{UPDATE_PREFIX}{h.hexdigest()[:10]}"
+    k = hashlib.sha256(repr(sorted(snapshot_ids)).encode())
+    return f"{head}x{k.hexdigest()[:6]}"
+
+
+def update_where(io, filters, assignments: Dict[str, str],
+                 merge_schema: bool = False,
+                 partitions: Optional[int] = None,
+                 key: Optional[str] = None) -> dict:
+    """UPDATE <table> SET <assignments> WHERE <filters>, merge-on-read.
+
+    filters: decode_blocks' predicate grammar (DNF) — evaluated on
+    stored rows with the read path's exact semantics (cross-generation
+    all-null for later-added columns under merge_schema=True).
+    assignments: {column: SQL expression string}; each expression is
+    evaluated against the matched rows (it may reference any column)
+    and cast back to the column's stored type — the table schema never
+    drifts through an update. Assigned columns must exist (schema
+    evolution is encode-side, not UPDATE-side).
+
+    partitions/key: encode layout for the update snapshot (matched rows
+    are usually a small fraction of the table — default 1 partition
+    per ~64k matched rows would be ideal, but the engine cannot know
+    the count without running the job, so pass partitions= for large
+    updates; compaction re-establishes global layout either way).
+
+    Returns {"new_snapshot_id", "n_rows_updated", "n_blocks_matched",
+    "n_old_snapshots"}. n_rows_updated counts the rows encoded into
+    the update snapshot (== live matched rows)."""
+    from .decode import decode_blocks, union_schema_of_blocks
+    from .deletes import compute_deletes
+    from .encode import encode_table
+
+    if not filters:
+        raise ValueError("update_where needs a predicate — refusing to "
+                         "rewrite every row of the table implicitly")
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    blocks = io.read_blocks(merge_schema=merge_schema)
+    all_ids = [r["snapshot_id"] for r in
+               blocks.select("snapshot_id").distinct().collect()]
+    probe = _update_snapshot_id(filters, assignments, [])
+    head = probe.split("x")[0]
+    old_ids = [s for s in all_ids if not s.startswith(head)]
+    if not old_ids:
+        raise ValueError("table has no snapshots to update")
+    uid = _update_snapshot_id(filters, assignments, old_ids)
+    old_blocks = blocks.where(F.col("snapshot_id").isin(old_ids))
+
+    schema = None
+    compat = False
+    if merge_schema:
+        schema = union_schema_of_blocks(old_blocks)
+        compat = True
+    deletes = io.read_deletes() if hasattr(io, "read_deletes") else None
+    matched = decode_blocks(old_blocks, schema=schema, compat=compat,
+                            filters=filters, deletes=deletes)
+    types = {f.name: f.dataType for f in matched.schema.fields}
+    unknown = [c for c in assignments if c not in types]
+    if unknown:
+        raise ValueError(
+            f"assigned columns {unknown} not in the table "
+            f"(available: {sorted(types)}); add columns by encoding a "
+            "new schema generation, not through UPDATE")
+    # one select, not chained withColumn: every assignment expression
+    # sees the ORIGINAL row values (SQL UPDATE semantics — SET a=b, b=a
+    # swaps), and the plan stays a single Project
+    exprs = []
+    for c in matched.columns:
+        if c in assignments:
+            e = assignments[c]
+            e = e if isinstance(e, str) else str(e)
+            exprs.append(F.expr(e).cast(types[c]).alias(c))
+        else:
+            exprs.append(F.col(c))
+    updated = matched.select(*exprs)
+
+    new_blocks = encode_table(updated, snapshot_id=uid, key=key,
+                              sort_within=key is not None,
+                              partitions=partitions)
+    io.write_blocks(new_blocks)
+    n_updated = int((io.read_blocks().where(F.col("snapshot_id") == uid)
+                     .agg(F.sum("n_rows")).collect()[0][0]) or 0)
+
+    dels = compute_deletes(old_blocks, filters).persist()
+    try:
+        io.write_deletes(dels)
+        stats = dels.agg(F.count("*").alias("b"),
+                         F.sum("n_deleted").alias("r")).collect()[0]
+    finally:
+        dels.unpersist()
+    return {"new_snapshot_id": uid,
+            "n_rows_updated": n_updated,
+            "n_blocks_matched": int(stats["b"] or 0),
+            "n_rows_matched_stored": int(stats["r"] or 0),
+            "n_old_snapshots": len(old_ids)}

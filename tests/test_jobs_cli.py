@@ -164,3 +164,30 @@ def test_delete_job_and_decode_job_apply_deletes(spark, tmp_path, capsys):
     # delete_job refuses an empty predicate (never implicit delete-all)
     with pytest.raises(ValueError, match="predicate"):
         delete_job.main(["--blocks", str(tmp_path / "t" / "blocks")])
+
+
+def test_update_job_cli(spark, tmp_path, capsys):
+    """update_job rewrites matched rows copy-on-write + masks the
+    originals; decode_job shows the updated table by default."""
+    from sparkolumnar.jobs import decode_job, update_job
+
+    pages = pages_df(spark, 2000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages, snapshot_id="up1", partitions=2))
+    n_en = pages.filter(pages.lang == "en").count()
+    update_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--eq", "lang=en", "--set", "lang='english'"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_rows_updated"] == n_en
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec"), "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2000
+    got = spark.read.parquet(str(tmp_path / "dec"))
+    assert got.filter(got.lang == "en").count() == 0
+    assert got.filter(got.lang == "english").count() == n_en
+
+    with pytest.raises(ValueError, match="--set"):
+        update_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                         "--eq", "lang=en"])
