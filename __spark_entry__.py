@@ -1271,6 +1271,36 @@ def _q_merge_on_read_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def _q_merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / whole-row upsert (engine/updates.py merge_upsert):
+    the source — every fifth document relabeled, plus twenty brand-new
+    doc_ids — inserts as one snapshot while key-matched stored rows are
+    masked by position-delete bitmaps computed from a key-column-only
+    block scan (broadcast np.isin in-task, zero shuffle at this key
+    count; a key shuffle join above the threshold). Engine extension
+    (the reference has no DML); the oracle is the CASE + UNION ALL
+    equivalent over the raw rows."""
+    import tempfile
+
+    from sparkolumnar.engine import decode_blocks, encode_table
+    from sparkolumnar.engine.tableio import TableIO
+    from sparkolumnar.engine.updates import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    io = TableIO(spark, tempfile.mkdtemp(prefix="sparkolumnar_mormrg_"))
+    io.write_blocks(encode_table(docs, key="doc_id", snapshot_id="base",
+                                 sort_within=True, partitions=4))
+    source = (docs.filter(F.col("doc_id") % 5 == 0)
+              .withColumn("lang", F.lit("merged"))
+              .unionByName(
+                  docs.filter(F.col("doc_id") < 20)
+                  .withColumn("doc_id", F.col("doc_id") + 1_000_000)))
+    merge_upsert(io, source, on="doc_id", snapshot_id="mrg1")
+    out = decode_blocks(io.read_blocks(), deletes=io.read_deletes(),
+                        verify=True)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1320,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
         "merge_on_read_delete": _q_merge_on_read_delete,
         "merge_on_read_update": _q_merge_on_read_update,
+        "merge_on_read_upsert": _q_merge_on_read_upsert,
         "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -1862,6 +1893,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lang = 'en' THEN n_chars + 1000
                         ELSE n_chars END AS n_chars
             FROM documents ORDER BY doc_id
+        """,
+        "merge_on_read_upsert": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'merged' ELSE lang END
+                       AS lang,
+                   n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+            FROM documents WHERE doc_id < 20
+            ORDER BY doc_id
         """,
         "struct_evolution_roundtrip": """
             SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,

@@ -187,6 +187,186 @@ def compute_deletes(blocks_df: DataFrame, filters,
         DELETES_SCHEMA)
 
 
+def _mark_keys_fn(on: str, keys_pa):
+    """mapInArrow fn: decode ONLY the key column of each block and emit a
+    bitmap row for rows whose key is in the broadcast key set (a pyarrow
+    array in the closure; vectorized pc.is_in per block — zero shuffle).
+    A null stored key never matches (SQL join semantics; the key set was
+    null-stripped by the caller). Blocks from a schema generation
+    without the key column cannot match and emit nothing."""
+    from .decode import _BASE_COLS, decode_block_row
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        cast_keys: dict = {}
+        for b in batches:
+            names = b.schema.names
+            meta_rows = b.select(
+                [n for n in names if n in _BASE_COLS]).to_pylist()
+            pay_cols = [(n, b.column(i)) for i, n in enumerate(names)
+                        if n not in _BASE_COLS]
+            out = {f.name: [] for f in _DELETES_ARROW}
+            for j, row in enumerate(meta_rows):
+                if not any(m["name"] == on for m in row["columns"]):
+                    continue
+                for name, col in pay_cols:
+                    s = col[j]
+                    row[name] = (memoryview(s.as_buffer())
+                                 if s.is_valid else None)
+                dec = decode_block_row(row, columns=[on])
+                vals = dec.column(0)
+                vset = cast_keys.get(str(vals.type))
+                if vset is None:
+                    vset = (keys_pa if keys_pa.type == vals.type
+                            else keys_pa.cast(vals.type))
+                    cast_keys[str(vals.type)] = vset
+                mask = pc.fill_null(pc.is_in(vals, value_set=vset), False)
+                bits = np.asarray(mask).astype(bool)
+                n_del = int(bits.sum())
+                if not n_del:
+                    continue
+                out["block_id"].append(row["block_id"])
+                out["snapshot_id"].append(row["snapshot_id"])
+                out["part_id"].append(row["part_id"])
+                out["seq"].append(row["seq"])
+                out["n_rows"].append(row["n_rows"])
+                out["n_deleted"].append(n_del)
+                out["positions"].append(np.packbits(bits).tobytes())
+            if out["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out[f.name], f.type) for f in _DELETES_ARROW],
+                    schema=_DELETES_ARROW)
+
+    return fn
+
+
+def _emit_key_rows_fn(on: str):
+    """mapInArrow fn: decode ONLY the key column and emit one (coords,
+    pos, key) row per stored row — the probe side of the shuffle-join
+    delete path."""
+    from .decode import _BASE_COLS, decode_block_row
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            names = b.schema.names
+            meta_rows = b.select(
+                [n for n in names if n in _BASE_COLS]).to_pylist()
+            pay_cols = [(n, b.column(i)) for i, n in enumerate(names)
+                        if n not in _BASE_COLS]
+            for j, row in enumerate(meta_rows):
+                if not any(m["name"] == on for m in row["columns"]):
+                    continue
+                for name, col in pay_cols:
+                    s = col[j]
+                    row[name] = (memoryview(s.as_buffer())
+                                 if s.is_valid else None)
+                dec = decode_block_row(row, columns=[on])
+                n = row["n_rows"]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([row["block_id"]] * n),
+                     pa.array([row["snapshot_id"]] * n),
+                     pa.array(np.full(n, row["part_id"], np.int32)),
+                     pa.array(np.full(n, row["seq"], np.int32)),
+                     pa.array(np.full(n, n, np.int64)),
+                     pa.array(np.arange(n, dtype=np.int64)),
+                     dec.column(0)],
+                    names=["block_id", "snapshot_id", "part_id", "seq",
+                           "n_rows", "_pos", "_key"])
+
+    return fn
+
+
+def compute_deletes_by_keys(blocks_df: DataFrame, keys_df: DataFrame,
+                            on: str,
+                            broadcast_threshold: int = 500_000
+                            ) -> DataFrame:
+    """Position-delete rows for every stored row whose `on` value appears
+    in keys_df's single column — the MERGE/upsert delete primitive
+    (Iceberg would write equality-delete files here; positions keep the
+    read path single-mechanism).
+
+    Two physical strategies, chosen by the key count:
+
+    * keys <= broadcast_threshold: the distinct keys ship to every task
+      (Arrow-collected once, numpy np.isin per block) — each block scan
+      decodes ONLY the key column and emits its bitmap in-task, ZERO
+      shuffle (Iceberg's broadcast MERGE shape);
+    * larger: each block emits (coords, pos, key) rows for a left-semi
+      shuffle join against the keys, and surviving positions re-pack to
+      bitmaps per block — one shuffle of the key column, the same cost
+      every engine pays for a big MERGE.
+
+    NULL stored keys never match (SQL join semantics). Blocks from a
+    schema generation without the key column cannot match. blocks_df
+    must be materialized blocks (see compute_deletes)."""
+    from .decode import _blocks_arrow_types
+
+    types = _blocks_arrow_types(blocks_df)
+    if on not in types:
+        raise ValueError(f"merge key {on!r} not in the blocks table "
+                         f"(available: {sorted(types)})")
+    if len(keys_df.columns) != 1:
+        keys_df = keys_df.select(on)
+    keys_df = keys_df.distinct()
+    have = set(blocks_df.columns)
+    keep = list(_base_and_payload(on, have))
+    scan = blocks_df.select(*keep)
+    n_keys = keys_df.count()
+    if n_keys <= broadcast_threshold:
+        keys_pa = keys_df.toArrow().column(0).combine_chunks()
+        keys_pa = keys_pa.drop_null()
+        return scan.mapInArrow(_mark_keys_fn(on, keys_pa), DELETES_SCHEMA)
+
+    kcol = keys_df.columns[0]
+    rows = scan.mapInArrow(
+        _emit_key_rows_fn(on),
+        T.StructType([f for f in DELETES_SCHEMA
+                      if f.name not in ("n_deleted", "positions")]
+                     + [T.StructField("_pos", T.LongType(), False),
+                        T.StructField("_key", _spark_type_of(types[on]),
+                                      True)]))
+    hit = rows.join(keys_df.withColumnRenamed(kcol, "_key"), "_key",
+                    "left_semi")
+
+    def _pack(pdf):
+        import pandas as pd
+
+        n = int(pdf["n_rows"].iloc[0])
+        bits = np.zeros(n, bool)
+        bits[pdf["_pos"].to_numpy()] = True
+        return pd.DataFrame({
+            "block_id": [pdf["block_id"].iloc[0]],
+            "snapshot_id": [pdf["snapshot_id"].iloc[0]],
+            "part_id": [pdf["part_id"].iloc[0]],
+            "seq": [pdf["seq"].iloc[0]],
+            "n_rows": [n],
+            "n_deleted": [int(bits.sum())],
+            "positions": [np.packbits(bits).tobytes()]})
+
+    return (hit.groupBy("block_id", *COORD_COLS)
+            .applyInPandas(_pack, DELETES_SCHEMA))
+
+
+def _base_and_payload(col: str, have):
+    from .decode import _BASE_COLS
+
+    out = list(_BASE_COLS)
+    for f in (payload_field(col), validity_field(col)):
+        if f in have:
+            out.append(f)
+    return out
+
+
+def _spark_type_of(arrow_type_str: str):
+    """Spark DataType for a stored column's arrow type string."""
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from .decode import arrow_type_from_str
+
+    return from_arrow_type(arrow_type_from_str(arrow_type_str))
+
+
 def aggregate_deletes(deletes_df: DataFrame) -> DataFrame:
     """OR all delete bitmaps per block coordinate: one row per touched
     block with the merged mask and its popcount (exact even when delete

@@ -149,3 +149,80 @@ def update_where(io, filters, assignments: Dict[str, str],
             "n_blocks_matched": int(stats["b"] or 0),
             "n_rows_matched_stored": int(stats["r"] or 0),
             "n_old_snapshots": len(old_ids)}
+
+
+def merge_upsert(io, source, on: str,
+                 snapshot_id: Optional[str] = None,
+                 partitions: Optional[int] = None,
+                 key: Optional[str] = None,
+                 broadcast_threshold: int = 500_000) -> dict:
+    """MERGE INTO <table> USING <source> ON table.on = source.on —
+    whole-row upsert: every source row is inserted as one new snapshot;
+    stored rows whose key appears in the source are masked by
+    position-delete bitmaps (matched rows are REPLACED by their source
+    row, unmatched source rows are plain inserts). The table is never
+    read back for the new rows — unlike UPDATE, MERGE's write side is
+    pure source, so the only table scan is the key-column delete scan
+    (compute_deletes_by_keys: broadcast np.isin under
+    broadcast_threshold keys, a single key-column shuffle join above —
+    the same join every engine's MERGE pays).
+
+    source must have the table's column set (same schema contract as an
+    append) and UNIQUE keys — duplicate source keys would make the
+    replacement row ambiguous, so they raise (the MERGE cardinality
+    check, as in Spark/Delta/Iceberg).
+
+    snapshot_id: explicit id for the insert snapshot. Default: derived
+    from the source's parquet file listing (deterministic re-run =
+    idempotent overwrite); an in-memory source has no stable identity,
+    so it requires an explicit id. Commit order is blocks-then-deletes
+    (transient duplicates in the crash window, converging on re-run —
+    same contract as update_where)."""
+    from .deletes import compute_deletes_by_keys
+    from .encode import encode_table
+    from .tableio import snapshot_of_input
+
+    if on not in source.columns:
+        raise ValueError(f"merge key {on!r} not in source columns "
+                         f"{source.columns}")
+    if snapshot_id is None:
+        if not source.inputFiles():
+            raise ValueError(
+                "source has no parquet file identity to derive a "
+                "deterministic snapshot id from — pass snapshot_id= "
+                "explicitly (crash re-runs must overwrite the same "
+                "snapshot, not append a second copy)")
+        snapshot_id = f"mrg{snapshot_of_input(source)[:13]}"
+    dup = (source.groupBy(on).count().where(F.col("count") > 1)
+           .limit(5).collect())
+    if dup:
+        raise ValueError(
+            "MERGE cardinality violation: duplicate source keys "
+            f"{[r[on] for r in dup]} — the replacement row would be "
+            "ambiguous; dedupe the source first")
+
+    io.write_blocks(encode_table(source, snapshot_id=snapshot_id, key=key,
+                                 sort_within=key is not None,
+                                 partitions=partitions))
+    n_inserted = int((io.read_blocks()
+                      .where(F.col("snapshot_id") == snapshot_id)
+                      .agg(F.sum("n_rows")).collect()[0][0]) or 0)
+
+    # delete scan over everything EXCEPT the just-written snapshot (its
+    # rows carry the very keys being merged — scanning it would delete
+    # the new rows themselves)
+    old_blocks = (io.read_blocks()
+                  .where(F.col("snapshot_id") != snapshot_id))
+    dels = compute_deletes_by_keys(
+        old_blocks, source.select(on), on,
+        broadcast_threshold=broadcast_threshold).persist()
+    try:
+        io.write_deletes(dels)
+        stats = dels.agg(F.count("*").alias("b"),
+                         F.sum("n_deleted").alias("r")).collect()[0]
+    finally:
+        dels.unpersist()
+    return {"new_snapshot_id": snapshot_id,
+            "n_rows_inserted": n_inserted,
+            "n_rows_replaced_stored": int(stats["r"] or 0),
+            "n_blocks_matched": int(stats["b"] or 0)}

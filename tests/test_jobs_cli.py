@@ -6,6 +6,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from sparkolumnar.datagen import pages_df
 from sparkolumnar.engine import encode_table
 from sparkolumnar.engine.tableio import TableIO
@@ -191,3 +193,40 @@ def test_update_job_cli(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="--set"):
         update_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
                          "--eq", "lang=en"])
+
+
+def test_merge_job_cli(spark, tmp_path, capsys):
+    """merge_job upserts a parquet source: matched keys replaced,
+    unmatched inserted; the snapshot id derives from the source file
+    listing so a re-submitted run converges."""
+    from sparkolumnar.jobs import decode_job, merge_job
+
+    pages = pages_df(spark, 1000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages, snapshot_id="m0", partitions=2))
+    src = (pages.limit(100).withColumn("lang", F.lit("upserted")))
+    src_path = str(tmp_path / "src")
+    src.write.parquet(src_path)
+
+    merge_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                    "--source", src_path, "--on", "url"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_rows_inserted"] == 100
+    assert st["n_rows_replaced_stored"] == 100
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec"), "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1000
+    got = spark.read.parquet(str(tmp_path / "dec"))
+    assert got.filter(got.lang == "upserted").count() == 100
+
+    # re-run converges: same derived snapshot id, table unchanged
+    merge_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                    "--source", src_path, "--on", "url"])
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["new_snapshot_id"] == st["new_snapshot_id"]
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "dec2"), "--verify"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == 1000

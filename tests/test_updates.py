@@ -200,3 +200,83 @@ def test_update_validation(spark, tmp_path, docs):
         update_where(io, [("lang", "=", "en")], {})
     with pytest.raises(ValueError, match="no_such"):
         update_where(io, [("lang", "=", "en")], {"no_such": "1"})
+
+
+def _merge_twin(docs, source, on="doc_id"):
+    keys = [r[0] for r in source.select(on).collect()]
+    return docs.filter(~F.col(on).isin(keys)).unionByName(source)
+
+
+def test_merge_upsert_broadcast_path(spark, tmp_path, docs):
+    from sparkolumnar.engine.updates import merge_upsert
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(docs, snapshot_id="b", partitions=4))
+    changed = (docs.filter(F.col("doc_id") < 50)
+               .withColumn("n_chars", F.lit(0).cast("long")))
+    fresh = (docs.filter(F.col("doc_id") < 10)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    source = changed.unionByName(fresh)
+    st = merge_upsert(io, source, on="doc_id", snapshot_id="m1")
+    assert st["n_rows_inserted"] == 60
+    assert st["n_rows_replaced_stored"] == 50  # only matched keys masked
+    want = _by_id(_merge_twin(docs, source))
+    assert _by_id(_table(io)) == want
+    # re-run converges (same snapshot overwritten, bitmaps OR no-op)
+    st2 = merge_upsert(io, source, on="doc_id", snapshot_id="m1")
+    assert st2["n_rows_replaced_stored"] == 50
+    assert _by_id(_table(io)) == want
+
+
+def test_merge_upsert_shuffle_join_path(spark, tmp_path, docs):
+    """broadcast_threshold=0 forces the key-column shuffle-join path:
+    identical bitmaps, identical result."""
+    from sparkolumnar.engine.updates import merge_upsert
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(docs, snapshot_id="b", partitions=4))
+    source = (docs.filter(F.col("doc_id") % 7 == 0)
+              .withColumn("lang", F.lit("merged")))
+    st = merge_upsert(io, source, on="doc_id", snapshot_id="m1",
+                      broadcast_threshold=0)
+    assert st["n_rows_replaced_stored"] == source.count()
+    assert _by_id(_table(io)) == _by_id(_merge_twin(docs, source))
+
+
+def test_merge_key_nulls_and_string_keys(spark, tmp_path):
+    """NULL stored keys never match (SQL join semantics); string-typed
+    keys go through pc.is_in with an exact-type value set."""
+    from sparkolumnar.engine.updates import merge_upsert
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    pdf = pd.DataFrame({"k": ["a", "b", None, "c", None],
+                        "v": [1, 2, 3, 4, 5]})
+    df = spark.createDataFrame(pdf)
+    io.write_blocks(encode_table(df, snapshot_id="b", partitions=1))
+    src = spark.createDataFrame(pd.DataFrame({"k": ["b", "zz"],
+                                              "v": [20, 99]}))
+    merge_upsert(io, src, on="k", snapshot_id="m1")
+    got = sorted((r["k"], r["v"]) for r in _table(io).collect()
+                 if r["k"] is not None)
+    assert got == [("a", 1), ("b", 20), ("c", 4), ("zz", 99)]
+    nulls = [r["v"] for r in _table(io).collect() if r["k"] is None]
+    assert sorted(nulls) == [3, 5]  # null-key rows untouched
+
+
+def test_merge_cardinality_and_identity_checks(spark, tmp_path, docs):
+    from sparkolumnar.engine.updates import merge_upsert
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(docs.limit(20), snapshot_id="b",
+                                 partitions=1))
+    dup = docs.limit(5).unionByName(docs.limit(5))
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_upsert(io, dup, on="doc_id", snapshot_id="m1")
+    # in-memory source without explicit snapshot id: no stable identity
+    mem = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["x"], "lang": ["en"],
+         "source": ["s"], "n_chars": [1]}))
+    with pytest.raises(ValueError, match="snapshot id"):
+        merge_upsert(io, mem, on="doc_id")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_upsert(io, docs.limit(3), on="no_such", snapshot_id="m2")
