@@ -307,3 +307,55 @@ def test_streaming_decode_with_in_and_or_filters(spark, tmp_path):
     want = decode_blocks(io.read_blocks(), filters=filters)
     assert len(rows) == want.count() > 0
     assert {r["lang"] for r in rows} <= {"en", "l03", "l09"}
+
+
+def test_streaming_cdc_upsert(spark, tmp_path):
+    """CDC apply stream: one micro-batch carrying upserts, deletes, and
+    inserts with an op-sequence column; within-batch duplicates compact
+    to the latest op, delete-flagged keys are masked, the flag column
+    never reaches the table."""
+    import pandas as pd
+
+    from sparkolumnar.streaming import upsert_stream
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(pd.DataFrame(
+        {"k": list(range(20)), "v": [i * 10 for i in range(20)]}))
+    io.write_blocks(encode_table(base, snapshot_id="base", partitions=2))
+
+    cdc = pd.DataFrame({
+        # upserts for 0-4, a stale+fresh pair for key 3, deletes 10-12,
+        # inserts 100-101
+        "k": [0, 1, 2, 3, 4, 3, 10, 11, 12, 100, 101],
+        "v": [1000, 1001, 1002, 9999, 1004, 1003, 0, 0, 0, 1100, 1101],
+        "seq": [5, 5, 5, 1, 5, 9, 5, 5, 5, 5, 5],
+        "is_delete": [False, False, False, False, False, False,
+                      True, True, True, False, None],
+    })
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(cdc).coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = upsert_stream(stream, io, str(tmp_path / "ckpt"), on="k",
+                      delete_col="is_delete", order_col="seq")
+    q.awaitTermination(180)
+
+    out = decode_blocks(io.read_blocks(), deletes=io.read_deletes(),
+                        verify=True)
+    assert "is_delete" not in out.columns and "seq" not in out.columns
+    got = {r["k"]: r["v"] for r in out.collect()}
+    want = {k: k * 10 for k in range(20)}
+    for k in range(5):
+        want[k] = 1000 + k  # key 3: seq 9 (1003) beats seq 1 (9999)
+    for k in (10, 11, 12):
+        want.pop(k)
+    want[100], want[101] = 1100, 1101
+    assert got == want
+
+    # restart from the same checkpoint with no new files: a no-op
+    stream2 = spark.readStream.schema(static.schema).parquet(src)
+    q2 = upsert_stream(stream2, io, str(tmp_path / "ckpt"), on="k",
+                       delete_col="is_delete", order_col="seq")
+    q2.awaitTermination(180)
+    out2 = decode_blocks(io.read_blocks(), deletes=io.read_deletes())
+    assert {r["k"]: r["v"] for r in out2.collect()} == want
