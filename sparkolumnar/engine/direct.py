@@ -394,7 +394,8 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
                         filters=None,
                         blocks_root: Optional[str] = None,
                         schema=None,
-                        deletes_path: Optional[str] = None) -> dict:
+                        deletes_path: Optional[str] = None,
+                        snapshots: Optional[Sequence[str]] = None) -> dict:
     """Direct decode-to-parquet: each task reads its blocks files with
     pyarrow, decodes (reusing the engine's make_decode_fn — including
     verify's canonical-sha256 recomputation), and writes its output
@@ -448,6 +449,11 @@ def decode_files_direct(spark: SparkSession, io: TableIO, output_path: str,
     else:
         files = sorted(_local_path(f)
                        for f in io.read_blocks().inputFiles())
+    if snapshots is not None:
+        # snapshot-scoped read: snapshot_id is the first hive partition
+        # key, so this prunes whole directories before any task launches
+        want = {str(s) for s in snapshots}
+        files = [f for f in files if _path_block_coords(f)[0] in want]
     session_tz = None
     if filters:
         # validate + normalize ONCE on the driver: the task loop calls

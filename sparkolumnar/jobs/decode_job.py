@@ -74,6 +74,15 @@ def main(argv=None) -> None:
                          "reported columns. Reports STORED rows — "
                          "merge-on-read deletes are bitmaps, not "
                          "metadata, so they do not adjust these counts")
+    ap.add_argument("--snapshot", default=None, metavar="ID1,ID2,...",
+                    help="snapshot-scoped read: decode ONLY these "
+                         "snapshots' blocks (snapshot_id is the first "
+                         "hive partition key, so unlisted snapshots' "
+                         "directories are pruned at the scan — per-"
+                         "generation reads, micro-batch inspection, "
+                         "pinned reads while writers append). Composes "
+                         "with every other flag incl. --direct and "
+                         "--stats")
     ap.add_argument("--merge-schema", action="store_true",
                     help="merge parquet footers across block files: "
                          "needed when the table's snapshots span schema "
@@ -141,13 +150,34 @@ def main(argv=None) -> None:
 
     _io = _TIO(spark, _os.path.dirname(args.blocks.rstrip("/")))
     deletes = None if args.ignore_deletes else _io.read_deletes()
+    snaps = args.snapshot.split(",") if args.snapshot else None
+    if snaps is not None:
+        # validate up front (one metadata-only distinct) so a typo'd id
+        # fails loudly instead of decoding an empty table
+        have = {r["snapshot_id"] for r in
+                spark.read.parquet(args.blocks)
+                .select("snapshot_id").distinct().collect()}
+        missing = [s for s in snaps if s not in have]
+        if missing:
+            raise ValueError(f"snapshots {missing} not in the table "
+                             f"(available: {sorted(have)})")
+
+    def _scope(blocks_df):
+        if snaps is None:
+            return blocks_df
+        # snapshot_id is the leading hive partition key: Catalyst turns
+        # this into PartitionFilters — unlisted directories never scan
+        from pyspark.sql import functions as F
+
+        return blocks_df.where(F.col("snapshot_id").isin(snaps))
+
     if args.stats:
         if filters or args.limit is not None or args.direct:
             raise ValueError("--stats does not combine with predicates, "
                              "--limit or --direct (it never decodes)")
         from sparkolumnar.engine.analyze import metadata_stats
 
-        blocks = spark.read.parquet(args.blocks)
+        blocks = _scope(spark.read.parquet(args.blocks))
         rows = metadata_stats(blocks, columns=cols).collect()
         print(json.dumps({"columns": {
             r["column"]: {"n_blocks": r["n_blocks"], "n_rows": r["n_rows"],
@@ -181,7 +211,8 @@ def main(argv=None) -> None:
                                   schema=schema,
                                   deletes_path=(io.deletes_path
                                                 if deletes is not None
-                                                else None))
+                                                else None),
+                                  snapshots=snaps)
         print(json.dumps({"rows": res["n_rows"],
                           "blocks_read": res["n_blocks_read"],
                           "blocks_total": res["n_blocks_total"]}))
@@ -192,8 +223,8 @@ def main(argv=None) -> None:
         # schema-evolved table: merge footers so every generation's payload
         # columns survive the scan, infer the UNION schema from all blocks'
         # metadata, and decode compat (older blocks null-fill added columns)
-        blocks = (spark.read.option("mergeSchema", "true")
-                  .parquet(args.blocks))
+        blocks = _scope(spark.read.option("mergeSchema", "true")
+                        .parquet(args.blocks))
         schema = union_schema_of_blocks(blocks)
         if cols is not None:
             have = {f.name for f in schema.fields}
@@ -209,7 +240,7 @@ def main(argv=None) -> None:
                             offset=args.offset, filters=filters,
                             deletes=deletes)
     else:
-        blocks = spark.read.parquet(args.blocks)
+        blocks = _scope(spark.read.parquet(args.blocks))
         out = decode_blocks(blocks, verify=args.verify, columns=cols,
                             limit=args.limit, offset=args.offset,
                             filters=filters, deletes=deletes)

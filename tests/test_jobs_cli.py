@@ -230,3 +230,46 @@ def test_merge_job_cli(spark, tmp_path, capsys):
                      "--output", str(tmp_path / "dec2"), "--verify"])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows"] == 1000
+
+
+def test_decode_job_snapshot_scoped(spark, tmp_path, capsys):
+    """--snapshot decodes only the listed snapshots (hive partition
+    pruning at the scan) on both the IPC and direct paths."""
+    from sparkolumnar.jobs import decode_job
+
+    pages = pages_df(spark, 1000)
+    io = TableIO(spark, str(tmp_path / "t"))
+    a = pages.limit(600)
+    b = pages.subtract(a)
+    io.write_blocks(encode_table(a, snapshot_id="s1", partitions=2))
+    io.write_blocks(encode_table(b, snapshot_id="s2", partitions=2))
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "d1"),
+                     "--snapshot", "s1", "--verify"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 600
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "d2"),
+                     "--snapshot", "s1,s2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1000
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", str(tmp_path / "d3"),
+                     "--snapshot", "s2", "--direct"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 400 and out["blocks_total"] == 2
+
+
+def test_decode_job_snapshot_unknown_rejected(spark, tmp_path, capsys):
+    from sparkolumnar.jobs import decode_job
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(pages_df(spark, 200), snapshot_id="s1",
+                                 partitions=1))
+    with pytest.raises(ValueError, match="nope.*available"):
+        decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                         "--output", str(tmp_path / "d"),
+                         "--snapshot", "nope"])
