@@ -1301,6 +1301,32 @@ def _q_merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def _q_zorder_multidim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout (encode_table cluster_layout='zorder'):
+    per-column quantile ranks bit-interleave into a Morton value (pure
+    JVM shift/and expressions, deterministic sample — resume-safe), so
+    blocks are rectangle-tight in EVERY clustered dimension and a range
+    probe on the SECOND column (n_chars here) prunes blocks too —
+    lexicographic range clustering is blind past the first column
+    (pinned by test_zorder_prunes_every_clustered_dimension). The probe
+    then decodes through the normal filters= stack; oracle is the plain
+    SQL filter."""
+    from sparkolumnar.engine import decode_blocks, encode_table
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = encode_table(docs, cluster_by=["doc_id", "n_chars"],
+                          cluster_layout="zorder", partitions=4,
+                          snapshot_id="zord")
+    mat = spark.createDataFrame(blocks.collect(), blocks.schema)
+    out = decode_blocks(mat, filters=[("n_chars", "between", 150, 300)],
+                        verify=True)
+    return (out.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1351,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_read_delete": _q_merge_on_read_delete,
         "merge_on_read_update": _q_merge_on_read_update,
         "merge_on_read_upsert": _q_merge_on_read_upsert,
+        "zorder_multidim_filter": _q_zorder_multidim_filter,
         "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -1904,6 +1931,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 1000000 AS doc_id, lang, n_chars
             FROM documents WHERE doc_id < 20
             ORDER BY doc_id
+        """,
+        "zorder_multidim_filter": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM documents WHERE n_chars BETWEEN 150 AND 300
+            GROUP BY lang ORDER BY lang
         """,
         "struct_evolution_roundtrip": """
             SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,

@@ -648,6 +648,7 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
                               sort_within: bool = False,
                               snapshot_id: str = "", mode: str = BALANCED,
                               plan=None, overrides=None, cluster_by=None,
+                              cluster_layout: str = "range",
                               skip_parts=None,
                               sketches: Optional[bool] = None,
                               filesystem=None):
@@ -681,7 +682,8 @@ def encode_table_direct_write(df, io: TableIO, key: Optional[str] = None,
     if sketches is None:
         sketches = mode != FAST
     df = layout_for_encode(df, key=key, partitions=partitions,
-                           sort_within=sort_within, cluster_by=cluster_by)
+                           sort_within=sort_within, cluster_by=cluster_by,
+                           cluster_layout=cluster_layout)
     col_names = [f.name for f in df.schema.fields]
     file_schema = pa.schema(
         [f for f in arrow_blocks_schema(col_names)
@@ -758,6 +760,7 @@ def encode_job_direct_write(spark, input_df, io: TableIO,
                             sort_within: bool = True,
                             run_id: str = "r0", plan="auto",
                             overrides=None, cluster_by=None,
+                            cluster_layout: str = "range",
                             filesystem=None) -> dict:
     """Checkpointed HYBRID encode job — the production recipe with the
     IPC-out leg removed: Spark owns the layout (salted url-hash shuffle
@@ -778,7 +781,7 @@ def encode_job_direct_write(spark, input_df, io: TableIO,
         # encode.clustered_snapshot_id
         from .encode import clustered_snapshot_id
 
-        snap = clustered_snapshot_id(snap, cluster_by)
+        snap = clustered_snapshot_id(snap, cluster_by, cluster_layout)
     if plan == "auto":
         from .plan import build_plan
 
@@ -789,6 +792,7 @@ def encode_job_direct_write(spark, input_df, io: TableIO,
         input_df, io, key=None if cluster_by else key, partitions=p,
         sort_within=sort_within, snapshot_id=snap, mode=mode, plan=plan,
         overrides=overrides, cluster_by=cluster_by,
+        cluster_layout=cluster_layout,
         skip_parts=set(done), filesystem=filesystem).collect()
     result = {"snapshot_id": snap, "parts_done_before": len(done),
               "parts_encoded": len(meta),

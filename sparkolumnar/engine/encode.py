@@ -343,18 +343,24 @@ _CLUSTER_MAX_BUCKETS = 65536      # sanity ceiling, NOT a parallelism cap:
 CLUSTER_LAYOUT_VERSION = 2
 
 
-def clustered_snapshot_id(base_snap: str, cluster_by) -> str:
+def clustered_snapshot_id(base_snap: str, cluster_by,
+                          cluster_layout: str = "range") -> str:
     """Snapshot identity for a cluster_by encode: the input-listing hash
     folded with the cluster columns and the layout version, mirroring
     how _snapshot_of_files folds files_per_task into the direct paths'
     identity. Callers passing an EXPLICIT snapshot_id keep it verbatim
     and own the same obligation: never resume a clustered snapshot
-    across a layout-version change or with different cluster columns."""
+    across a layout-version change or with different cluster columns.
+    A zorder layout folds its own marker in (range ids unchanged), so
+    switching layouts never resumes across incompatible row
+    assignments."""
     import hashlib
 
     cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
     h = hashlib.sha256(base_snap.encode())
     h.update(f"|cluster-v{CLUSTER_LAYOUT_VERSION}|{','.join(cols)}".encode())
+    if cluster_layout != "range":
+        h.update(f"|layout-{cluster_layout}".encode())
     return h.hexdigest()[:16]
 
 
@@ -388,6 +394,77 @@ def _cluster_bucket_boundaries(df: DataFrame, cols: List[str],
         if not out or b != out[-1]:
             out.append(b)
     return out
+
+
+_ZORDER_BITS = 8  # 256 quantile ranks per dimension
+
+
+def _zorder_rank_bounds(df: DataFrame, cols: List[str], bits: int):
+    """Per-column INDEPENDENT quantile boundaries from one shared
+    deterministic sample — each column contributes its own 2^bits-rank
+    space to the interleave (unlike the lexicographic composite bounds,
+    where later columns only split within first-column ties). Returns
+    (per_col_bounds, sample_columns) — the raw sample comes back too so
+    the caller can derive z-value bucket boundaries from the SAME rows
+    (one sample pass total)."""
+    from .plan import sample_table
+
+    q = 1 << bits
+    tbl = sample_table(df.select(*cols), sample_rows=max(8_192, 4 * q))
+    sample_cols = [tbl.column(i).to_pylist() for i in range(len(cols))]
+    per_col = []
+    for vals_all in sample_cols:
+        vals = sorted(v for v in vals_all if v is not None)
+        out: list = []
+        for k in range(1, q):
+            if not vals:
+                break
+            b = (vals[min(len(vals) - 1, k * len(vals) // q)],)
+            if not out or b != out[-1]:
+                out.append(b)
+        per_col.append(out)
+    return per_col, sample_cols
+
+
+def _py_rank(bounds: list, v):
+    """Python twin of the rank CASE tree: |{b : v > b}| = bisect_left
+    over the sorted deduped 1-tuple boundaries; nulls take the ELSE
+    branch everywhere = rank 0. Used only to derive z-bucket boundaries
+    from the sample — the per-row assignment is the JVM expression, so
+    exact parity is not a correctness requirement, but this IS the same
+    formula."""
+    if v is None:
+        return 0
+    import bisect
+
+    return bisect.bisect_left([b[0] for b in bounds], v)
+
+
+def _zorder_value_sql(rank_cols: List[str], bits: int) -> str:
+    """Morton/Z-value from per-column rank columns: bit i of rank c
+    lands at interleaved position i*ncols + c. Pure JVM integer ops —
+    bits*ncols shift/and/sum terms, one F.expr parse."""
+    n = len(rank_cols)
+    terms = [f"shiftleft(shiftright({_sql_ident(rc)}, {bit}) & 1, "
+             f"{bit * n + ci})"
+             for bit in range(bits)
+             for ci, rc in enumerate(rank_cols)]
+    return " + ".join(terms)
+
+
+def _zorder_py_z(per_col_bounds, sample_cols, bits: int) -> list:
+    """z values of the sample rows (Python twin of _zorder_value_sql),
+    for deriving deterministic z-bucket quantile boundaries."""
+    n = len(sample_cols)
+    zs = []
+    for row in zip(*sample_cols):
+        z = 0
+        for ci, v in enumerate(row):
+            r = _py_rank(per_col_bounds[ci], v)
+            for bit in range(bits):
+                z |= ((r >> bit) & 1) << (bit * n + ci)
+        zs.append(z)
+    return zs
 
 
 def _sql_ident(name: str) -> str:
@@ -547,6 +624,7 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
                  skip_parts: Optional[Set[int]] = None,
                  salt: int = DEFAULT_SALT, plan=None,
                  overrides=None, cluster_by=None,
+                 cluster_layout: str = "range",
                  sketches: Optional[bool] = None) -> DataFrame:
     """Encode `df` into a blocks DataFrame (one row per block).
 
@@ -592,7 +670,8 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
         sketches = mode != FAST
     df = layout_for_encode(df, key=key, partitions=partitions,
                            sort_within=sort_within, salt=salt,
-                           cluster_by=cluster_by)
+                           cluster_by=cluster_by,
+                           cluster_layout=cluster_layout)
     return df.mapInArrow(
         make_encode_fn(snapshot_id, mode, skip_parts, plan, overrides,
                        sketches),
@@ -602,13 +681,27 @@ def encode_table(df: DataFrame, key: Optional[str] = None,
 def layout_for_encode(df: DataFrame, key: Optional[str] = None,
                       partitions: Optional[int] = None,
                       sort_within: bool = False, salt: int = DEFAULT_SALT,
-                      cluster_by=None) -> DataFrame:
+                      cluster_by=None,
+                      cluster_layout: str = "range") -> DataFrame:
     """The physical layout step shared by every encode entry point:
     salted-hash shuffle (key=), deterministic range clustering
-    (cluster_by=), or plain repartition."""
+    (cluster_by=, cluster_layout="range"), multi-dimensional Z-order
+    clustering (cluster_layout="zorder"), or plain repartition.
+
+    Z-order: each cluster column independently quantile-ranks into a
+    2^bits space (one shared deterministic sample), the ranks bit-
+    interleave into a Morton z-value (pure JVM shift/and terms), and
+    rows range-cluster by z — blocks become rectangle-tight in EVERY
+    clustered dimension, so a range predicate on the SECOND column
+    prunes too (lexicographic range clustering only prunes well on the
+    first). The standard layout for multi-column probe tables
+    (Databricks Z-ORDER, Iceberg sort-order z-curves)."""
     if cluster_by is not None:
         if key is not None:
             raise ValueError("cluster_by= and key= are mutually exclusive")
+        if cluster_layout not in ("range", "zorder"):
+            raise ValueError(f"cluster_layout must be 'range' or "
+                             f"'zorder', got {cluster_layout!r}")
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         # bucket count scales WITH partitions (no constant cap): at p
@@ -616,6 +709,36 @@ def layout_for_encode(df: DataFrame, key: Optional[str] = None,
         # bucket values into the hash or most partitions sit empty — the
         # parallelism ceiling at 100x scale
         n_buckets = min(_CLUSTER_BUCKETS_PER_PART * p, _CLUSTER_MAX_BUCKETS)
+        if cluster_layout == "zorder" and len(cols) > 1:
+            bits = min(_ZORDER_BITS, 62 // len(cols))
+            per_col, sample_cols = _zorder_rank_bounds(df, cols, bits)
+            rank_cols = []
+            # materialize ranks as temp columns ONCE: embedding each
+            # rank CASE tree into every interleave term would duplicate
+            # it bits× in the plan
+            for i, (c, bnds) in enumerate(zip(cols, per_col)):
+                rc = f"__zr{i}"
+                expr = (_cluster_bucket_expr([c], bnds).cast("long")
+                        if bnds else F.lit(0).cast("long"))
+                df = df.withColumn(rc, expr)
+                rank_cols.append(rc)
+            df = df.withColumn("__z",
+                               F.expr(_zorder_value_sql(rank_cols, bits)))
+            zs = sorted(_zorder_py_z(per_col, sample_cols, bits))
+            zb: list = []
+            for k in range(1, n_buckets):
+                if not zs:
+                    break
+                b = (zs[min(len(zs) - 1, k * len(zs) // n_buckets)],)
+                if not zb or b != zb[-1]:
+                    zb.append(b)
+            bucket = (_cluster_bucket_expr(["__z"], zb) if zb
+                      else F.lit(0))
+            df = (df.withColumn("__cluster_bucket", bucket)
+                  .repartition(p, F.col("__cluster_bucket"))
+                  .sortWithinPartitions("__z", *cols)
+                  .drop("__cluster_bucket", "__z", *rank_cols))
+            return df
         bounds = _cluster_bucket_boundaries(df, cols, n_buckets=n_buckets)
         bucket = (_cluster_bucket_expr(cols, bounds) if bounds
                   else F.lit(0))

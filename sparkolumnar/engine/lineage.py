@@ -67,7 +67,8 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
                run_id: str = "r0",
                only_parts: Optional[set] = None,
                plan="auto", overrides=None,
-               cluster_by=None) -> EncodeJobResult:
+               cluster_by=None,
+               cluster_layout: str = "range") -> EncodeJobResult:
     """Checkpointed encode of input_df into io's blocks table.
 
     only_parts restricts this run to a subset of partitions (used by tests
@@ -88,7 +89,7 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
         # identity: a resume across a bucket-layout change must become a
         # fresh snapshot, not a silent mix of old- and new-layout parts
         from .encode import clustered_snapshot_id
-        snap = clustered_snapshot_id(snap, cluster_by)
+        snap = clustered_snapshot_id(snap, cluster_by, cluster_layout)
     if plan == "auto":
         from .plan import build_plan
         plan = build_plan(input_df, mode=mode)
@@ -101,7 +102,8 @@ def encode_job(spark, input_df: DataFrame, io: TableIO, key: Optional[str] = "ur
                           partitions=p,
                           sort_within=sort_within, snapshot_id=snap,
                           mode=mode, skip_parts=skip, plan=plan,
-                          overrides=overrides, cluster_by=cluster_by)
+                          overrides=overrides, cluster_by=cluster_by,
+                          cluster_layout=cluster_layout)
     io.write_blocks(blocks)
     # derive checkpoint rows from what actually landed (metadata-only read)
     landed = io.read_blocks()

@@ -34,6 +34,14 @@ def main(argv=None) -> None:
                          "instead of hash-shuffling on --key; makes "
                          "zone-map/bloom pruning effective for "
                          "range/equality decode")
+    ap.add_argument("--cluster-layout", default="range",
+                    choices=["range", "zorder"],
+                    help="with --cluster-by over SEVERAL columns: "
+                         "'range' (default) is lexicographic — tight "
+                         "zone maps on the first column; 'zorder' bit-"
+                         "interleaves per-column quantile ranks (Morton "
+                         "curve) so range probes on EVERY clustered "
+                         "column prune blocks")
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--direct", action="store_true",
                     help="scan-in-UDF direct encode (storage order, no "
@@ -92,14 +100,16 @@ def main(argv=None) -> None:
         d = encode_job_direct_write(
             spark, df, io, key=args.key, mode=args.mode,
             partitions=args.partitions, sort_within=not args.no_sort,
-            run_id=args.run_id, overrides=overrides, cluster_by=cluster_by)
+            run_id=args.run_id, overrides=overrides, cluster_by=cluster_by,
+            cluster_layout=args.cluster_layout)
         d["ratio"] = (d["bytes_out"] / d["bytes_in"]) if d["bytes_in"] else None
         print(json.dumps(d))
         return
     res = encode_job(spark, df, io, key=args.key, mode=args.mode,
                      partitions=args.partitions,
                      sort_within=not args.no_sort, run_id=args.run_id,
-                     overrides=overrides, cluster_by=cluster_by)
+                     overrides=overrides, cluster_by=cluster_by,
+                     cluster_layout=args.cluster_layout)
     print(json.dumps({
         "snapshot_id": res.snapshot_id,
         "parts_done_before": res.parts_done_before,

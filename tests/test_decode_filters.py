@@ -969,3 +969,88 @@ def test_starts_with_direct_decode_path(spark, tmp_path):
             .exceptAll(want.select("url", "lang")).count() == 0)
     # prefix pruning bites in-task too
     assert res["n_blocks_read"] < res["n_blocks_total"]
+
+
+# ---------------------------------------------------------------- zorder
+
+
+def _kept_blocks(blocks, flt):
+    from sparkolumnar.engine.decode import (_apply_block_filters,
+                                            _blocks_arrow_types,
+                                            _normalize_filters)
+
+    return _apply_block_filters(blocks, _normalize_filters(flt),
+                                _blocks_arrow_types(blocks)).count()
+
+
+def test_zorder_prunes_every_clustered_dimension(spark):
+    """cluster_layout='zorder' (Morton interleave of per-column quantile
+    ranks): a 5%-selectivity range probe on EITHER clustered column
+    prunes blocks; lexicographic 'range' clustering only prunes on the
+    first. Independent uniform columns are the adversarial case for
+    lexicographic layouts."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 60_000
+    pdf = pd.DataFrame({"a": rng.randint(0, 1_000_000, n),
+                        "b": rng.randint(0, 1_000_000, n),
+                        "v": np.arange(n)})
+    df = spark.createDataFrame(pdf).repartition(4)
+    probe_a = [("a", "between", 100_000, 150_000)]
+    probe_b = [("b", "between", 100_000, 150_000)]
+
+    enc_r = encode_table(df, cluster_by=["a", "b"], partitions=16)
+    br = spark.createDataFrame(enc_r.collect(), enc_r.schema)
+    enc_z = encode_table(df, cluster_by=["a", "b"],
+                         cluster_layout="zorder", partitions=16)
+    bz = spark.createDataFrame(enc_z.collect(), enc_z.schema)
+
+    nr, nz = br.count(), bz.count()
+    # range layout: tight on a, blind on b
+    assert _kept_blocks(br, probe_a) <= nr * 0.45
+    kept_b_range = _kept_blocks(br, probe_b)
+    assert kept_b_range >= nr * 0.9
+    # zorder: prunes on BOTH dimensions (and beats range on the second)
+    kept_a, kept_b = _kept_blocks(bz, probe_a), _kept_blocks(bz, probe_b)
+    assert kept_a <= nz * 0.6 and kept_b <= nz * 0.6
+    assert kept_b / nz < kept_b_range / nr
+    # and the data itself round-trips bit-identically
+    dec = decode_blocks(bz, verify=True)
+    assert dec.count() == n
+    assert dec.agg(F.sum("v")).collect()[0][0] == int(pdf["v"].sum())
+    # filtered decode returns exactly the matching rows
+    got = decode_blocks(bz, filters=probe_b).count()
+    assert got == int(((pdf["b"] >= 100_000) & (pdf["b"] <= 150_000)).sum())
+
+
+def test_zorder_deterministic_and_identity_versioned(spark):
+    """Two zorder encodes of the same input produce IDENTICAL blocks
+    (the resume invariant: sample, ranks, z-buckets are all
+    deterministic), and the auto snapshot identity distinguishes the
+    layouts so a resume can never mix them."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkolumnar.engine.encode import clustered_snapshot_id
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"a": rng.randint(0, 10_000, 8_000),
+                        "s": [f"u{i % 97:03d}" for i in range(8_000)]})
+    df = spark.createDataFrame(pdf).repartition(2)
+    e1 = encode_table(df, cluster_by=["a", "s"], cluster_layout="zorder",
+                      partitions=4, snapshot_id="z1")
+    e2 = encode_table(df, cluster_by=["a", "s"], cluster_layout="zorder",
+                      partitions=4, snapshot_id="z1")
+    k1 = sorted((r["part_id"], r["seq"], r["block_id"])
+                for r in e1.select("part_id", "seq", "block_id").collect())
+    k2 = sorted((r["part_id"], r["seq"], r["block_id"])
+                for r in e2.select("part_id", "seq", "block_id").collect())
+    assert k1 == k2
+    assert (clustered_snapshot_id("base", ["a", "s"], "zorder")
+            != clustered_snapshot_id("base", ["a", "s"], "range"))
+    assert (clustered_snapshot_id("base", ["a", "s"])
+            == clustered_snapshot_id("base", ["a", "s"], "range"))
+    with pytest.raises(ValueError, match="cluster_layout"):
+        encode_table(df, cluster_by=["a", "s"], cluster_layout="hilbert")
