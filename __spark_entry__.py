@@ -1327,6 +1327,37 @@ def _q_zorder_multidim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (pipeline/sampling.py): keep
+    25% of 'en', all of 'de', 50% of everything else, selected by
+    md5-hash threshold on the key — the SAME rows on every run, any
+    partitioning, any engine (the oracle re-derives the exact set).
+    Spark's df.sample() is none of those (per-partition RNG). One
+    codegen'd Filter, zero Python in the row path."""
+    from sparkolumnar.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", "doc_id",
+                            {"en": 0.25, "de": 1.0},
+                            default_fraction=0.5, salt="s0")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (pipeline/packing.py): documents pack
+    into 5000-token bins per language (streaming offset rule — doc's
+    bin is the window its first token falls in), ONE window cumulative
+    sum, no UDF; the oracle recomputes every bin id with the same
+    window SUM. The pre-tokenization batching step of an LLM training
+    pipeline."""
+    from sparkolumnar.pipeline import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, tokens_col="n_chars", budget=5000,
+                            group_cols="lang", order_col="doc_id")
+    return packing_stats(packed, "n_chars", group_cols="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_lang": _q_stats_lang,
@@ -1378,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_read_update": _q_merge_on_read_update,
         "merge_on_read_upsert": _q_merge_on_read_upsert,
         "zorder_multidim_filter": _q_zorder_multidim_filter,
+        "stratified_sample": _q_stratified_sample,
+        "sequence_packing": _q_sequence_packing,
         "struct_evolution_roundtrip": _q_struct_evolution_roundtrip,
         "encode_metrics_documents": _q_encode_metrics_documents,
         "encode_roundtrip_events": _q_encode_roundtrip_events,
@@ -1938,6 +1971,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS min_doc_id
             FROM documents WHERE n_chars BETWEEN 150 AND 300
             GROUP BY lang ORDER BY lang
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT
+                  < CASE lang WHEN 'en' THEN 1073741824
+                              WHEN 'de' THEN 4294967296
+                              ELSE 2147483648 END
+            ORDER BY doc_id
+        """,
+        "sequence_packing": """
+            WITH s AS (
+                SELECT lang, doc_id, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start
+                FROM documents)
+            SELECT lang, CAST(FLOOR(start / 5000) AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+            FROM s GROUP BY lang, bin_id ORDER BY lang, bin_id
         """,
         "struct_evolution_roundtrip": """
             SELECT doc_id, lang AS meta_lang, n_chars AS meta_n_chars,

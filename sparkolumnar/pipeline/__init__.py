@@ -24,3 +24,6 @@ from .textstats import (fingerprint, lang_id, quality_score,  # noqa: F401
                         repetition_stats, token_stats,
                         winnow_fingerprints)
 from .jpeg import JpegError, decode_jpeg, encode_jpeg  # noqa: F401,E402
+from .packing import pack_sequences, packing_stats  # noqa: F401,E402
+from .sampling import (deterministic_sample, sample_hash,  # noqa: F401,E402
+                       stratified_sample)

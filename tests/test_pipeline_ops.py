@@ -527,3 +527,72 @@ def test_winnow_neardup_pairs_containment_and_hot_cap(spark):
     capped = winnow_neardup_pairs(df2, "text", "doc_id",
                                   min_shared=1, max_bucket=3)
     assert uncapped.count() > capped.count()
+
+
+# ------------------------------------------------- sampling + packing
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    """The hash-threshold sample selects the SAME rows regardless of
+    partitioning (Spark's df.sample does not) and different salts give
+    independent subsets."""
+    from sparkolumnar.pipeline import deterministic_sample
+
+    pdf = pd.DataFrame({"k": range(20_000)})
+    a = spark.createDataFrame(pdf).repartition(1)
+    b = spark.createDataFrame(pdf).repartition(17)
+    sa = {r["k"] for r in deterministic_sample(a, "k", 0.1).collect()}
+    sb = {r["k"] for r in deterministic_sample(b, "k", 0.1).collect()}
+    assert sa == sb
+    assert 0.08 * 20_000 < len(sa) < 0.12 * 20_000  # ~uniform
+    s2 = {r["k"] for r in
+          deterministic_sample(a, "k", 0.1, salt="val").collect()}
+    ovl = len(sa & s2) / 20_000
+    assert ovl < 0.02  # ~f1*f2 = 1% expected overlap
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(a, "k", 1.5)
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from sparkolumnar.pipeline import stratified_sample
+
+    pdf = pd.DataFrame({"k": range(30_000),
+                        "g": ["en", "de", "xx"] * 10_000})
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample(df, "g", "k", {"en": 0.2, "de": 1.0},
+                            default_fraction=0.0)
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got["de"] == 10_000          # keep-all stratum is exact
+    assert "xx" not in got              # default 0 drops the stratum
+    assert 0.17 * 10_000 < got["en"] < 0.23 * 10_000
+
+
+def test_pack_sequences_matches_python_twin(spark):
+    """Every bin id equals the streaming-offset rule recomputed in
+    Python; oversize documents get exactly one bin; groups pack
+    independently."""
+    from sparkolumnar.pipeline import pack_sequences, packing_stats
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "doc_id": range(3_000),
+        "g": [f"g{i % 5}" for i in range(3_000)],
+        "tok": rng.randint(1, 900, 3_000)})
+    pdf.loc[7, "tok"] = 5_000  # oversize doc: one bin, still packs
+    df = spark.createDataFrame(pdf).repartition(8)
+    packed = pack_sequences(df, "tok", budget=2_048, group_cols="g",
+                            order_col="doc_id")
+    got = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+    for g, grp in pdf.sort_values("doc_id").groupby("g"):
+        start = 0
+        for _, row in grp.iterrows():
+            assert got[row["doc_id"]] == start // 2_048, row["doc_id"]
+            start += row["tok"]
+    st = packing_stats(packed, "tok", group_cols="g").collect()
+    assert all(r["n_docs"] >= 1 for r in st)
+    with pytest.raises(ValueError, match="order_col"):
+        pack_sequences(df, "tok", budget=2_048, group_cols="g")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "tok", budget=0, group_cols="g",
+                       order_col="doc_id")
