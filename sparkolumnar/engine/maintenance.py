@@ -200,3 +200,74 @@ def list_snapshots(io: TableIO):
                  .alias("rows_per_block"),
                  F.first(_decodable_columns_expr()).alias("columns"))
             .orderBy("snapshot_id"))
+
+
+def _fs_of(path: str):
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (ValueError, OSError):
+        return pafs.LocalFileSystem(), path
+
+
+def vacuum_table(io: TableIO, min_age_sec: float = 3600.0) -> dict:
+    """Garbage-collect a table's crash residue — the janitor every
+    long-lived table format ships (Iceberg's remove-orphan-files /
+    Delta's VACUUM, re-expressed for the blocks layout):
+
+    * **stale in-progress temps**: the direct/hybrid write paths stage
+      each output as `.<name>.<attempt>.inprogress` + atomic move — a
+      task killed mid-write leaves the temp behind. Any such file older
+      than min_age_sec is deleted (the age guard keeps a RUNNING job's
+      in-flight temps safe — same contract as Delta's retention check;
+      dotfile temps are already invisible to every reader, this
+      reclaims the bytes);
+    * **orphaned delete rows**: a crash between compaction's
+      blocks-directory drop and deletes-directory drop leaves delete
+      bitmaps whose snapshot no longer exists. Their coordinates match
+      no surviving block (harmless to readers), but every future read
+      loads them — drop each deletes/snapshot_id=X directory whose X
+      has no blocks directory anymore.
+
+    Driver-side metadata/listing work only (pyarrow.fs, storage-
+    agnostic) — no payload byte is read. Returns counts. Idempotent."""
+    import time
+
+    from pyarrow import fs as pafs
+
+    removed_tmp = 0
+    bytes_tmp = 0
+    fs, root = _fs_of(io.blocks_path)
+    now = time.time()
+    sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
+    for info in fs.get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        if not info.base_name.endswith(".inprogress"):
+            continue
+        mtime = info.mtime.timestamp() if info.mtime else 0.0
+        if now - mtime < min_age_sec:
+            continue
+        fs.delete_file(info.path)
+        removed_tmp += 1
+        bytes_tmp += info.size or 0
+
+    removed_del_snaps = []
+    dfs, droot = _fs_of(io.deletes_path)
+    dsel = pafs.FileSelector(droot, recursive=False, allow_not_found=True)
+    live = {d.base_name for d in fs.get_file_info(
+        pafs.FileSelector(root, recursive=False, allow_not_found=True))
+        if d.type == pafs.FileType.Directory}
+    for info in dfs.get_file_info(dsel):
+        if info.type != pafs.FileType.Directory:
+            continue
+        if not info.base_name.startswith("snapshot_id="):
+            continue
+        if info.base_name not in live:
+            dfs.delete_dir(info.path)
+            removed_del_snaps.append(
+                info.base_name[len("snapshot_id="):])
+    return {"n_tmp_files_removed": removed_tmp,
+            "tmp_bytes_reclaimed": int(bytes_tmp),
+            "orphan_delete_snapshots_removed": sorted(removed_del_snaps)}

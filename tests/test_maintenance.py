@@ -182,3 +182,51 @@ def test_compact_rejects_mixed_schemas_loudly(spark, tmp_path):
     got = decode_blocks(io.read_blocks().where(
         F.col("snapshot_id") == "mig"), verify=True).orderBy("k").collect()
     assert [r["b"] for r in got] == [None] * 10 + list(range(10))
+
+
+def test_vacuum_removes_stale_temps_and_orphan_deletes(spark, tmp_path):
+    """vacuum_table: stale .inprogress write temps older than the age
+    guard are reclaimed (younger ones survive — a running job's files);
+    delete-bitmap directories whose snapshot is gone (compaction crash
+    window) are dropped; live snapshots' deletes are untouched."""
+    import os
+    import pandas as pd
+
+    from sparkolumnar.engine.deletes import delete_where
+    from sparkolumnar.engine.maintenance import vacuum_table
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(pd.DataFrame({"k": range(100),
+                                             "v": range(100)}))
+    io.write_blocks(encode_table(df, snapshot_id="s1", partitions=1))
+    delete_where(io, [("k", "<", 10)])
+
+    # a stale crashed-attempt temp + a fresh in-flight one
+    pdir = os.path.join(io.blocks_path, "snapshot_id=s1", "part_id=0")
+    stale = os.path.join(pdir, ".blk.attempt1.inprogress")
+    fresh = os.path.join(pdir, ".blk.attempt2.inprogress")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"x" * 128)
+    os.utime(stale, (1, 1))  # ancient mtime
+
+    # an orphaned deletes partition (snapshot dir gone, bitmaps left)
+    orphan = os.path.join(io.deletes_path, "snapshot_id=gone")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+
+    st = vacuum_table(io, min_age_sec=3600)
+    assert st["n_tmp_files_removed"] == 1
+    assert st["tmp_bytes_reclaimed"] == 128
+    assert st["orphan_delete_snapshots_removed"] == ["gone"]
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    assert not os.path.exists(orphan)
+    # live snapshot's delete rows untouched; table still reads masked
+    assert io.read_deletes().count() >= 1
+    got = decode_blocks(io.read_blocks(), deletes=io.read_deletes())
+    assert got.count() == 90
+    # idempotent
+    st2 = vacuum_table(io, min_age_sec=3600)
+    assert st2["n_tmp_files_removed"] == 0
+    assert st2["orphan_delete_snapshots_removed"] == []
