@@ -19,7 +19,7 @@ into the scan.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,10 +63,8 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
             raise ValueError(f"fraction for {k!r} must be in [0, 1]")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
-    thr: Optional[Column] = None
-    expr = F.lit(int(default_fraction * _HASH_SPACE))
+    thr = F.lit(int(default_fraction * _HASH_SPACE))
     for k, f in sorted(fractions.items()):
         cond = F.col(strata_col) == F.lit(k)
-        expr = F.when(cond, F.lit(int(f * _HASH_SPACE))).otherwise(expr)
-    thr = expr
+        thr = F.when(cond, F.lit(int(f * _HASH_SPACE))).otherwise(thr)
     return df.where(sample_hash(F.col(key_col), salt) < thr)
