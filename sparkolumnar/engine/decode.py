@@ -156,16 +156,27 @@ _BASE_COLS = ("block_id", "snapshot_id", "part_id", "seq", "n_rows",
 DELETE_MASK_COL = "_del_mask"
 DELETE_COUNT_COL = "_del_n"
 COORD_COLS = ["snapshot_id", "part_id", "seq"]
+# ship OR'd delete bitmaps in the task closure up to this many bytes
+# (64k-row blocks carry 8 KiB bitmaps -> ~4k touched blocks); beyond it
+# the bitmaps join onto the scan as a _del_mask column instead
+_DELETE_CLOSURE_MAX_BYTES = 32 << 20
 
 
 def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
                    target: Optional[pa.Schema] = None,
-                   budgets: Optional[dict] = None):
+                   budgets: Optional[dict] = None,
+                   del_masks: Optional[dict] = None):
     """budgets (partial decode): {(snapshot_id, part_id, seq): (skip, take)}
     — keyed by the physically-unique block coordinates, NOT block_id:
     block_id is content-addressed, so two byte-identical batches in one
     snapshot share one, and a block_id-keyed window would silently decode
-    duplicates with the wrong (overwritten) window."""
+    duplicates with the wrong (overwritten) window.
+
+    del_masks (merge-on-read deletes, closure path): {(snapshot_id,
+    part_id, seq): OR'd position bitmap} shipped in the task closure —
+    the multi-MB payload binaries then never traverse a join operator
+    (decode_blocks falls back to joining a _del_mask column onto the
+    scan only when the aggregated bitmaps are too many to ship)."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -190,6 +201,9 @@ def make_decode_fn(verify: bool = False, columns: Optional[List[str]] = None,
                     if budget is None:
                         continue
                 dmask = row.pop(DELETE_MASK_COL, None)
+                if dmask is None and del_masks is not None:
+                    dmask = del_masks.get(
+                        (row["snapshot_id"], row["part_id"], row["seq"]))
                 for name, col in pay_cols:
                     s = col[j]
                     row[name] = (memoryview(s.as_buffer())
@@ -1608,15 +1622,36 @@ def decode_blocks(blocks_df: DataFrame, schema: Optional[T.StructType] = None,
                        for f in (payload_field(c), validity_field(c))
                        if f in have]
         blocks_df = blocks_df.select(*keep)
+    del_masks = None
     if del_agg is not None:
-        # broadcast hash join keyed by the physically-unique coordinates:
-        # the payload scan never shuffles, each task looks its blocks'
-        # bitmaps up locally (Iceberg's per-task delete-file loading)
-        blocks_df = blocks_df.join(
-            F.broadcast(del_agg.select(*COORD_COLS, DELETE_MASK_COL)),
-            COORD_COLS, "left")
+        # preferred: ship the OR'd bitmaps in the task closure (they are
+        # n_rows/8 bytes per TOUCHED block) — the multi-MB payload
+        # binaries then never traverse a join operator, which measured
+        # ~34% decode overhead at 1M rows from copying every payload
+        # through the BroadcastHashJoin's row pipeline. Fall back to
+        # joining a _del_mask column onto the scan only when the bitmap
+        # set is too large to ship (pervasive deletes across a huge
+        # table — the state Iceberg tells you to compact away too).
+        size = del_agg.agg(
+            F.count("*").alias("b"),
+            F.sum(F.octet_length(DELETE_MASK_COL)).alias("sz")
+        ).collect()[0]
+        if int(size["sz"] or 0) <= _DELETE_CLOSURE_MAX_BYTES:
+            del_masks = {
+                (r["snapshot_id"], r["part_id"], r["seq"]):
+                    bytes(r[DELETE_MASK_COL])
+                for r in del_agg.collect()} or None
+        else:
+            # broadcast hash join keyed by the physically-unique
+            # coordinates: the payload scan never shuffles, each task
+            # looks its blocks' bitmaps up locally (Iceberg's per-task
+            # delete-file loading)
+            blocks_df = blocks_df.join(
+                F.broadcast(del_agg.select(*COORD_COLS, DELETE_MASK_COL)),
+                COORD_COLS, "left")
     out = blocks_df.mapInArrow(
-        make_decode_fn(verify, dec_columns, target, budgets), schema)
+        make_decode_fn(verify, dec_columns, target, budgets,
+                       del_masks=del_masks), schema)
     if exact is not None:
         out = out.where(exact)
         if out_cols is not None:
