@@ -301,3 +301,34 @@ def test_regional_revenue_join_plan_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     shuffles = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert shuffles <= 1, plan
+
+
+def test_dml_plans_shuffle_free(spark, tmp_path):
+    """The DML scans stay single-stage: compute_deletes (predicate path)
+    and compute_deletes_by_keys (broadcast key path) are prune +
+    mapInArrow with ZERO Exchange; decode_blocks(deletes=) on the
+    closure path adds neither an Exchange nor a Join to the payload
+    scan (the bitmaps ride the task closure) — payload bytes never
+    shuffle for any DML read or write."""
+    import pandas as pd
+
+    from sparkolumnar.engine import decode_blocks
+    from sparkolumnar.engine.deletes import (compute_deletes,
+                                             compute_deletes_by_keys)
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(pd.DataFrame({"k": range(5000),
+                                             "v": range(5000)}))
+    io.write_blocks(encode_table(df, snapshot_id="s", partitions=2))
+    blocks = io.read_blocks()
+
+    d = compute_deletes(blocks, [("k", "<", 100)])
+    assert "Exchange" not in _plan_of(d)
+
+    dk = compute_deletes_by_keys(blocks,
+                                 df.where("k % 7 = 0").select("k"), "k")
+    assert "Exchange" not in _plan_of(dk)
+
+    out = decode_blocks(blocks, deletes=d)
+    plan = _plan_of(out)
+    assert "Exchange" not in plan and "Join" not in plan
