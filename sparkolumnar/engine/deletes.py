@@ -241,10 +241,13 @@ def _mark_keys_fn(on: str, keys_pa):
     return fn
 
 
-def _emit_key_rows_fn(on: str):
-    """mapInArrow fn: decode ONLY the key column and emit one (coords,
-    pos, key) row per stored row — the probe side of the shuffle-join
-    delete path."""
+def _emit_key_rows_fn(ons):
+    """mapInArrow fn: decode ONLY the key column(s) and emit one
+    (coords, pos, keys...) row per stored row — the probe side of the
+    shuffle-join delete path. block_id deliberately does NOT ride these
+    rows (a 64-char string per stored row would dominate the shuffle);
+    the caller joins it back from the tiny blocks metadata after the
+    per-block re-pack."""
     from .decode import _BASE_COLS, decode_block_row
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -255,79 +258,100 @@ def _emit_key_rows_fn(on: str):
             pay_cols = [(n, b.column(i)) for i, n in enumerate(names)
                         if n not in _BASE_COLS]
             for j, row in enumerate(meta_rows):
-                if not any(m["name"] == on for m in row["columns"]):
+                present = {m["name"] for m in row["columns"]}
+                if any(c not in present for c in ons):
                     continue
                 for name, col in pay_cols:
                     s = col[j]
                     row[name] = (memoryview(s.as_buffer())
                                  if s.is_valid else None)
-                dec = decode_block_row(row, columns=[on])
+                dec = decode_block_row(row, columns=list(ons))
+                by_name = {n: dec.column(i)
+                           for i, n in enumerate(dec.schema.names)}
                 n = row["n_rows"]
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([row["block_id"]] * n),
-                     pa.array([row["snapshot_id"]] * n),
+                    [pa.array([row["snapshot_id"]] * n),
                      pa.array(np.full(n, row["part_id"], np.int32)),
                      pa.array(np.full(n, row["seq"], np.int32)),
                      pa.array(np.full(n, n, np.int64)),
-                     pa.array(np.arange(n, dtype=np.int64)),
-                     dec.column(0)],
-                    names=["block_id", "snapshot_id", "part_id", "seq",
-                           "n_rows", "_pos", "_key"])
+                     pa.array(np.arange(n, dtype=np.int64))]
+                    + [by_name[c] for c in ons],
+                    names=["snapshot_id", "part_id", "seq",
+                           "n_rows", "_pos"]
+                    + [f"_key{i}" for i in range(len(ons))])
 
     return fn
 
 
 def compute_deletes_by_keys(blocks_df: DataFrame, keys_df: DataFrame,
-                            on: str,
+                            on,
                             broadcast_threshold: int = 500_000
                             ) -> DataFrame:
-    """Position-delete rows for every stored row whose `on` value appears
-    in keys_df's single column — the MERGE/upsert delete primitive
-    (Iceberg would write equality-delete files here; positions keep the
-    read path single-mechanism).
+    """Position-delete rows for every stored row whose `on` value(s)
+    appear in keys_df — the MERGE/upsert delete primitive (Iceberg
+    would write equality-delete files here; positions keep the read
+    path single-mechanism). `on` is a column name or a list of names
+    (composite merge keys).
 
-    Two physical strategies, chosen by the key count:
+    Two physical strategies:
 
-    * keys <= broadcast_threshold: the distinct keys ship to every task
-      (Arrow-collected once, numpy np.isin per block) — each block scan
-      decodes ONLY the key column and emits its bitmap in-task, ZERO
-      shuffle (Iceberg's broadcast MERGE shape);
-    * larger: each block emits (coords, pos, key) rows for a left-semi
-      shuffle join against the keys, and surviving positions re-pack to
-      bitmaps per block — one shuffle of the key column, the same cost
-      every engine pays for a big MERGE.
+    * single-column key with <= broadcast_threshold distinct values:
+      the keys ship to every task (Arrow-collected once, vectorized
+      pc.is_in per block) — each block scan decodes ONLY the key column
+      and emits its bitmap in-task, ZERO shuffle (Iceberg's broadcast
+      MERGE shape);
+    * otherwise (big key set, or composite keys): each block emits
+      slim (coords, pos, keys) rows for a left-semi shuffle join
+      against the keys, surviving positions re-pack to bitmaps per
+      block, and block_id rejoins from the tiny blocks metadata — one
+      shuffle of the key column(s), the same cost every engine pays
+      for a big MERGE.
 
-    NULL stored keys never match (SQL join semantics). Blocks from a
-    schema generation without the key column cannot match. blocks_df
-    must be materialized blocks (see compute_deletes)."""
+    A row with a NULL in ANY key component never matches (SQL join
+    semantics). Blocks from a schema generation missing a key column
+    cannot match. blocks_df must be materialized blocks (see
+    compute_deletes)."""
     from .decode import _blocks_arrow_types
 
+    ons = [on] if isinstance(on, str) else list(on)
     types = _blocks_arrow_types(blocks_df)
-    if on not in types:
-        raise ValueError(f"merge key {on!r} not in the blocks table "
-                         f"(available: {sorted(types)})")
-    if len(keys_df.columns) != 1:
-        keys_df = keys_df.select(on)
+    missing = [c for c in ons if c not in types]
+    if missing:
+        raise ValueError(f"merge key(s) {missing} not in the blocks "
+                         f"table (available: {sorted(types)})")
+    if list(keys_df.columns) != ons:
+        keys_df = keys_df.select(*ons)
     keys_df = keys_df.distinct()
     have = set(blocks_df.columns)
-    keep = list(_base_and_payload(on, have))
+    keep = list(_base_and_payload(ons, have))
     scan = blocks_df.select(*keep)
-    n_keys = keys_df.count()
-    if n_keys <= broadcast_threshold:
-        keys_pa = keys_df.toArrow().column(0).combine_chunks()
-        keys_pa = keys_pa.drop_null()
-        return scan.mapInArrow(_mark_keys_fn(on, keys_pa), DELETES_SCHEMA)
+    if len(ons) == 1:
+        n_keys = keys_df.count()
+        if n_keys <= broadcast_threshold:
+            keys_pa = keys_df.toArrow().column(0).combine_chunks()
+            keys_pa = keys_pa.drop_null()
+            return scan.mapInArrow(_mark_keys_fn(ons[0], keys_pa),
+                                   DELETES_SCHEMA)
 
-    kcol = keys_df.columns[0]
+    key_fields = [T.StructField(f"_key{i}", _spark_type_of(types[c]), True)
+                  for i, c in enumerate(ons)]
     rows = scan.mapInArrow(
-        _emit_key_rows_fn(on),
+        _emit_key_rows_fn(ons),
         T.StructType([f for f in DELETES_SCHEMA
-                      if f.name not in ("n_deleted", "positions")]
-                     + [T.StructField("_pos", T.LongType(), False),
-                        T.StructField("_key", _spark_type_of(types[on]),
-                                      True)]))
-    hit = rows.join(keys_df.withColumnRenamed(kcol, "_key"), "_key",
+                      if f.name not in ("block_id", "n_deleted",
+                                        "positions")]
+                     + [T.StructField("_pos", T.LongType(), False)]
+                     + key_fields))
+    renamed = keys_df
+    for i, c in enumerate(ons):
+        renamed = renamed.withColumnRenamed(c, f"_key{i}")
+    # null key components never match: semi-join equality is null-safe
+    # FALSE in Spark, so nulls drop out of the join naturally
+    hit = rows.join(renamed, [f"_key{i}" for i in range(len(ons))],
                     "left_semi")
+
+    pack_schema = T.StructType([f for f in DELETES_SCHEMA
+                                if f.name != "block_id"])
 
     def _pack(pdf):
         import pandas as pd
@@ -336,7 +360,6 @@ def compute_deletes_by_keys(blocks_df: DataFrame, keys_df: DataFrame,
         bits = np.zeros(n, bool)
         bits[pdf["_pos"].to_numpy()] = True
         return pd.DataFrame({
-            "block_id": [pdf["block_id"].iloc[0]],
             "snapshot_id": [pdf["snapshot_id"].iloc[0]],
             "part_id": [pdf["part_id"].iloc[0]],
             "seq": [pdf["seq"].iloc[0]],
@@ -344,17 +367,21 @@ def compute_deletes_by_keys(blocks_df: DataFrame, keys_df: DataFrame,
             "n_deleted": [int(bits.sum())],
             "positions": [np.packbits(bits).tobytes()]})
 
-    return (hit.groupBy("block_id", *COORD_COLS)
-            .applyInPandas(_pack, DELETES_SCHEMA))
+    packed = hit.groupBy(*COORD_COLS).applyInPandas(_pack, pack_schema)
+    meta = blocks_df.select(*COORD_COLS, "block_id")
+    return (packed.join(F.broadcast(meta), COORD_COLS, "inner")
+            .select(*[f.name for f in DELETES_SCHEMA]))
 
 
-def _base_and_payload(col: str, have):
+def _base_and_payload(cols, have):
     from .decode import _BASE_COLS
 
+    cols = [cols] if isinstance(cols, str) else list(cols)
     out = list(_BASE_COLS)
-    for f in (payload_field(col), validity_field(col)):
-        if f in have:
-            out.append(f)
+    for c in cols:
+        for f in (payload_field(c), validity_field(c)):
+            if f in have:
+                out.append(f)
     return out
 
 

@@ -151,7 +151,7 @@ def update_where(io, filters, assignments: Dict[str, str],
             "n_old_snapshots": len(old_ids)}
 
 
-def merge_upsert(io, source, on: str,
+def merge_upsert(io, source, on,
                  snapshot_id: Optional[str] = None,
                  partitions: Optional[int] = None,
                  key: Optional[str] = None,
@@ -182,8 +182,10 @@ def merge_upsert(io, source, on: str,
     from .encode import encode_table
     from .tableio import snapshot_of_input
 
-    if on not in source.columns:
-        raise ValueError(f"merge key {on!r} not in source columns "
+    ons = [on] if isinstance(on, str) else list(on)
+    missing = [c for c in ons if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge key(s) {missing} not in source columns "
                          f"{source.columns}")
     if snapshot_id is None:
         if not source.inputFiles():
@@ -193,13 +195,14 @@ def merge_upsert(io, source, on: str,
                 "explicitly (crash re-runs must overwrite the same "
                 "snapshot, not append a second copy)")
         snapshot_id = f"mrg{snapshot_of_input(source)[:13]}"
-    dup = (source.groupBy(on).count().where(F.col("count") > 1)
+    dup = (source.groupBy(*ons).count().where(F.col("count") > 1)
            .limit(5).collect())
     if dup:
         raise ValueError(
             "MERGE cardinality violation: duplicate source keys "
-            f"{[r[on] for r in dup]} — the replacement row would be "
-            "ambiguous; dedupe the source first")
+            f"{[tuple(r[c] for c in ons) for r in dup]} — the "
+            "replacement row would be ambiguous; dedupe the source "
+            "first")
 
     io.write_blocks(encode_table(source, snapshot_id=snapshot_id, key=key,
                                  sort_within=key is not None,
@@ -214,7 +217,7 @@ def merge_upsert(io, source, on: str,
     old_blocks = (io.read_blocks()
                   .where(F.col("snapshot_id") != snapshot_id))
     dels = compute_deletes_by_keys(
-        old_blocks, source.select(on), on,
+        old_blocks, source.select(*ons), ons,
         broadcast_threshold=broadcast_threshold).persist()
     try:
         io.write_deletes(dels)

@@ -280,3 +280,30 @@ def test_merge_cardinality_and_identity_checks(spark, tmp_path, docs):
         merge_upsert(io, mem, on="doc_id")
     with pytest.raises(ValueError, match="merge key"):
         merge_upsert(io, docs.limit(3), on="no_such", snapshot_id="m2")
+
+
+def test_merge_composite_key(spark, tmp_path):
+    """MERGE on a composite (two-column) key: always takes the
+    shuffle-join delete path; NULL in any key component never matches;
+    the cardinality check applies to the tuple."""
+    from sparkolumnar.engine.updates import merge_upsert
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    rows = [("x", 1, 10), ("x", 2, 20), ("y", 1, 30), ("y", 2, 40),
+            (None, 1, 50), ("x", None, 60)]
+    df = spark.createDataFrame(rows, "a string, b long, v long")
+    io.write_blocks(encode_table(df, snapshot_id="b", partitions=1))
+    src = spark.createDataFrame(pd.DataFrame(
+        {"a": ["x", "z"], "b": [2, 9], "v": [200, 900]}))
+    st = merge_upsert(io, src, on=["a", "b"], snapshot_id="m1")
+    assert st["n_rows_replaced_stored"] == 1  # only (x,2)
+    got = sorted((r["a"], r["b"], r["v"]) for r in _table(io).collect()
+                 if r["a"] is not None and r["b"] is not None)
+    assert got == [("x", 1, 10), ("x", 2, 200), ("y", 1, 30),
+                   ("y", 2, 40), ("z", 9, 900)]
+    null_rows = sorted(r["v"] for r in _table(io).collect()
+                       if r["a"] is None or r["b"] is None)
+    assert null_rows == [50, 60]  # null key components untouched
+    dup = src.unionByName(src)
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_upsert(io, dup, on=["a", "b"], snapshot_id="m2")
