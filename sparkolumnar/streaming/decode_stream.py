@@ -2,6 +2,15 @@
 rows, continuously. Decode is stateless and shuffle-free (one block row ->
 one Arrow batch), so it composes directly with Structured Streaming: the
 same mapInArrow UDF runs under the micro-batch engine unchanged.
+
+Scope note — merge-on-read deletes: a stream emits each block's rows
+exactly once, when the block ARRIVES; delete bitmaps written later
+cannot retract rows already emitted (streams are append-only — the same
+reason Iceberg's streaming reads reject tables with later deletes
+rather than silently missing them). Tables maintained by DML should be
+read in batch (decode_blocks(deletes=) / decode_job, which apply the
+bitmaps by default), or compacted so the deletes are physical before
+streaming.
 """
 
 from __future__ import annotations
