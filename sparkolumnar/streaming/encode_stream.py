@@ -27,7 +27,8 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
                   checkpoint_location: str, key: Optional[str] = None,
                   mode: str = BALANCED, partitions: Optional[int] = None,
                   trigger_available_now: bool = True,
-                  cluster_by=None, snapshot_prefix: str = "stream"):
+                  cluster_by=None, cluster_layout: str = "range",
+                  snapshot_prefix: str = "stream"):
     """Start a streaming query encoding `stream_df` into io's blocks table.
 
     cluster_by: range-cluster each micro-batch before encoding (the same
@@ -57,7 +58,7 @@ def encode_stream(stream_df: DataFrame, io: TableIO,
                    snapshot_id=f"{snapshot_prefix}-{batch_id}", mode=mode,
                    partitions=partitions, sort_within=key is not None,
                    run_id=f"{snapshot_prefix}-b{batch_id}", plan=None,
-                   cluster_by=cluster_by)
+                   cluster_by=cluster_by, cluster_layout=cluster_layout)
 
     writer = (stream_df.writeStream
               .foreachBatch(handle)
