@@ -35,7 +35,8 @@ def analyze(blocks: DataFrame) -> DataFrame:
             .orderBy(F.desc("bytes_out")))
 
 
-def metadata_stats(blocks: DataFrame, columns=None) -> DataFrame:
+def metadata_stats(blocks: DataFrame, columns=None,
+                   deletes: DataFrame = None) -> DataFrame:
     """Metadata-ONLY table statistics: exact per-column row/null counts
     plus zone-derived min/max aggregated across every block without
     touching a single payload byte — the wide layout prunes the p_/v_
@@ -54,10 +55,36 @@ def metadata_stats(blocks: DataFrame, columns=None) -> DataFrame:
     stay under the prefix width — see blocks.prefix_lower/prefix_upper).
     Sketch-only child entries (dotted struct/map names) are excluded;
     sketch families absent from an older snapshot's metadata yield null
-    bounds, never an error."""
+    bounds, never an error.
+
+    deletes: the table's merge-on-read position-delete rows
+    (TableIO.read_deletes()). When given, an extra n_rows_live column
+    reports stored rows minus each block's delete popcount (deletes are
+    whole-row, so one adjustment serves every column) — still zero
+    payload bytes (bitmap popcounts are delete-file metadata). n_nulls
+    and the min/max bounds stay STORED-row facts: a deleted row's value
+    still widens the stored zone, so bounds remain sound (never tighter
+    than the live data) and n_nulls is labeled as stored."""
+    live_adj = None
+    if deletes is not None:
+        from .decode import COORD_COLS, DELETE_COUNT_COL
+        from .deletes import aggregate_deletes
+
+        agg = aggregate_deletes(deletes)
+        live_adj = (blocks.join(
+            F.broadcast(agg.select(*COORD_COLS, DELETE_COUNT_COL)),
+            COORD_COLS, "left")
+            .select("columns", "n_rows",
+                    (F.col("n_rows") - F.coalesce(
+                        F.col(DELETE_COUNT_COL), F.lit(0)))
+                    .alias("_live")))
+        blocks = live_adj
     elem = blocks.schema["columns"].dataType.elementType
     fields = set(elem.names)
-    ex = blocks.select("n_rows", F.explode("columns").alias("c"))
+    cols_sel = ["n_rows", F.explode("columns").alias("c")]
+    if live_adj is not None:
+        cols_sel.insert(1, "_live")
+    ex = blocks.select(*cols_sel)
     ex = ex.where(~F.col("c.name").contains("."))
     if columns is not None:
         ex = ex.where(F.col("c.name").isin(list(columns)))
@@ -67,9 +94,12 @@ def metadata_stats(blocks: DataFrame, columns=None) -> DataFrame:
             return agg(F.col(f"c.{field}")).alias(out)
         return F.lit(None).alias(out)
 
+    live = ([F.sum("_live").alias("n_rows_live")]
+            if live_adj is not None else [])
     return (ex.groupBy(F.col("c.name").alias("column"))
             .agg(F.count("*").alias("n_blocks"),
                  F.sum("n_rows").alias("n_rows"),
+                 *live,
                  opt(F.sum, "n_nulls", "n_nulls"),
                  opt(F.min, "min_i64", "min_i64"),
                  opt(F.max, "max_i64", "max_i64"),

@@ -71,9 +71,12 @@ def main(argv=None) -> None:
                          "JSON line and exit WITHOUT decoding — reads "
                          "only block metadata, zero payload bytes; "
                          "--output is ignored, --columns restricts the "
-                         "reported columns. Reports STORED rows — "
-                         "merge-on-read deletes are bitmaps, not "
-                         "metadata, so they do not adjust these counts")
+                         "reported columns. With merge-on-read deletes "
+                         "present, an extra n_rows_live reports stored "
+                         "minus deleted per column (bitmap popcounts "
+                         "are delete-file metadata — still zero payload "
+                         "bytes); n_nulls and min/max stay STORED-row "
+                         "facts (bounds remain sound for live rows)")
     ap.add_argument("--snapshot", default=None, metavar="ID1,ID2,...",
                     help="snapshot-scoped read: decode ONLY these "
                          "snapshots' blocks (snapshot_id is the first "
@@ -178,13 +181,17 @@ def main(argv=None) -> None:
         from sparkolumnar.engine.analyze import metadata_stats
 
         blocks = _scope(spark.read.parquet(args.blocks))
-        rows = metadata_stats(blocks, columns=cols).collect()
+        rows = metadata_stats(blocks, columns=cols,
+                              deletes=deletes).collect()
         print(json.dumps({"columns": {
-            r["column"]: {"n_blocks": r["n_blocks"], "n_rows": r["n_rows"],
-                          "n_nulls": r["n_nulls"], "min_i64": r["min_i64"],
-                          "max_i64": r["max_i64"], "min_f64": r["min_f64"],
-                          "max_f64": r["max_f64"], "min_str": r["min_str"],
-                          "max_str": r["max_str"]}
+            r["column"]: dict(
+                {"n_blocks": r["n_blocks"], "n_rows": r["n_rows"],
+                 "n_nulls": r["n_nulls"], "min_i64": r["min_i64"],
+                 "max_i64": r["max_i64"], "min_f64": r["min_f64"],
+                 "max_f64": r["max_f64"], "min_str": r["min_str"],
+                 "max_str": r["max_str"]},
+                **({"n_rows_live": r["n_rows_live"]}
+                   if deletes is not None else {}))
             for r in rows}}))
         return
     if args.direct:

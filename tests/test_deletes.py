@@ -191,3 +191,32 @@ def test_delete_where_requires_predicate(spark, tmp_path, docs):
         delete_where(io, [])
     with pytest.raises(ValueError, match="no_such"):
         delete_where(io, [("no_such", "=", 1)])
+
+
+def test_metadata_stats_live_rows(spark, tmp_path, docs, capsys):
+    """metadata_stats(deletes=): n_rows_live = stored - deleted per
+    column with zero payload bytes; n_nulls and bounds stay stored-row
+    facts. decode_job --stats reports it by default."""
+    from sparkolumnar.engine.analyze import metadata_stats
+    from sparkolumnar.jobs import decode_job
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(docs, snapshot_id="d1", partitions=2))
+    st = delete_where(io, [("lang", "=", "en")])
+    rows = metadata_stats(io.read_blocks(),
+                          deletes=io.read_deletes()).collect()
+    by_col = {r["column"]: r for r in rows}
+    n = docs.count()
+    for c in ("doc_id", "lang", "n_chars"):
+        assert by_col[c]["n_rows"] == n
+        assert by_col[c]["n_rows_live"] == n - st["n_rows_matched"]
+    # no deletes passed -> no live column (schema unchanged for old users)
+    assert "n_rows_live" not in metadata_stats(io.read_blocks()).columns
+
+    import json as _json
+
+    decode_job.main(["--blocks", str(tmp_path / "t" / "blocks"),
+                     "--output", "ignored", "--stats"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["columns"]["lang"]["n_rows_live"]
+            == n - st["n_rows_matched"])
