@@ -220,3 +220,49 @@ def test_metadata_stats_live_rows(spark, tmp_path, docs, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (out["columns"]["lang"]["n_rows_live"]
             == n - st["n_rows_matched"])
+
+
+def test_randomized_dml_sequence_matches_dataframe_twin(spark, tmp_path,
+                                                        docs):
+    """Property-style: a seeded random sequence of delete/update ops
+    applied through the merge-on-read machinery equals the same ops
+    applied as plain DataFrame transforms on the raw rows — bitmaps OR,
+    update snapshots, and cross-op composition stay consistent under
+    arbitrary interleaving."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkolumnar.engine.updates import update_where
+
+    rng = random.Random(1234)
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_blocks(encode_table(docs, snapshot_id="p0", partitions=3))
+    twin = docs
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    for step in range(5):
+        kind = rng.choice(["del_lang", "del_range", "upd"])
+        if kind == "del_lang":
+            v = rng.choice(langs)
+            delete_where(io, [("lang", "=", v)])
+            twin = twin.filter(~(F.col("lang") == v))
+        elif kind == "del_range":
+            lo = rng.randrange(0, 400)
+            hi = lo + rng.randrange(20, 150)
+            delete_where(io, [("doc_id", "between", lo, hi)])
+            twin = twin.filter(~F.col("doc_id").between(lo, hi))
+        else:
+            thr = rng.randrange(100, 500)
+            add = rng.randrange(1, 9) * 1000
+            update_where(io, [("n_chars", "<", thr)],
+                         {"n_chars": f"n_chars + {add}"})
+            twin = twin.withColumn(
+                "n_chars", F.when(F.col("n_chars") < thr,
+                                  F.col("n_chars") + add)
+                .otherwise(F.col("n_chars")))
+    got = decode_blocks(io.read_blocks(), deletes=io.read_deletes(),
+                        verify=True)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in df.select("doc_id", "lang", "n_chars").collect())
+    assert key(got) == key(twin)
