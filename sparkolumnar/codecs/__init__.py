@@ -12,3 +12,4 @@ from . import fsst  # noqa: F401  (registers fsst)
 from . import nested  # noqa: F401  (registers nested)
 from . import containers  # noqa: F401  (registers struct, map, dec128)
 from . import byteplane  # noqa: F401  (registers byteplane)
+from . import zstd_codec  # noqa: F401  (registers zstd)

@@ -86,6 +86,48 @@ def _pad_buf(data: np.ndarray) -> np.ndarray:
     return out
 
 
+_IS_LE = __import__("sys").byteorder == "little"
+
+# packed match entry (int16): (rank << 8) | code, where rank 1/2/3/4
+# stands for symbol length 1/2/4/8 and -1 means "no symbol". Longer
+# matches have strictly larger rank and rank dominates the code byte, so
+# "longest match wins" stays a plain numeric max — at HALF the memory
+# traffic of the previous (len << 16) | code int32 packing (the dense
+# match map is the biggest intermediate of the encoder).
+_VLEN_LUT = np.array([1, 1, 1, 2, 4, 8], dtype=np.int8)
+# indexed by (v >> 8) + 1: 0 = no symbol (-1 >> 8 == -1; the escape emits
+# one literal byte so the token still advances 1, same as the old
+# max(len, 1)), 1 unused (rank 0 does not occur), 2..5 = rank 1..4.
+
+
+def _le_view(pad: np.ndarray, dtype) -> np.ndarray:
+    """Little-endian integer view of `pad` at EVERY byte offset (stride 1
+    byte): element p is the dtype-sized LE key starting at byte p. Zero
+    construction cost; replaces materializing rolling-key arrays (which
+    cost two full widening passes each). x86/arm handle the unaligned
+    loads natively; big-endian hosts take the materializing fallback."""
+    w = np.dtype(dtype).itemsize
+    return np.ndarray(shape=(len(pad) - w + 1,), dtype=dtype,
+                      buffer=pad, strides=(1,))
+
+
+def _k2_of(pad: np.ndarray, count: int) -> np.ndarray:
+    if _IS_LE:
+        return _le_view(pad, np.uint16)
+    k2 = pad[:count].astype(np.uint16)
+    k2 |= pad[1:count + 1].astype(np.uint16) << np.uint16(8)
+    return k2
+
+
+def _k4_of(pad: np.ndarray, count: int) -> np.ndarray:
+    if _IS_LE:
+        return _le_view(pad, np.uint32)
+    k2 = _k2_of(pad, count + 2)
+    k4 = k2[:count].astype(np.uint32)
+    k4 |= k2[2:count + 2].astype(np.uint32) << np.uint32(16)
+    return k4
+
+
 class _SymTables:
     """Match tables: direct-index for L=1/2, single-probe hash for L=4/8.
 
@@ -93,24 +135,24 @@ class _SymTables:
     probes read them zero-copy from uint16/32/64 views of the data buffer."""
 
     def __init__(self, symbols: List[bytes]):
-        # packed entry = (len << 16) | code, -1 = no symbol. tab12 resolves
+        # packed entry = (rank << 8) | code, -1 = no symbol. tab12 resolves
         # BOTH 1- and 2-byte symbols with a single gather: slots whose
         # 2-byte key has no symbol fall back to the 1-byte symbol of the
         # slot's low (= first) byte.
-        self.tab1p = np.full(256, -1, dtype=np.int32)
-        self.tab12 = np.full(65536, -1, dtype=np.int32)
+        self.tab1p = np.full(256, -1, dtype=np.int16)
+        self.tab12 = np.full(65536, -1, dtype=np.int16)
         self.hash4 = self._build_hash([s for s in symbols], 4)
         self.hash8 = self._build_hash([s for s in symbols], 8)
         self.has = {1: False, 2: False, 4: self.hash4 is not None,
                     8: self.hash8 is not None}
         for c, s in enumerate(symbols):
             if len(s) == 1:
-                self.tab1p[s[0]] = (1 << 16) | c
-                self.tab12[s[0]::256] = (1 << 16) | c
+                self.tab1p[s[0]] = (1 << 8) | c
+                self.tab12[s[0]::256] = (1 << 8) | c
                 self.has[1] = True
         for c, s in enumerate(symbols):
             if len(s) == 2:
-                self.tab12[s[0] | (s[1] << 8)] = (2 << 16) | c
+                self.tab12[s[0] | (s[1] << 8)] = (2 << 8) | c
                 self.has[2] = True
 
     def _build_hash(self, symbols, L):
@@ -168,102 +210,124 @@ class _SymTables:
         return keys_lo, combo, combo != 0, np.uint32(a), np.uint32(b)
 
 
-def _match_all(pad: np.ndarray, n: int, room: np.ndarray, tables: _SymTables):
-    """Longest symbol match at every position (lengths 8,4,2,1 only).
+def _match_span(pad: np.ndarray, lo: int, hi: int, out: np.ndarray,
+                k2: np.ndarray, k4: np.ndarray, tables: _SymTables) -> None:
+    """Longest symbol match for positions [lo, hi), written into out[lo:hi]
+    as packed int16 entries (rank << 8) | code, -1 = escape.
 
-    pad: data buffer with >= _PAD trailing zero bytes; room: int32 bytes
-    remaining in the enclosing string at each position (matches never cross
-    a string boundary). Returns (match_len int8 >= 1, match_code int16,
-    code -1 = escape).
-
-    Every pass is dense and contiguous, and the pass results merge with
-    plain np.maximum: every table stores PACKED entries (len << 16) | code
-    (-1 = no symbol), so "longest match wins" is literally the numeric max.
-    tab12 resolves 1- and 2-byte symbols in a single gather; the L=4/8 hash
-    probes are pure u32 arithmetic and gather a single u64 combo that packs
-    key-verification bytes together with the code (one gather instead of
-    three). String-boundary legality is NOT checked per position; the few
-    positions per string tail whose match would cross the boundary are
-    repaired afterwards with sparse re-probes."""
-    if n == 0:
-        return np.ones(0, dtype=np.int8), np.full(0, -1, dtype=np.int16)
+    Every pass is dense and contiguous over the span, and the pass results
+    merge with plain assignment in increasing-length order (rank dominates
+    numerically, and the longer probe unconditionally overwrites). tab12
+    resolves 1- and 2-byte symbols in a single gather; the L=4/8 hash
+    probes are pure u32 arithmetic over zero-copy LE key views of the
+    buffer and gather a single u64 combo that packs key-verification bytes
+    together with the code. String-boundary legality is NOT checked here;
+    the at-most-7 tail positions per string whose match could cross the
+    boundary are repaired afterwards with sparse re-probes (_repair_tails).
+    Spans need not align to strings: cross-span key bytes are real buffer
+    bytes either way, and boundary-crossing matches are exactly the ones
+    the tail repair rewrites."""
     shift = np.uint32(32 - _HASH_BITS)
-    need2 = tables.has[1] or tables.has[2] or tables.has[4] or tables.has[8]
-    need4 = tables.has[4] or tables.has[8]
-    k2 = k4 = None
-    if need2:
-        # k2[p] over [0, n+8): LE 2-byte key (padding supplies the tail)
-        m2 = n + 8
-        k2 = pad[:m2].astype(np.uint16)
-        k2 |= pad[1:m2 + 1].astype(np.uint16) << np.uint16(8)
+    n = hi - lo
+    if n <= 0:
+        return
     if tables.has[1] or tables.has[2]:
-        v = tables.tab12[k2[:n]]
+        out[lo:hi] = tables.tab12[k2[lo:hi]]
     else:
-        v = np.full(n, -1, dtype=np.int32)
-    if need4:
-        m4 = n + 4
-        k4 = k2[:m4].astype(np.uint32)
-        k4 |= k2[2:m4 + 2].astype(np.uint32) << np.uint32(16)
+        out[lo:hi] = -1
+    v = out[lo:hi]
     with np.errstate(over="ignore"):
         # two-stage probes: a 1-byte occupancy gather over all positions,
         # then combo fetch + key verify only at candidate slots (~20% on
         # web text), scattered sparsely into v — no dense merge pass
         if tables.hash4 is not None:
             _, combo, occ, a, _ = tables.hash4
-            slot = k4[:n] * a
+            slot = k4[lo:hi] * a
             np.right_shift(slot, shift, out=slot)
             idx = np.flatnonzero(occ[slot])
             if len(idx):
                 sl = slot[idx]
                 got = combo[sl]
-                keq = got.astype(np.uint32) == k4[:n][idx]
+                keq = got.astype(np.uint32) == k4[lo:hi][idx]
                 good = idx[keq]
                 pv = (got[keq] >> np.uint64(32)).astype(np.int32)
                 pv -= 1
-                pv |= 4 << 16  # valid code c -> (4<<16)|c
+                pv |= 3 << 8  # valid code c -> rank 3 (len 4)
                 # L=4 beats L=1/2 numerically; nothing longer seen yet
-                v[good] = pv
+                v[good] = pv.astype(np.int16)
         if tables.hash8 is not None:
             keys_lo, combo, occ, a, b = tables.hash8
-            slot = k4[:n] * a
-            slot ^= k4[4:n + 4] * b
+            slot = k4[lo:hi] * a
+            slot ^= k4[lo + 4:hi + 4] * b
             np.right_shift(slot, shift, out=slot)
             idx = np.flatnonzero(occ[slot])
             if len(idx):
                 sl = slot[idx]
                 got = combo[sl]
-                keq = keys_lo[sl] == k4[:n][idx]
-                keq &= got.astype(np.uint32) == k4[4:n + 4][idx]
+                keq = keys_lo[sl] == k4[lo:hi][idx]
+                keq &= got.astype(np.uint32) == k4[lo + 4:hi + 4][idx]
                 good = idx[keq]
                 pv = (got[keq] >> np.uint64(32)).astype(np.int32)
                 pv -= 1
-                pv |= 8 << 16
-                v[good] = pv  # longest: unconditionally wins
-    # repair string tails: positions whose match would cross the boundary
-    # (sparse — at most len(symbol)-1 per string)
-    vlen = v >> 16  # -1 for escapes
-    bad = np.flatnonzero(vlen > room)
-    if len(bad):
-        r = room[bad]
-        fix = tables.tab1p[pad[bad]]
-        if tables.has[2]:
-            v2 = tables.tab12[k2[bad]]
-            ok2 = (v2 >> 16) <= r
-            fix = np.where(ok2, v2, fix)
-        if tables.hash4 is not None:
-            _, combo, _, a, _ = tables.hash4
-            kb = k4[bad]
-            with np.errstate(over="ignore"):
-                sl = (kb * a) >> shift
-            got = combo[sl]
-            c4 = (got >> np.uint64(32)).astype(np.int32) - 1
-            h4 = (c4 >= 0) & (got.astype(np.uint32) == kb) & (r >= 4)
-            fix = np.where(h4, c4 | (4 << 16), fix)
-        v[bad] = fix
-        vlen[bad] = fix >> 16
-    match_len = np.maximum(vlen, 1).astype(np.int8)
-    match_code = (v & 0xFFFF).astype(np.int16)
-    return match_len, match_code
+                pv |= 4 << 8  # rank 4 (len 8): longest, wins outright
+                v[good] = pv.astype(np.int16)
+
+
+# dense-match span size: bounds the span's hot intermediates (the int16
+# match map slice plus one u32 slot array) to a cache-friendly working
+# set; the key "arrays" are zero-copy views so spans share one buffer
+_MATCH_SPAN = 1 << 20
+
+
+def _match_all(pad: np.ndarray, n: int, offsets: np.ndarray,
+               tables: _SymTables):
+    """(advance int8 >= 1, packed match int16) for every position.
+
+    The dense probe passes run in cache-sized spans; the per-string tail
+    repair is sparse (at most min(len, 7) candidate positions per string,
+    the only places a greedy match could cross the string boundary)."""
+    if n == 0:
+        return np.ones(0, dtype=np.int8), np.full(0, -1, dtype=np.int16)
+    v = np.empty(n, dtype=np.int16)
+    k2 = _k2_of(pad, n + 8)
+    k4 = _k4_of(pad, n + 4)
+    for lo in range(0, n, _MATCH_SPAN):
+        _match_span(pad, lo, min(n, lo + _MATCH_SPAN), v, k2, k4, tables)
+    adv = _VLEN_LUT[(v >> 8) + 1]  # int8; escapes advance 1
+    # sparse tail repair: candidate positions are the last min(len, 7)
+    # bytes of each string (an 8-byte match at end-7 still fits)
+    str_lens = np.diff(offsets)
+    kmax = np.minimum(str_lens, 7).astype(np.int64)
+    tot = int(kmax.sum())
+    if tot:
+        ends = offsets[1:].astype(np.int64, copy=False)
+        sid = np.repeat(np.arange(len(kmax), dtype=np.int64), kmax)
+        room = np.arange(tot, dtype=np.int64)
+        room -= (np.cumsum(kmax) - kmax)[sid]
+        room += 1  # bytes remaining in-string at the candidate position
+        cand = ends[sid] - room
+        sel = adv[cand] > room
+        bad = cand[sel]
+        if len(bad):
+            r = room[sel]
+            shift = np.uint32(32 - _HASH_BITS)
+            fix = tables.tab1p[pad[bad]]
+            if tables.has[2]:
+                v2 = tables.tab12[k2[bad]]
+                ok2 = _VLEN_LUT[(v2 >> 8) + 1] <= r
+                fix = np.where(ok2, v2, fix)
+            if tables.hash4 is not None:
+                _, combo, _, a, _ = tables.hash4
+                kb = k4[bad]
+                with np.errstate(over="ignore"):
+                    sl = (kb * a) >> shift
+                got = combo[sl]
+                c4 = (got >> np.uint64(32)).astype(np.int32) - 1
+                h4 = (c4 >= 0) & (got.astype(np.uint32) == kb) & (r >= 4)
+                fix = np.where(h4, (c4 | (3 << 8)).astype(np.int16), fix)
+            v[bad] = fix
+            adv[bad] = _VLEN_LUT[(fix >> 8) + 1]
+    return adv, v
 
 
 def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
@@ -271,23 +335,24 @@ def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
     lock-step, 8 tokens per round via pointer-doubled composed jumps
     (J2 = J∘J, J4). Emitted positions are marked in a bitmap and recovered
     with flatnonzero — cheaper than sorting the concatenated rounds."""
-    J1 = np.empty(n + 1, dtype=np.int32)
+    dt = jump.dtype
+    J1 = np.empty(n + 1, dtype=dt)
     J1[:n] = jump
-    J1[n] = n  # terminal sink (jump values are clamped <= n by room)
+    J1[n] = n  # terminal sink (jump values are clamped <= n by the repair)
     J2 = J1[J1]
     J4 = J2[J2]
     cur = offsets[:-1]
     ends = offsets[1:]
     nonempty = ends > cur
-    cur = np.array(cur[nonempty], dtype=np.int32)
-    ends = np.array(ends[nonempty], dtype=np.int32)
+    cur = np.array(cur[nonempty], dtype=dt)
+    ends = np.array(ends[nonempty], dtype=dt)
     mark = np.zeros(n, dtype=bool)
     total = 0
     mat = None
     while len(cur) > _CHAIN_TAIL:
         k = len(cur)
         if mat is None or mat.shape[1] != k:
-            mat = np.empty((8, k), dtype=np.int32)
+            mat = np.empty((8, k), dtype=dt)
         mat[0] = cur
         mat[1] = J1[cur]
         mat[2] = J2[cur]
@@ -317,31 +382,34 @@ def _chain_starts(jump: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
             jloc -= c
             seq = orbit(jloc, 0, e - c)
             mark[seq + c] = True
-    return np.flatnonzero(mark).astype(np.int32)
+    starts = np.flatnonzero(mark)
+    if n < 2**31:
+        starts = starts.astype(np.int32)  # index traffic: starts is
+        #                                   gathered from repeatedly below
+    return starts
 
 
 def _tokenize(pad: np.ndarray, n: int, offsets: np.ndarray,
               tables: "_SymTables") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Token start positions, lengths and codes for the whole buffer.
-
-    pad: padded data buffer (see _pad_buf); offsets: int32, offsets[0]==0,
-    offsets[-1]==n."""
+    """(token starts, per-token advance, per-token packed match) for the
+    whole buffer. pad: padded data buffer (see _pad_buf); offsets:
+    offsets[0]==0, offsets[-1]==n. The packed match is (rank << 8) | code,
+    negative = escape (emit the literal byte)."""
     if n == 0:
         return (np.empty(0, np.int32), np.empty(0, np.int8),
                 np.empty(0, np.int16))
-    str_lens = np.diff(offsets)
-    ends = np.repeat(offsets[1:], str_lens)
-    ar = np.arange(n, dtype=np.int32)
-    room = ends - ar
-    match_len, match_code = _match_all(pad, n, room, tables)
-    jump = ar  # reuse the arange buffer
-    jump += match_len
+    adv, v = _match_all(pad, n, offsets, tables)
+    dt = np.int32 if n < 2**31 - 8 else np.int64
+    jump = np.arange(n, dtype=dt)
+    jump += adv
     starts = _chain_starts(jump, offsets, n)
-    return starts, match_len[starts], match_code[starts]
+    return starts, adv[starts], v[starts]
 
 
 def _le64_at(pad: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Little-endian 8-byte key gathered at each (byte) position."""
+    if _IS_LE:
+        return _le_view(pad, np.uint64)[starts]
     k = pad[starts].astype(np.uint64)
     for i in range(1, 8):
         k |= pad[starts + i].astype(np.uint64) << np.uint64(8 * i)
@@ -391,7 +459,7 @@ def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
         # contiguous strings that is exactly "next token start < this
         # token's string end"
         estr = off32[np.searchsorted(off32, starts, side="right")]
-        nxt = np.empty(t, dtype=np.int32)
+        nxt = np.empty(t, dtype=starts.dtype)
         nxt[:-1] = starts[1:]
         nxt[-1] = n
         cat_len = _SNAP[np.minimum(lens + np.roll(lens, -1), MAX_LEN)]
@@ -400,7 +468,12 @@ def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
                                                 * np.uint64(8))))[ok]
                    & _LEN_MASK[cat_len[ok]])
         cat_len = cat_len[ok]
-        cands: List[Tuple[int, bytes]] = []
+        # candidate selection fully in arrays: the final ordering
+        # (-gain, symbol-bytes lex) is reproduced exactly as
+        # (-gain, byteswapped-key u64, length) — a byteswapped LE key is
+        # the zero-padded 8-byte string, whose unsigned order equals
+        # bytes-lex order, with the shorter symbol first on padded ties
+        ck, cl, cg = [], [], []
         for L in (1, 2, 4, 8):
             ks = np.concatenate([key[lens == L], cat_key[cat_len == L]])
             if len(ks) == 0:
@@ -413,11 +486,17 @@ def build_table(data: np.ndarray, offsets: np.ndarray, rounds: int = 3,
                 be = uk.byteswap() >> np.uint64(8 * (8 - L))
                 order = np.lexsort((be, -cnt))[: 2 * MAX_SYMBOLS]
                 uk, cnt = uk[order], cnt[order]
-            gain = cnt.astype(np.int64) * L
-            for k_, g_ in zip(uk.tolist(), gain.tolist()):
-                cands.append((-g_, int(k_).to_bytes(L, "little")))
-        cands.sort()
-        symbols = [s for _, s in cands[:MAX_SYMBOLS]]
+            ck.append(uk)
+            cl.append(np.full(len(uk), L, dtype=np.int64))
+            cg.append(cnt.astype(np.int64) * L)
+        if not ck:
+            symbols = []
+            continue
+        K = np.concatenate(ck)
+        L_ = np.concatenate(cl)
+        G = np.concatenate(cg)
+        order = np.lexsort((L_, K.byteswap(), -G))[:MAX_SYMBOLS]
+        symbols = [int(K[i]).to_bytes(int(L_[i]), "little") for i in order]
     return symbols
 
 
@@ -429,7 +508,13 @@ def fsst_encode(data: np.ndarray, offsets: np.ndarray,
                 symbols: Optional[List[bytes]] = None) -> bytes:
     """Encode; `symbols` lets a job-level plan supply a pre-built table
     (built once from a sample, broadcast to every batch) — the per-batch
-    table build is the expensive part of FSST."""
+    table build is the expensive part of FSST.
+
+    One global pass: the dense match runs in cache-sized spans inside
+    _match_all, and EVERY string's token chain advances in one lock-step
+    walk — the per-~1MiB-chunk walks this replaces each paid the full
+    longest-string round count in per-round numpy call overhead, which
+    dominated the old encoder's profile."""
     n_strings = len(offsets) - 1
     if symbols is None:
         symbols = build_table(data, offsets)
@@ -439,47 +524,34 @@ def fsst_encode(data: np.ndarray, offsets: np.ndarray,
     for s in symbols:
         head.append(len(s))
         head += s
-    enc_parts: List[np.ndarray] = []
-    part_lens: List[np.ndarray] = []  # encoded length per string
-    start_str = 0
-    total = len(data)
-    while start_str < n_strings or (n_strings == 0 and start_str == 0):
-        if n_strings == 0:
-            break
-        # chunk of whole strings totalling <= CHUNK_BYTES (at least 1 string)
-        limit = offsets[start_str] + CHUNK_BYTES
-        end_str = int(np.searchsorted(offsets, limit, side="left"))
-        end_str = max(start_str + 1, min(end_str, n_strings))
-        lo, hi = int(offsets[start_str]), int(offsets[end_str])
-        if hi - lo >= 1 << 31:
-            raise CodecError("fsst chunk exceeds 2 GiB (single giant string)")
-        c_off = (offsets[start_str:end_str + 1] - lo).astype(np.int32)
-        c_pad = _pad_buf(data[lo:hi])
-        starts, lens, codes = _tokenize(c_pad, hi - lo, c_off, tables)
-        is_code = codes >= 0
-        out_len = np.where(is_code, np.int32(1), np.int32(2))
-        cum = np.cumsum(out_len, dtype=np.int32)
-        out_pos = cum - out_len
-        out = np.empty(int(cum[-1]) if len(cum) else 0, dtype=np.uint8)
-        cp = out_pos[is_code]
-        out[cp] = codes[is_code]
-        ep = out_pos[~is_code]
-        out[ep] = ESCAPE
-        out[ep + 1] = c_pad[starts[~is_code]]
-        # encoded length per string: tokens per string via boundaries
-        tok_out_end = np.concatenate([[0], cum])
-        ntok_before = np.searchsorted(starts, c_off[1:], side="left")
-        enc_end = tok_out_end[ntok_before]
-        enc_lens = np.diff(np.concatenate([[0], enc_end]))
-        enc_parts.append(out)
-        part_lens.append(enc_lens.astype(np.uint64))
-        start_str = end_str
-    all_lens = (np.concatenate(part_lens) if part_lens
-                else np.empty(0, np.uint64))
-    body = b"".join(p.tobytes() for p in enc_parts)
+    total = int(len(data))
+    n_strings = max(0, n_strings)
     head += uvarint_encode(np.array([n_strings], dtype=np.uint64))
-    head += uvarint_encode(all_lens)
-    return bytes(head) + body
+    if n_strings == 0 or total == 0:
+        head += uvarint_encode(np.zeros(n_strings, dtype=np.uint64))
+        return bytes(head)
+    pad = _pad_buf(data)
+    off = np.asarray(offsets)
+    starts, advs, vs = _tokenize(pad, total, off, tables)
+    is_code = vs >= 0
+    cum_t = np.int32 if 2 * total < (1 << 31) else np.int64
+    out_len = np.where(is_code, cum_t(1), cum_t(2))
+    cum = np.cumsum(out_len, dtype=cum_t)
+    out_pos = cum - out_len
+    out = np.empty(int(cum[-1]) if len(cum) else 0, dtype=np.uint8)
+    cp = out_pos[is_code]
+    out[cp] = (vs[is_code] & np.int16(0xFF)).astype(np.uint8)
+    esc = ~is_code
+    ep = out_pos[esc]
+    out[ep] = ESCAPE
+    out[ep + 1] = pad[starts[esc]]
+    # encoded length per string: tokens per string via boundaries
+    tok_out_end = np.concatenate([np.zeros(1, cum.dtype), cum])
+    ntok_before = np.searchsorted(starts, off[1:], side="left")
+    enc_end = tok_out_end[ntok_before]
+    enc_lens = np.diff(np.concatenate([np.zeros(1, enc_end.dtype), enc_end]))
+    head += uvarint_encode(enc_lens.astype(np.uint64))
+    return bytes(head) + out.tobytes()
 
 
 def fsst_decode(payload: bytes, n: int, k: int = -1,
@@ -602,8 +674,11 @@ def _decode_chunk(buf: np.ndarray, e_base: int, enc_off: np.ndarray,
     # stays cache-resident), literals override byte 0 of their row,
     # marker rows keep zero bytes, then a row-width keep mask extracts
     # exactly out_len bytes per row. No per-output-byte index arrays and
-    # no code-position extraction at all (~3x less memory traffic than
-    # the generic variable-length gather this replaced).
+    # no code-position extraction at all. (A sparse per-length-class
+    # scatter variant moved fewer total bytes but measured ~1.4x SLOWER
+    # under 16-way contention: scattered single-byte writes turn into
+    # read-modify-write cache-line traffic, while these dense passes
+    # stream and prefetch.)
     ml = sym8.shape[1]
     if ml == 8:
         # one uint64 gather per code instead of an 8-byte row gather

@@ -273,6 +273,14 @@ def prefix_upper(b: bytes, k: int = _ZONE_PREFIX_BYTES):
 
 # --- canonical input checksums ----------------------------------------------
 
+def _hash_buf(h, arr: np.ndarray) -> None:
+    """Feed a numpy array's bytes to a hash without the tobytes() copy
+    (hashlib accepts any C-contiguous buffer; the byte image is identical)."""
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    h.update(arr)
+
+
 def canonical_checksum(arr: pa.Array) -> str:
     """sha256 over a canonical byte image of a column chunk (values +
     validity), so decode can prove bit-identity without a join."""
@@ -287,11 +295,11 @@ def canonical_checksum(arr: pa.Array) -> str:
         vals = arr
     dom = domain_of(arr.type)
     if dom == INT:
-        h.update(to_int64(vals).astype("<i8", copy=False).tobytes())
+        _hash_buf(h, to_int64(vals).astype("<i8", copy=False))
     elif dom in (STR, BIN):
         data, offsets = str_buffers(vals)
-        h.update(offsets.astype("<i8", copy=False).tobytes())
-        h.update(data.tobytes())
+        _hash_buf(h, offsets.astype("<i8", copy=False))
+        _hash_buf(h, data)
     elif dom == BOOL:
         h.update(bytes(np.packbits(vals.to_numpy(zero_copy_only=False))))
     elif dom == LIST:

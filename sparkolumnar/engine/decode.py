@@ -1104,14 +1104,18 @@ def block_keep_py(cols_meta, filters, types: dict = None,
             if nn is None or n_rows is None:
                 return None
             return nn < n_rows
+        # NOT IN () is vacuously TRUE for every row — nulls included — so
+        # it must escape the all-null prune below (exact_filter_mask_py
+        # keeps every row of an all-null block for it; _leaf_block_cond
+        # already ordered these checks this way)
+        if op == "not in" and not vals[0]:
+            return None
         # value comparisons never match an all-null block
         if nn is not None and n_rows is not None and nn >= n_rows:
             return False
         is_str = t in _STR_TYPES
         if op in ("!=", "not in"):
             values = vals[0] if op == "not in" else [vals[0]]
-            if not values:  # NOT IN (): vacuously true
-                return None
             return const_ne_keep(c, values, t, is_str)
         if op == "in":
             any_keep = False
@@ -1267,15 +1271,21 @@ def exact_filter_mask_py(batch, filters, session_tz=None):
                 vlist = []
                 for v in vals[0]:
                     try:
-                        vlist.append(pa.scalar(
+                        cv = pa.scalar(
                             _coerce_py_value(v, a.type, session_tz),
-                            type=a.type).as_py())
+                            type=a.type).as_py()
                     except (ValueError, pa.lib.ArrowInvalid,
                             pa.lib.ArrowTypeError):
                         # a literal whose cast nulls out makes the whole
                         # NOT IN unknown for every row (Spark/SQL): no
                         # row matches — the OPPOSITE of the 'in' rule
                         return none_match
+                    if cv is None:
+                        # explicit NULL literal: x NOT IN (v, NULL) is
+                        # never TRUE under three-valued logic (same as a
+                        # null-coerced cast; the IPC path's ~isin agrees)
+                        return none_match
+                    vlist.append(cv)
                 if not vlist:  # NOT IN (): vacuously true, nulls too
                     return pa.array([True] * len(a), pa.bool_())
                 return pc.and_kleene(

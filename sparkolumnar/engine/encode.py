@@ -766,5 +766,39 @@ def layout_for_encode(df: DataFrame, key: Optional[str] = None,
         if sort_within:
             df = df.sortWithinPartitions(key)
     elif partitions:
-        df = df.repartition(partitions)
+        df = _distribute(df, partitions, salt)
     return df
+
+
+def _row_hashable(dt) -> bool:
+    """True when Spark's hash expressions accept this type (maps are
+    rejected anywhere in the tree; SPARK-27619)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_row_hashable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _row_hashable(dt.elementType)
+    return True
+
+
+def _distribute(df: DataFrame, partitions: int, salt: int) -> DataFrame:
+    """Keyless layout shuffle without RoundRobin's map-side sort.
+
+    df.repartition(n) plans a RoundRobinPartitioning whose map side first
+    SORTS every input partition by row content (sortBeforeRepartition, on
+    by default since SPARK-23207) so retried tasks reproduce the same
+    row->partition assignment. Hash-distributing on a content hash of the
+    whole row keeps exactly that retry determinism — the assignment
+    depends only on row content, never on input order — while skipping
+    the full comparison sort on the map side (guide: the map-side cost of
+    an exchange is charged to the upstream stage, and the upstream here
+    is often a handful of scan tasks). Hash imbalance across partitions
+    is multinomial (sub-percent at blocks-scale row counts). Maps are not
+    hashable in Spark, so such schemas keep the round-robin path."""
+    if all(_row_hashable(f.dataType) for f in df.schema.fields):
+        cols = [F.col(f.name) for f in df.schema.fields]
+        return df.repartition(partitions, F.xxhash64(*cols, F.lit(salt)))
+    return df.repartition(partitions)

@@ -81,7 +81,8 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
     # coordinates match no delete bitmap). Compaction is also what makes
     # deletes physical — the rewritten snapshot has no delete rows, and
     # the old ones are purged with their snapshot directories below.
-    dels = io.read_deletes() if hasattr(io, "read_deletes") else None
+    dels = (io.read_deletes()
+            if getattr(io, "supports_deletes", False) else None)
     n_deleted = 0
     if dels is not None:
         dels = dels.where(F.col("snapshot_id").isin(ids))
@@ -137,11 +138,26 @@ def compact_snapshot(io: TableIO, snapshot_id: str,
             # from a crash here are harmless: their coordinates match no
             # surviving block.
             _delete_deletes_dir(io, sid)
-    return {"snapshot_ids": ids, "new_snapshot_id": new_id,
-            "n_rows": int(new["r"]), "n_deletes_applied": int(n_deleted),
-            "old_blocks": int(old["b"]), "new_blocks": int(new["b"]),
-            "old_bytes_out": int(old["o"]), "new_bytes_out": int(new["o"]),
-            "deleted_old": bool(delete_old)}
+    out = {"snapshot_ids": ids, "new_snapshot_id": new_id,
+           "n_rows": int(new["r"]), "n_deletes_applied": int(n_deleted),
+           "old_blocks": int(old["b"]), "new_blocks": int(new["b"]),
+           "old_bytes_out": int(old["o"]), "new_bytes_out": int(new["o"]),
+           "deleted_old": bool(delete_old)}
+    if not delete_old:
+        # unlike OPTIMIZE in a real table format there is no atomic swap
+        # here: until the old snapshots are dropped, a FULL-table read
+        # serves the rows twice — say so loudly instead of silently
+        # double-serving (delete_old=True is safe: the row-count
+        # verification above already ran)
+        msg = (f"compaction wrote {new_id!r} but delete_old=False: "
+               f"snapshots {ids!r} are still live, full-table reads now "
+               "double-serve these rows until they are deleted "
+               "(pass delete_old=True / --delete-old)")
+        import warnings
+
+        warnings.warn(msg)
+        out["warning"] = msg
+    return out
 
 
 def _decodable_columns_expr():

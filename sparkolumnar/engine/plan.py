@@ -95,15 +95,28 @@ def _plan_str_column(arr: pa.Array, mode: str) -> ColumnPlan:
         sizes["dict"] = len(get_codec("dict").encode(arr))
     except (CodecError, OverflowError):
         pass
-    symbols: Optional[List[bytes]] = None
     if mode != FAST:
+        try:
+            sizes["zstd"] = len(get_codec("zstd").encode(arr))
+        except (CodecError, OverflowError):
+            pass
+    symbols: Optional[List[bytes]] = None
+    # the job-level FSST table build + pricing pass dominates plan cost
+    # (~0.27 s per big column); BALANCED plans skip it once zstd has
+    # already beaten the raw split layout (measured: zstd-1 both
+    # out-compresses and out-runs the numpy FSST on text — selector.py
+    # applies the same rule per batch). SIZE mode stays exhaustive.
+    zstd_won = sizes.get("zstd", 1 << 62) < sizes["split"]
+    if mode == SIZE or (mode != FAST and not zstd_won):
         symbols = fsst_mod.build_table(
             data, offsets, rounds=_JOB_FSST_ROUNDS,
             sample_bytes=_JOB_FSST_SAMPLE)
         if symbols:
             sizes["fsst"] = len(fsst_mod.fsst_encode(
                 data, offsets, symbols=symbols))
-    best = min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    from .selector import _STR_TIE_RANK
+    best = min(sizes.items(),
+               key=lambda kv: (kv[1], _STR_TIE_RANK.get(kv[0], 9), kv[0]))[0]
     cp = ColumnPlan(codec=best,
                     sample_ratio=sizes[best] / max(1, raw))
     if best == "fsst":
@@ -189,7 +202,107 @@ def sample_table(df, sample_rows: int = DEFAULT_SAMPLE_ROWS) -> pa.Table:
     return sample
 
 
+def _local_paths_of(files) -> Optional[list]:
+    """Local filesystem paths for a list of Spark input-file URIs, or None
+    when any file is remote / non-parquet."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    paths = []
+    for f in files:
+        if not f.endswith(".parquet"):
+            return None
+        if f.startswith("file:"):
+            p = unquote(urlparse(f).path)
+        elif "://" in f or ":" in f.split("/", 1)[0]:
+            return None  # hdfs:/s3: etc. — let Spark sample it
+        else:
+            p = f
+        if not os.path.exists(p):
+            return None
+        paths.append(p)
+    return paths
+
+
+def _is_bare_scan(df) -> bool:
+    """True when df is a plain file relation (no filter/projection/
+    repartition above the scan) — the only shape where sampling the files
+    directly is equivalent to sampling the DataFrame."""
+    try:
+        cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    except Exception:
+        return False
+    return cls in ("LogicalRelation", "DataSourceV2Relation",
+                   "DataSourceV2ScanRelation")
+
+
+def sample_local_parquet(df, sample_rows: int = DEFAULT_SAMPLE_ROWS
+                         ) -> Optional[pa.Table]:
+    """Driver-side twin of sample_table for bare local-parquet scans: the
+    same evenly-strided per-file head slices, read with pyarrow directly
+    (a few MB of metadata-sized I/O) instead of launching a Spark job
+    that spins up a python worker per partition. Scan planners do exactly
+    this (file-footer/statistics reads are driver work in every table
+    format); the sampled rows match sample_table's whenever partitions
+    == files, which holds for the common one-split-per-file layout.
+    Returns None when the input is not a bare local parquet scan (remote
+    storage, filters, non-file sources) — callers fall back to the Spark
+    sample."""
+    if not _is_bare_scan(df):
+        return None
+    try:
+        files = sorted(set(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths = _local_paths_of(files)
+    if paths is None:
+        return None
+    want = min(len(paths), _SAMPLE_PARTS)
+    step = max(1, len(paths) // want)
+    picks = paths[::step][:want]
+    per_file = max(64, sample_rows // max(1, want))
+
+    import pyarrow.parquet as pq
+
+    def head(path):
+        pf = pq.ParquetFile(path)
+        got, batches = 0, []
+        for b in pf.iter_batches(batch_size=per_file):
+            take = min(b.num_rows, per_file - got)
+            if take > 0:
+                batches.append(b.slice(0, take))
+            got += take
+            if got >= per_file:
+                break
+        pf.close()
+        return batches
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(8, len(picks))) as pool:
+            parts = list(pool.map(head, picks))
+    except Exception:
+        return None  # unreadable/odd file: Spark's reader may still cope
+    batches = [b for bs in parts for b in bs]
+    if not batches:
+        return None
+    sample = pa.Table.from_batches(batches)
+    # hive-partition columns (or any reader-schema divergence) live outside
+    # the files; the Spark sample is the one that sees them
+    if set(sample.column_names) != {f.name for f in df.schema.fields}:
+        return None
+    return sample
+
+
 def build_plan(df, mode: str = BALANCED,
                sample_rows: int = DEFAULT_SAMPLE_ROWS) -> CodecPlan:
-    """Cross-partition sample (one narrow Spark job) -> codec plan."""
-    return plan_from_sample(sample_table(df, sample_rows), mode=mode)
+    """Cross-partition sample -> codec plan. Bare local-parquet scans are
+    sampled driver-side with pyarrow (no Spark job); everything else runs
+    the one narrow Spark sample job."""
+    sample = sample_local_parquet(df, sample_rows)
+    if sample is None:
+        sample = sample_table(df, sample_rows)
+    return plan_from_sample(sample, mode=mode)

@@ -44,6 +44,14 @@ FAST = "fast"          # cheap codecs only
 _FSST_SAMPLE = 1 << 16
 _FSST_MIN_GAIN = 0.75  # sampled fsst size must be < 75% of best cheap size
 
+# equal-size tie-break for string codecs: cheapest encode+decode wins.
+# Unique-ish text ties rle with split EXACTLY (an all-literal AnyRle group
+# is the same varints reordered plus one header), and the old alphabetical
+# tie-break picked rle — whose binary encode is a full mask-interleave and
+# whose decode walks literal groups in a Python loop — over split's
+# near-memcpy. Size parity is unaffected: ties by definition cost nothing.
+_STR_TIE_RANK = {"split": 0, "zstd": 1, "dict": 2, "fsst": 3, "rle": 4}
+
 
 @dataclass
 class Choice:
@@ -156,15 +164,19 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
             tried["rle"] = rle_size
         if plan is not None:
             # the job plan already decided the expensive candidates
-            if plan.codec == "dict":
-                p = run("dict")
+            if plan.codec in ("dict", "fsst", "zstd"):
+                p = run(plan.codec)
                 if p is not None:
-                    payloads["dict"] = p
-            elif plan.codec == "fsst":
-                p = run("fsst")
-                if p is not None:
-                    payloads["fsst"] = p
+                    payloads[plan.codec] = p
         else:
+            if mode != FAST:
+                # zstd is cheap enough to price EXACTLY on every batch
+                # (~260 MB/s/core): the entropy-coding candidate of first
+                # resort — it both out-compresses and out-runs the numpy
+                # FSST on realistic text (codecs/zstd_codec.py)
+                p = run("zstd")
+                if p is not None:
+                    payloads["zstd"] = p
             if n > 0 and mode != FAST:
                 # gate dict on a sampled distinct ratio (unique-ish columns
                 # cannot win: dict stores every value once plus codes)
@@ -174,7 +186,16 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
                     p = run("dict")
                     if p is not None:
                         payloads["dict"] = p
-            if mode == SIZE or (mode == BALANCED and raw >= 4 * n and raw > 4096):
+            # FSST costs 20-50x a zstd pass for (measured) worse ratios on
+            # text, so BALANCED only reaches for it when zstd is absent or
+            # failed to beat the raw split layout (data zstd cannot touch
+            # is data FSST's pair-merge almost never touches either, and
+            # the sampled-gain gate below still bounds that attempt);
+            # SIZE mode stays exhaustive.
+            zstd_won = ("zstd" in payloads
+                        and len(payloads["zstd"]) < s_size)
+            if mode == SIZE or (mode == BALANCED and raw >= 4 * n
+                                and raw > 4096 and not zstd_won):
                 if mode == BALANCED:
                     # sampled gain estimate before paying for the full pass
                     cut = int(np.searchsorted(offsets, _FSST_SAMPLE))
@@ -198,7 +219,9 @@ def select_encode(arr: pa.Array, mode: str = BALANCED, plan=None,
         cand["split"] = s_size
         if rle_size is not None:
             cand["rle"] = rle_size
-        best_name = min(cand.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        best_name = min(cand.items(),
+                        key=lambda kv: (kv[1], _STR_TIE_RANK.get(kv[0], 9),
+                                        kv[0]))[0]
         if best_name not in payloads:
             p = run(best_name)
             if p is not None:

@@ -33,6 +33,13 @@ def snapshot_of_input(df: DataFrame) -> str:
 
 
 class TableIO:
+    # capability flag: DML (position-delete bitmaps), compaction and
+    # vacuum need path-level access (blocks_path/deletes_path); callers
+    # gate on this instead of hasattr (inherited methods made hasattr
+    # guards vacuously true — an IcebergTableIO would then die with
+    # AttributeError mid-job instead of a clear error up front)
+    supports_deletes = True
+
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
         self.base = base
@@ -130,11 +137,31 @@ class IcebergTableIO(TableIO):
                    checkpoint_table="cat.db.checkpoint").
     """
 
+    supports_deletes = False  # Iceberg v2 position deletes go through the
+    #                           table format's own commit path, which this
+    #                           seam does not implement yet
+
     def __init__(self, spark: SparkSession, blocks_table: str,
                  checkpoint_table: str):
         self.spark = spark
         self.blocks_table = blocks_table
         self.checkpoint_table = checkpoint_table
+
+    def _no_deletes(self, op: str):
+        raise NotImplementedError(
+            f"IcebergTableIO does not implement {op}: position-delete "
+            "bitmaps, compaction and vacuum are path-level operations of "
+            "the parquet TableIO; with Iceberg, use the table format's "
+            "own row-level DML and maintenance procedures instead")
+
+    def write_deletes(self, df: DataFrame) -> None:
+        self._no_deletes("write_deletes")
+
+    def read_deletes(self) -> Optional[DataFrame]:
+        self._no_deletes("read_deletes")
+
+    def has_deletes(self) -> bool:
+        return False
 
     def write_blocks(self, blocks: DataFrame) -> None:
         if self.spark.catalog.tableExists(self.blocks_table):

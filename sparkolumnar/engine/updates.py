@@ -28,8 +28,17 @@ deleted originals until the re-run completes step 3 (transient
 duplicates, converging; a real table format would make 2+3 one atomic
 snapshot commit — that is exactly the IcebergTableIO seam). Running the
 SAME logical update again after new data arrived derives a NEW id (K
-changed), so the earlier update's output is never overwritten — its
-rows are ordinary old-snapshot rows to the new run.
+changed) and processes ONLY rows the update has not rewritten before:
+every snapshot carrying the ``upd<H>`` prefix is excluded from the
+scan, so re-runs are CATCH-UP, exactly-once-per-row semantics (pinned
+by test_same_update_after_append_is_catchup) — deliberately NOT
+re-execute-the-statement semantics. Corollary: a non-idempotent
+assignment like ``x = x + 1`` is applied at most once per row for a
+given (predicate, assignments) pair for as long as the update's output
+keeps its ``upd<H>`` id; compaction rewrites those rows under a plain
+snapshot id, after which the same logical update WILL match them again.
+Use distinct assignments (or compact first) when periodic re-application
+is the intent.
 
 Reference parity note: the reference has no DML at all (its public API
 is columnar/src/lib.rs:114-133); this is engine-extension scope.
@@ -107,7 +116,8 @@ def update_where(io, filters, assignments: Dict[str, str],
     if merge_schema:
         schema = union_schema_of_blocks(old_blocks)
         compat = True
-    deletes = io.read_deletes() if hasattr(io, "read_deletes") else None
+    deletes = (io.read_deletes()
+               if getattr(io, "supports_deletes", False) else None)
     matched = decode_blocks(old_blocks, schema=schema, compat=compat,
                             filters=filters, deletes=deletes)
     types = {f.name: f.dataType for f in matched.schema.fields}

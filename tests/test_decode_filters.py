@@ -1054,3 +1054,36 @@ def test_zorder_deterministic_and_identity_versioned(spark):
             == clustered_snapshot_id("base", ["a", "s"], "range"))
     with pytest.raises(ValueError, match="cluster_layout"):
         encode_table(df, cluster_by=["a", "s"], cluster_layout="hilbert")
+
+
+def test_not_in_edge_semantics_pruning_sound():
+    """r6 soundness fixes: (1) NOT IN () is vacuously TRUE for every row
+    — including every row of an ALL-NULL block, so the metadata prune
+    must keep such blocks (previously the all-null prune ran first and
+    dropped them while the exact mask kept the rows); (2) an explicit
+    NULL literal in a NOT IN list makes the predicate match NOTHING on
+    the direct path, the same three-valued answer the IPC path's ~isin
+    gives."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from sparkolumnar.engine.decode import (block_keep_py,
+                                            exact_filter_mask_py)
+
+    types = {"s": T.StringType()}
+    all_null = [{"name": "s", "n_nulls": 5}]
+    # empty NOT IN: vacuously true -> the all-null block must SURVIVE
+    assert block_keep_py(all_null, [("s", "not in", [])], types, n_rows=5)
+    # non-empty NOT IN on an all-null block still prunes
+    assert not block_keep_py(all_null, [("s", "not in", ["x"])], types,
+                             n_rows=5)
+    b = pa.RecordBatch.from_pydict({"s": pa.array([None, "a"], pa.string())})
+    # exact-mask twin: every row (nulls included) passes the empty NOT IN
+    assert exact_filter_mask_py(b, [("s", "not in", [])]).to_pylist() \
+        == [True, True]
+    # a NULL literal in the list: x NOT IN (v, NULL) never matches
+    assert exact_filter_mask_py(b, [("s", "not in", ["b", None])]) \
+        .to_pylist() == [False, False]
+    # and without the NULL literal, ordinary three-valued behavior
+    assert exact_filter_mask_py(b, [("s", "not in", ["b"])]).to_pylist() \
+        == [False, True]
