@@ -159,12 +159,16 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shape SIX-table join (r5; broadens the §2.2 join
     category beyond the single-join top_customers): lineitem joins
-    orders (fact-fact, shuffle on orderkey), then customer / supplier /
-    nation / region as BROADCAST dimensions — at 100 TB the fact-side
-    shuffle is the only exchange; every dimension ships once per
-    executor. Year predicate filtered before the join (pushed to the
-    orders scan), revenue in integer cents for an exact cross-engine
-    compare."""
+    orders (fact-fact, shuffle on orderkey); nation / region are
+    FORCED broadcasts (bounded-size dimensions at any scale), while
+    customer / supplier — SF-proportional tables that are fact-scale
+    dimensions at 100x — are left to the planner's size estimates and
+    AQE, which broadcast them at bench scale and fall back to a
+    shuffle join when they outgrow the threshold (a forced broadcast
+    there would be a driver/executor OOM, not a plan — r5 verdict
+    What's-wrong #4). Year predicate filtered before the join (pushed
+    to the orders scan), revenue in integer cents for an exact
+    cross-engine compare."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1996)
     c = _t(spark, sf_dir, "customer")
@@ -174,8 +178,8 @@ def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice")
                     * (1 - F.col("l_discount")) * 100).cast("long")
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(s, (li.l_suppkey == s.s_suppkey)
                & (c.c_nationkey == s.s_nationkey))
          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))

@@ -289,11 +289,16 @@ def test_metadata_stats_exact_and_payload_pruned(spark, tmp_path):
         or rows["url"]["max_str"] >= agg["umax"]
 
 
-def test_regional_revenue_join_plan_broadcasts_dims(spark):
-    """The Q5-shape six-table join must broadcast all four dimension
-    tables: at 100 TB only the fact-fact lineitem-orders join may
-    shuffle. AQE can later convert it too, but the compiled plan must
-    not shuffle a dimension."""
+def test_regional_revenue_join_plan_scale_safe(spark):
+    """The Q5-shape six-table join: nation/region (bounded-size dims at
+    ANY scale) carry forced broadcast hints; customer/supplier are
+    SF-proportional, so they must NOT be forced — the planner's size
+    estimates / AQE broadcast them at this sf and may legitimately
+    shuffle them at 100x (a forced broadcast there is an OOM). At bench
+    scale the compiled plan still broadcasts all four dims and only the
+    fact-fact lineitem-orders join may shuffle."""
+    import inspect
+
     import __spark_entry__ as entry
 
     df = entry.queries()["regional_revenue"](spark, "/root/testdata/sf0.01")
@@ -301,6 +306,10 @@ def test_regional_revenue_join_plan_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     shuffles = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert shuffles <= 1, plan
+    # the scale-safety property the small-sf plan cannot show: only the
+    # two bounded dims are FORCED
+    src = inspect.getsource(entry._q_regional_revenue)
+    assert src.count("F.broadcast(") == 2, src
 
 
 def test_dml_plans_shuffle_free(spark, tmp_path):
