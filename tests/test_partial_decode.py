@@ -164,6 +164,8 @@ def test_decode_range_random_access():
                             for i in range(300)])),
         ("fsst", pa.array(["the quick brown fox jumps"] * 200
                           + [f"tail {i}" for i in range(50)])),
+        ("zstd", pa.array(["the quick brown fox jumps"] * 200
+                          + [f"tail {i}" for i in range(50)])),
     ]
     for name, arr in arrays:
         codec = get_codec(name)
