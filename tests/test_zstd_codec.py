@@ -105,3 +105,30 @@ def test_selector_fast_tiebreak_prefers_split():
     ch = select_encode(arr, mode="fast")
     if ch.tried.get("rle") == ch.tried.get("split"):
         assert ch.codec == "split", ch.tried
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.binary(max_size=40), max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_zstd_roundtrip_binary_hypothesis(xs):
+    c = get_codec("zstd")
+    arr = pa.array(xs, type=pa.binary())
+    out = c.decode(c.encode(arr), len(xs), pa.binary())
+    assert out.to_pylist() == xs
+
+
+@given(st.lists(st.text(max_size=60), max_size=100), st.data())
+@settings(max_examples=100, deadline=None)
+def test_zstd_partials_text_hypothesis(xs, data):
+    c = get_codec("zstd")
+    arr = pa.array(xs, type=pa.string())
+    p = c.encode(arr)
+    n = len(xs)
+    k = data.draw(st.integers(0, n))
+    assert c.decode_prefix(p, n, arr.type, k).to_pylist() == xs[:k]
+    a = data.draw(st.integers(0, n))
+    b = data.draw(st.integers(a, n))
+    assert c.decode_range(p, n, arr.type, a, b).to_pylist() == xs[a:b]
