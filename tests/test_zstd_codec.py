@@ -132,3 +132,18 @@ def test_zstd_partials_text_hypothesis(xs, data):
     a = data.draw(st.integers(0, n))
     b = data.draw(st.integers(a, n))
     assert c.decode_range(p, n, arr.type, a, b).to_pylist() == xs[a:b]
+
+
+def test_zstd_zero_byte_middle_frame():
+    """Empty strings landing right after a frame boundary produce a
+    zero-raw-byte frame; decode and range decode must handle it."""
+    from sparkolumnar.codecs import zstd_codec as zc
+
+    c = get_codec("zstd")
+    fb = zc._FRAME_BYTES
+    arr = pa.array(["x" * fb, "", "", "y" * 100], pa.string())
+    p = c.encode(arr)
+    assert c.decode(p, 4, arr.type).equals(arr)
+    for a, b in ((0, 4), (1, 3), (1, 4), (2, 4), (3, 4), (0, 1)):
+        assert c.decode_range(p, 4, arr.type, a, b).equals(
+            arr.slice(a, b - a)), (a, b)
